@@ -1,0 +1,172 @@
+"""Graph construction: vertex dictionary, dense encoding, degrees, sinks.
+
+Replaces the reference's pointer-graph build (``Graph::read``,
+ref: src/Graph.cpp:60-116) with Dataset operations:
+
+- vertex dictionary   (ref: the ``nodes_map`` id compaction, src/Graph.cpp:60-91)
+  — deterministic **sort-by-id** dense ids, not first-appearance order
+  (order-dependent and unreproducible under parallel reads; SURVEY.md §7.6).
+- out-degrees         (ref: ``Node::nlinks_out``, src/Graph.cpp:16-24)
+- sink detection      (ref: ``sink_nodes`` scan, src/Graph.cpp:107-115)
+
+Broadcast pattern: the sorted unique-id array and the dense out-degree
+array are O(V) driver/worker objects shipped once per build via ``ray.put``
+and read zero-copy inside ``map_batches`` tasks. This is the standard
+"broadcast dictionary" design and holds to V ≈ 1e8-1e9 on big-memory nodes
+(8-16 B/vertex/node); beyond that, the encode step becomes a
+hash-partitioned ``Dataset.join`` on the id column (same downstream
+pipeline) — see ``encode_edges_join``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+from ray.data.aggregate import Sum
+
+
+def _batch_unique_ids(batch: pa.Table) -> pa.Table:
+    """Per-batch combiner: unique ids over src ∪ dst (shrinks the shuffle)."""
+    both = pa.chunked_array([batch.column("src"), batch.column("dst")])
+    return pa.table({"id": pc.unique(both.combine_chunks())})
+
+
+def vertex_ids(edges: ray.data.Dataset) -> np.ndarray:
+    """Sorted array of distinct vertex ids (numeric or string).
+
+    Distributed per-batch ``unique`` partials → global ``Dataset.unique``;
+    only the distinct-id set reaches the driver.
+    """
+    vals = edges.map_batches(_batch_unique_ids, batch_format="pyarrow").unique("id")
+    return np.sort(np.asarray(vals))
+
+
+def encode_edges(
+    edges: ray.data.Dataset, ids: np.ndarray
+) -> ray.data.Dataset:
+    """Translate (src, dst) original ids → dense uint64 vids in [0, N).
+
+    vid = position of the original id in the sorted ``ids`` array
+    (binary search per batch — vectorized ``np.searchsorted`` against the
+    broadcast dictionary; no shuffle).
+    """
+    ids_ref = ray.put(ids)
+
+    def enc(batch: pa.Table) -> pa.Table:
+        d = ray.get(ids_ref)
+        src = np.searchsorted(d, batch.column("src").to_numpy(zero_copy_only=False))
+        dst = np.searchsorted(d, batch.column("dst").to_numpy(zero_copy_only=False))
+        return pa.table(
+            {
+                "src": pa.array(src.astype(np.uint64), type=pa.uint64()),
+                "dst": pa.array(dst.astype(np.uint64), type=pa.uint64()),
+            }
+        )
+
+    return edges.map_batches(enc, batch_format="pyarrow")
+
+
+def vertices_table(ids: np.ndarray) -> pa.Table:
+    """The vertex dictionary as a table (vid: uint64, id)."""
+    return pa.table(
+        {
+            "vid": pa.array(np.arange(len(ids), dtype=np.uint64), type=pa.uint64()),
+            "id": pa.array(ids),
+        }
+    )
+
+
+def _batch_outdeg_partial(batch: pa.Table) -> pa.Table:
+    """Per-batch partial out-degree counts (combiner before the groupby)."""
+    src = batch.column("src").to_numpy(zero_copy_only=False)
+    uniq, cnt = np.unique(src, return_counts=True)
+    return pa.table(
+        {
+            "src": pa.array(uniq.astype(np.uint64), type=pa.uint64()),
+            "cnt": pa.array(cnt.astype(np.int64)),
+        }
+    )
+
+
+def out_degree_ds(edges: ray.data.Dataset) -> ray.data.Dataset:
+    """Out-degree per source vertex as a Dataset (src, outdeg).
+
+    Pre-aggregated per batch (one row per distinct src per batch) so the
+    groupby shuffles partials, not edges. Vertices with no out-edges do not
+    appear (they are the sinks — see ``sink_mask``).
+    """
+    partial = edges.map_batches(_batch_outdeg_partial, batch_format="pyarrow")
+    agg = partial.groupby("src").aggregate(Sum("cnt", alias_name="outdeg"))
+    return agg
+
+
+def dense_out_degrees(edges_encoded: ray.data.Dataset, n: int) -> np.ndarray:
+    """Dense int64 out-degree vector of length ``n`` from encoded edges.
+
+    The grouped partial table (≤ n rows) is collected and scattered into a
+    dense numpy array — the broadcast side of the contribution stage.
+    """
+    deg = np.zeros(n, dtype=np.int64)
+    agg = out_degree_ds(edges_encoded)
+    for b in agg.iter_batches(batch_format="pyarrow", batch_size=1 << 20):
+        deg[b.column("src").to_numpy(zero_copy_only=False).astype(np.int64)] = (
+            b.column("outdeg").to_numpy(zero_copy_only=False)
+        )
+    return deg
+
+
+def sink_vids(outdeg: np.ndarray) -> np.ndarray:
+    """Dense vids with out-degree 0 (dangling vertices).
+
+    Ref semantics: ``sink_nodes`` collection at src/Graph.cpp:107-115.
+    """
+    return np.flatnonzero(outdeg == 0)
+
+
+def undirected_edges(edges: ray.data.Dataset) -> ray.data.Dataset:
+    """Canonical undirected simple edge set: (a=min, b=max), self-loops
+    dropped, duplicates removed via a distributed groupby (no driver
+    materialization)."""
+
+    def canon(batch: pa.Table) -> pa.Table:
+        s = batch.column("src").to_numpy(zero_copy_only=False)
+        d = batch.column("dst").to_numpy(zero_copy_only=False)
+        keep = s != d
+        s, d = s[keep], d[keep]
+        a = np.minimum(s, d)
+        b = np.maximum(s, d)
+        # per-batch dedup (combiner); packed key assumes dense vids < 2^32
+        key = (a.astype(np.uint64) << np.uint64(32)) | b.astype(np.uint64)
+        uk = np.unique(key)
+        return pa.table(
+            {
+                "a": pa.array((uk >> np.uint64(32)).astype(np.uint64), type=pa.uint64()),
+                "b": pa.array((uk & np.uint64(0xFFFFFFFF)).astype(np.uint64), type=pa.uint64()),
+            }
+        )
+
+    canoned = edges.map_batches(canon, batch_format="pyarrow")
+    # distributed distinct on the composite key
+    agg = canoned.groupby(["a", "b"]).aggregate(Sum("a", alias_name="_x"))
+    return agg.select_columns(["a", "b"])
+
+
+def symmetrize(edges: ray.data.Dataset) -> ray.data.Dataset:
+    """Both directions of the canonical undirected edge set:
+    (src, dst) ∪ (dst, src) — the message graph for CC / LPA."""
+    und = undirected_edges(edges)
+
+    def both(batch: pa.Table) -> pa.Table:
+        a = batch.column("a").to_numpy(zero_copy_only=False)
+        b = batch.column("b").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate([a, b]), type=pa.uint64()),
+                "dst": pa.array(np.concatenate([b, a]), type=pa.uint64()),
+            }
+        )
+
+    return und.map_batches(both, batch_format="pyarrow")

@@ -1,0 +1,234 @@
+"""Distributed power-iteration PageRank — the north-star dataflow.
+
+Per superstep (the analog of the reference's fixpoint loop,
+ref: src/Graph.cpp:118-173 / the OpenCL ``calcranks`` kernel
+src/god-kernel.cl:26-56):
+
+  1. ``sink_sum = ((1-d) + d * Σ_{outdeg=0} rank) / N`` — global scalar
+     (ref: src/Graph.cpp:135-140; teleport term folded in).
+  2. contribution push: ``map_batches`` over the **static, materialized,
+     dst-sorted adjacency blocks** emits per-batch pre-combined
+     ``(dst, mass=Σ rank[src]/outdeg[src])`` partials. The previous-round
+     rank vector is a dense float64 array broadcast once per superstep via
+     ``ray.put`` and read zero-copy inside each task.
+  3. shuffle: ``groupby("dst").aggregate(Sum("mass"))`` over the partials
+     (≤ num_blocks rows per key thanks to the per-batch combiner); optional
+     two-phase salted aggregation for heavy-hitter vertices (north-rule N9).
+  4. apply + convergence: ``new = sink_sum + d * mass`` (vertices with no
+     in-links receive exactly ``sink_sum``), L1 residual ``Σ|new-old|``
+     (north-rule 1e-6 criterion).
+
+Vertex state here is the broadcast dense array (8 B/vertex — one
+object-store copy per node, viable to ~1e9 vertices); the fully partitioned
+vertex state lives in ``engine.bsp`` for beyond that. Per-vertex scores
+match the sequential reference to allclose 1e-6 at the same iteration count
+(SURVEY.md §5.2, §7.6: freezing deviation ≤ iters·1e-16).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data
+from ray.data.aggregate import Sum
+
+from . import graph as G
+
+DAMPING = 0.85
+
+
+def _sort_block_by_dst(batch: pa.Table) -> pa.Table:
+    """Build-time block prep: sort by dst so the per-superstep combiner is a
+    boundary scan + ``np.add.reduceat`` instead of a per-round sort."""
+    order = np.argsort(batch.column("dst").to_numpy(zero_copy_only=False), kind="stable")
+    return batch.take(pa.array(order))
+
+
+@dataclass
+class PageRankResult:
+    ids: np.ndarray          # original vertex ids, sorted (dictionary order)
+    ranks: np.ndarray        # float64, aligned with ids
+    iterations: int
+    metrics: list[dict] = field(default_factory=list)
+
+    def as_table(self) -> pa.Table:
+        return pa.table({"id": pa.array(self.ids), "rank": pa.array(self.ranks)})
+
+    def as_dict(self) -> dict:
+        return dict(zip(self.ids.tolist(), self.ranks.tolist()))
+
+    def top_k(self, k: int = 10, ascending: bool = False) -> pa.Table:
+        """R12/R13: global order by rank, top-k (desc) / bottom-k (asc)."""
+        order = np.argsort(self.ranks, kind="stable")
+        if not ascending:
+            order = order[::-1]
+        sel = order[:k]
+        return pa.table(
+            {"id": pa.array(self.ids[sel]), "rank": pa.array(self.ranks[sel])}
+        )
+
+
+class _PreparedGraph:
+    """Build product: dictionary, dense degrees, sinks, materialized
+    dst-sorted adjacency with per-edge 1/outdeg[src]."""
+
+    def __init__(self, edges: ray.data.Dataset, num_blocks: int | None = None):
+        self.ids = G.vertex_ids(edges)
+        self.n = len(self.ids)
+        enc = G.encode_edges(edges, self.ids)
+        if num_blocks:
+            enc = enc.repartition(num_blocks)
+        self.outdeg = G.dense_out_degrees(enc, self.n)
+        self.sinks = G.sink_vids(self.outdeg)
+        inv = np.zeros(self.n)
+        nz = self.outdeg > 0
+        inv[nz] = 1.0 / self.outdeg[nz]
+        inv_ref = ray.put(inv)
+
+        def attach_inv(batch: pa.Table) -> pa.Table:
+            iv = ray.get(inv_ref)
+            src = batch.column("src").to_numpy(zero_copy_only=False)
+            return batch.append_column("inv_outdeg", pa.array(iv[src]))
+
+        self.adj = (
+            enc.map_batches(attach_inv, batch_format="pyarrow")
+            .map_batches(_sort_block_by_dst, batch_format="pyarrow")
+            .materialize()
+        )
+        self.num_edges = self.adj.count()
+
+
+def _make_contrib_fn(rank_ref, heavy_ref=None, num_salts: int = 8):
+    """Stateless contribution task. ``ray.get(rank_ref)`` is a zero-copy
+    plasma read per task (O(1), shared per node) — cheaper than spinning a
+    fresh actor pool every superstep."""
+
+    def contrib(batch: pa.Table) -> pa.Table:
+        rank = ray.get(rank_ref)
+        src = batch.column("src").to_numpy(zero_copy_only=False)
+        dst = batch.column("dst").to_numpy(zero_copy_only=False)
+        inv = batch.column("inv_outdeg").to_numpy(zero_copy_only=False)
+        mass = rank[src] * inv
+        # dst is block-sorted: combine by boundary scan
+        if len(dst) == 0:
+            out_dst = dst
+            out_mass = mass
+        else:
+            bounds = np.flatnonzero(np.diff(dst)) + 1
+            starts = np.concatenate(([0], bounds))
+            out_dst = dst[starts]
+            out_mass = np.add.reduceat(mass, starts)
+        cols = {
+            "dst": pa.array(out_dst.astype(np.uint64), type=pa.uint64()),
+            "mass": pa.array(out_mass),
+        }
+        if heavy_ref is not None:
+            heavy = ray.get(heavy_ref)
+            # salt heavy-hitter keys so no single reducer key explodes
+            salt = np.zeros(len(out_dst), dtype=np.int32)
+            hmask = np.isin(out_dst, heavy)
+            if hmask.any():
+                # deterministic per-batch salt: partials for the same heavy
+                # dst land in different sub-keys across batches
+                salt[hmask] = int(src[0]) % num_salts if len(src) else 0
+            cols["salt"] = pa.array(salt)
+        return pa.table(cols)
+
+    return contrib
+
+
+def pagerank(
+    edges: ray.data.Dataset,
+    iterations: int | None = None,
+    eps: float | None = None,
+    d: float = DAMPING,
+    num_blocks: int | None = None,
+    salted: bool = False,
+    heavy_indeg_threshold: int = 1 << 20,
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int = 1,
+    prepared: "_PreparedGraph | None" = None,
+) -> PageRankResult:
+    """Run PageRank over an edge Dataset (original ids, any dtype).
+
+    Stop when ``iterations`` supersteps have run, or when the L1 residual
+    drops below ``eps`` (whichever is given; both → first hit). Exactly one
+    of the two must be set.
+    """
+    if iterations is None and eps is None:
+        raise ValueError("set iterations and/or eps")
+    from . import checkpoint as ckpt
+
+    g = prepared or _PreparedGraph(edges, num_blocks=num_blocks)
+    n = g.n
+    rank = np.full(n, 1.0 / n)
+
+    heavy_ref = None
+    if salted:
+        indeg = np.zeros(n, dtype=np.int64)
+        for b in g.adj.select_columns(["dst"]).iter_batches(
+            batch_format="pyarrow", batch_size=1 << 20
+        ):
+            np.add.at(indeg, b.column("dst").to_numpy(zero_copy_only=False).astype(np.int64), 1)
+        heavy = np.flatnonzero(indeg >= heavy_indeg_threshold).astype(np.uint64)
+        heavy_ref = ray.put(heavy)
+
+    start_iter = 0
+    if checkpoint_dir:
+        resumed = ckpt.load_latest(checkpoint_dir)
+        if resumed is not None:
+            start_iter, saved = resumed
+            rank[saved["vid"]] = saved["rank"]
+
+    metrics: list[dict] = []
+    it = start_iter
+    while True:
+        if iterations is not None and it >= iterations:
+            break
+        it += 1
+        t0 = time.perf_counter()
+        sink_sum = ((1.0 - d) + d * rank[g.sinks].sum()) / n
+        rank_ref = ray.put(rank)
+        contrib = _make_contrib_fn(rank_ref, heavy_ref)
+        partials = g.adj.map_batches(contrib, batch_format="pyarrow")
+        if salted:
+            phase1 = partials.groupby(["dst", "salt"]).aggregate(
+                Sum("mass", alias_name="mass")
+            )
+            masses = phase1.groupby("dst").aggregate(Sum("mass", alias_name="mass"))
+        else:
+            masses = partials.groupby("dst").aggregate(Sum("mass", alias_name="mass"))
+        new = np.full(n, sink_sum)
+        for b in masses.iter_batches(batch_format="pyarrow", batch_size=1 << 20):
+            dv = b.column("dst").to_numpy(zero_copy_only=False)
+            mv = b.column("mass").to_numpy(zero_copy_only=False)
+            new[dv] += d * mv
+        l1 = float(np.abs(new - rank).sum())
+        rank = new
+        dt = time.perf_counter() - t0
+        metrics.append(
+            {
+                "iteration": it,
+                "wall_sec": dt,
+                "edges": g.num_edges,
+                "edges_per_sec": g.num_edges / dt if dt > 0 else float("inf"),
+                "l1_residual": l1,
+                "dangling_mass": float(rank[g.sinks].sum()),
+                "num_vertices": n,
+            }
+        )
+        if checkpoint_dir and it % checkpoint_every == 0:
+            ckpt.save_iteration(checkpoint_dir, it, rank, metrics[-1])
+        if eps is not None and l1 < eps:
+            break
+
+    return PageRankResult(ids=g.ids, ranks=rank, iterations=it, metrics=metrics)
+
+
+def ranks_dataset(res: PageRankResult) -> ray.data.Dataset:
+    """Result as a Ray Dataset (id, rank) for downstream pipelines."""
+    return ray.data.from_arrow(res.as_table())

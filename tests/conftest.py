@@ -1,0 +1,26 @@
+import pytest
+import ray
+
+
+@pytest.fixture(scope="session", autouse=True)
+def ray_session():
+    ray.init(
+        address="local",
+        num_cpus=4,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    yield
+    ray.shutdown()
+
+
+FIXTURES = {
+    "mini": "/root/reference/web-Google/mini-web-Google.txt",
+    "small": "/root/reference/web-Google/small-web-Google.txt",
+    "sink": "/root/reference/web-Google/sink-test-web-Google.txt",
+}

@@ -1,0 +1,65 @@
+"""Distributed (Ray Data) PageRank vs goldens and the sequential oracle."""
+
+import math
+
+import numpy as np
+import pytest
+
+from engine import oracle
+from engine.ingest import read_snap, read_snap_edges_local
+from engine.pagerank import pagerank
+
+from .conftest import FIXTURES
+
+GOLDEN_ITERS = {"mini": 25, "small": 29, "sink": 44}
+
+
+@pytest.mark.parametrize("name", list(FIXTURES))
+def test_pagerank_matches_reference_goldens(name):
+    path = FIXTURES[name]
+    edges_local = read_snap_edges_local(path)
+    ref, iters = oracle.pagerank_ref(edges_local)
+
+    res = pagerank(read_snap(path), iterations=iters)
+    assert res.iterations == iters
+    got = res.as_dict()
+    assert set(got) == set(ref)
+    for v, want in ref.items():
+        assert abs(got[v] - want) < 1e-6, (name, v)
+    assert math.isclose(sum(got.values()), 1.0, abs_tol=1e-9)
+
+
+def test_pagerank_l1_stop():
+    path = FIXTURES["mini"]
+    res = pagerank(read_snap(path), eps=1e-6)
+    assert res.metrics[-1]["l1_residual"] < 1e-6
+    want, _ = oracle.pagerank_sync_l1(read_snap_edges_local(path), eps=1e-6)
+    got = res.as_dict()
+    for v in want:
+        assert abs(got[v] - want[v]) < 1e-9
+
+
+def test_pagerank_salted_equals_unsalted_star():
+    """North-rule N9: a heavy-hitter hub through the salted two-phase
+    aggregation equals the plain path bit-for-bit-ish."""
+    import pyarrow as pa
+    import ray.data
+
+    n = 500
+    src = np.arange(1, n + 1, dtype=np.uint64)
+    dst = np.zeros(n, dtype=np.uint64)  # star: everyone → 0
+    tbl = pa.table({"src": pa.array(src, type=pa.uint64()),
+                    "dst": pa.array(dst, type=pa.uint64())})
+    ds = ray.data.from_arrow(tbl).repartition(8)
+    plain = pagerank(ds, iterations=5)
+    salted = pagerank(ray.data.from_arrow(tbl).repartition(8), iterations=5,
+                      salted=True, heavy_indeg_threshold=10)
+    np.testing.assert_allclose(plain.ranks, salted.ranks, atol=1e-12)
+
+
+def test_topk():
+    res = pagerank(read_snap(FIXTURES["small"]), iterations=29)
+    top = res.top_k(4)
+    assert top.column("id").to_pylist() == [4, 3, 5, 0]
+    bot = res.top_k(1, ascending=True)
+    assert abs(bot.column("rank").to_pylist()[0] - 2.079594e-02) < 1e-6
