@@ -1,0 +1,138 @@
+"""Similarity search over an embedding column (``list<float>``).
+
+- ``brute_force_topk``: exact cosine top-k — the baseline. Per batch: one
+  numpy matmul of the batch's embedding matrix (zero-copy from Arrow's
+  flattened list buffer) against the broadcast, pre-normalized query
+  matrix; per-batch local top-k partials, then one tiny global sort.
+- ``ivf_topk``: the scale path — a one-pass IVF index: kmeans-lite
+  centroids from a deterministic sample, vectors bucketed by nearest
+  centroid (``groupby``), queries probe only the ``nprobe`` nearest
+  buckets. Approximate; recall depends on nprobe/centroids.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data
+
+
+def _batch_matrix(batch: pa.Table, col: str = "embedding") -> np.ndarray:
+    """Arrow list<float> column → (rows, dim) float64 matrix, zero-copy on
+    the flat values buffer where possible."""
+    arr = batch.column(col)
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    dim = len(flat) // len(batch) if len(batch) else 0
+    return flat.reshape(len(batch), dim)
+
+
+def brute_force_topk(
+    ds: ray.data.Dataset,
+    query: np.ndarray,
+    k: int = 10,
+    id_col: str = "vec_id",
+    col: str = "embedding",
+    round_decimals: int | None = None,
+) -> ray.data.Dataset:
+    """Exact cosine top-k of ``ds`` rows vs one query vector.
+
+    Result: (vec_id, cos_sim) ordered by (cos_sim DESC, vec_id ASC).
+    """
+    q = np.asarray(query, dtype=np.float64)
+    qn = q / max(np.linalg.norm(q), 1e-30)
+    q_ref = ray.put(qn)
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        qv = ray.get(q_ref)
+        m = _batch_matrix(batch, col)
+        norms = np.linalg.norm(m, axis=1)
+        norms[norms == 0] = 1e-30
+        sims = (m @ qv) / norms
+        if round_decimals is not None:
+            sims = np.round(sims, round_decimals)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        take = min(k, len(sims))
+        # partial top-k per batch (deterministic: sim desc, id asc)
+        order = np.lexsort((ids, -sims))[:take]
+        return pa.table(
+            {
+                id_col: pa.array(ids[order]),
+                "cos_sim": pa.array(sims[order]),
+            }
+        )
+
+    partial = ds.map_batches(local_topk, batch_format="pyarrow")
+    return partial.sort(["cos_sim", id_col], descending=[True, False]).limit(k)
+
+
+class IVFIndex:
+    """Driver-side handle for the IVF-bucketed dataset."""
+
+    def __init__(self, bucketed: ray.data.Dataset, centroids: np.ndarray):
+        self.bucketed = bucketed  # materialized, with "bucket" column
+        self.centroids = centroids  # (C, dim), L2-normalized
+
+
+def ivf_build(
+    ds: ray.data.Dataset,
+    num_centroids: int = 16,
+    sample_rows: int = 2048,
+    id_col: str = "vec_id",
+    col: str = "embedding",
+) -> IVFIndex:
+    """Deterministic centroid pick: first ``sample_rows`` by id, then
+    k-means++-free farthest-point seeding + 5 Lloyd steps on the sample
+    (all driver-side numpy on the small sample), then a distributed
+    assignment pass."""
+    sample = ds.sort(id_col).limit(sample_rows).take_all()
+    m = np.array([np.asarray(r[col], dtype=np.float64) for r in sample])
+    m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+    c = [m[0]]
+    for _ in range(1, min(num_centroids, len(m))):
+        d = 1.0 - np.max(np.stack([m @ ci for ci in c]), axis=0)
+        c.append(m[int(np.argmax(d))])
+    cent = np.stack(c)
+    for _ in range(5):  # Lloyd on the sample
+        assign = np.argmax(m @ cent.T, axis=1)
+        for j in range(len(cent)):
+            sel = m[assign == j]
+            if len(sel):
+                v = sel.mean(axis=0)
+                cent[j] = v / max(np.linalg.norm(v), 1e-30)
+    cent_ref = ray.put(cent)
+
+    def assign_bucket(batch: pa.Table) -> pa.Table:
+        cc = ray.get(cent_ref)
+        mm = _batch_matrix(batch, col)
+        mm = mm / np.maximum(np.linalg.norm(mm, axis=1, keepdims=True), 1e-30)
+        b = np.argmax(mm @ cc.T, axis=1)
+        return batch.append_column("bucket", pa.array(b.astype(np.int32)))
+
+    bucketed = ds.map_batches(assign_bucket, batch_format="pyarrow").materialize()
+    return IVFIndex(bucketed, cent)
+
+
+def ivf_topk(
+    index: IVFIndex,
+    query: np.ndarray,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    col: str = "embedding",
+) -> ray.data.Dataset:
+    """Probe the ``nprobe`` buckets nearest the query; exact search inside."""
+    q = np.asarray(query, dtype=np.float64)
+    qn = q / max(np.linalg.norm(q), 1e-30)
+    probes = np.argsort(-(index.centroids @ qn))[:nprobe].astype(np.int32)
+    probe_arr = pa.array(sorted(set(probes.tolist())), type=pa.int32())
+
+    def keep_probed(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return batch.filter(pc.is_in(batch.column("bucket"), value_set=probe_arr))
+
+    sub = index.bucketed.map_batches(keep_probed, batch_format="pyarrow")
+    return brute_force_topk(sub, q, k=k, id_col=id_col, col=col)

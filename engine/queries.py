@@ -1,0 +1,419 @@
+"""Driver-contract query pipelines over the /root/testdata tables.
+
+Each function here backs one ``queries()`` entry in ``__ray_entry__.py``;
+the matching DuckDB oracle SQL lives in ``ORACLE_SQL`` below (SURVEY.md
+§2.4). Column names are kept identical between the Ray result and the SQL.
+Float columns are rounded to a fixed number of decimals on BOTH sides so
+the driver's value-hash compare is insensitive to summation order.
+
+The link graph used throughout is projected from ``lineitem``:
+``src = l_orderkey``, ``dst = l_partkey + 10_000_000`` (disjoint id
+ranges), DISTINCT edges — a bipartite order→part reference graph. The
+tripartite variant for triangles adds part→supplier and supplier→order
+edges with suppliers offset by 20_000_000.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+from ray.data.aggregate import Count, Min, Sum
+
+from . import graph as G
+from .ingest import sha256_column
+
+PART_OFFSET = 10_000_000
+SUPP_OFFSET = 20_000_000
+ROUND = 9  # decimals for float compare columns
+
+
+def _li(sf_dir: str, columns):
+    return ray.data.read_parquet(f"{sf_dir}/lineitem.parquet", columns=columns)
+
+
+def edges_project(sf_dir: str) -> ray.data.Dataset:
+    """Distinct (src, dst) edge table projected from lineitem (N1/N3 analog:
+    the relational edge-extraction step, column-pruned at the read)."""
+
+    def proj(batch: pa.Table) -> pa.Table:
+        src = batch.column("l_orderkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        dst = (
+            batch.column("l_partkey").to_numpy(zero_copy_only=False).astype(np.int64)
+            + PART_OFFSET
+        )
+        key = src * np.int64(1 << 32) + dst  # per-batch dedup combiner
+        uk = np.unique(key)
+        return pa.table(
+            {
+                "src": pa.array(uk // (1 << 32), type=pa.int64()),
+                "dst": pa.array(uk % (1 << 32) + 0, type=pa.int64()),
+            }
+        )
+
+    ds = _li(sf_dir, ["l_orderkey", "l_partkey"]).map_batches(
+        proj, batch_format="pyarrow"
+    )
+    agg = ds.groupby(["src", "dst"]).aggregate(Count(alias_name="_c"))
+    return agg.select_columns(["src", "dst"])
+
+
+def out_degree(sf_dir: str) -> ray.data.Dataset:
+    """Out-degree per source vertex of the distinct edge graph (R3)."""
+    edges = edges_project(sf_dir)
+    return edges.groupby("src").aggregate(Count(alias_name="outdeg"))
+
+
+def sinks(sf_dir: str) -> ray.data.Dataset:
+    """Dangling vertices (R4) via a true distributed anti-join: all vertices
+    minus those appearing as src."""
+    edges = edges_project(sf_dir).materialize()
+    verts = edges.select_columns(["dst"]).union(
+        edges.map_batches(
+            lambda t: pa.table({"dst": t.column("src")}), batch_format="pyarrow"
+        )
+    )
+    verts = (
+        verts.groupby("dst").aggregate(Count(alias_name="_c")).select_columns(["dst"])
+    )
+    srcs = (
+        edges.select_columns(["src"])
+        .groupby("src")
+        .aggregate(Count(alias_name="_c"))
+        .select_columns(["src"])
+    )
+    anti = verts.join(
+        srcs,
+        join_type="left_anti",
+        num_partitions=4,
+        on=("dst",),
+        right_on=("src",),
+    )
+    return anti.map_batches(
+        lambda t: pa.table({"vid": t.column("dst")}), batch_format="pyarrow"
+    )
+
+
+def _graph_arrays(sf_dir: str):
+    """Driver-side dense arrays of the small lineitem graph (used by the
+    superstep queries; the full engines are exercised by pagerank10)."""
+    edges = edges_project(sf_dir)
+    ids = G.vertex_ids(edges)
+    enc = G.encode_edges(edges, ids)
+    n = len(ids)
+    outdeg = G.dense_out_degrees(enc, n)
+    return edges, ids, enc, n, outdeg
+
+
+def pr_superstep1(sf_dir: str) -> ray.data.Dataset:
+    """One PageRank superstep from uniform init (SQL-checkable slice of R8):
+    rank1 = sink_sum + d * Σ_{u→v} rank0/outdeg(u), all vertices."""
+    from .pagerank import pagerank
+
+    edges, ids, enc, n, outdeg = _graph_arrays(sf_dir)
+    res = pagerank(enc, iterations=1)
+    rank = np.round(res.ranks, ROUND)
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "vid": pa.array(ids.astype(np.int64), type=pa.int64()),
+                "rank": pa.array(rank),
+            }
+        )
+    )
+
+
+def toprank_superstep(sf_dir: str) -> ray.data.Dataset:
+    """Top-10 vertices after one superstep (R12/R13), deterministic order:
+    (rank DESC, vid ASC) on the rounded rank."""
+    ranks = pr_superstep1(sf_dir)
+    return ranks.sort(["rank", "vid"], descending=[True, False]).limit(10)
+
+
+def ranksum_superstep(sf_dir: str) -> ray.data.Dataset:
+    """Σ rank after one superstep ≈ 1 (R11), rounded to 6 decimals."""
+    ranks = pr_superstep1(sf_dir)
+    total = ranks.sum("rank")
+    return ray.data.from_arrow(
+        pa.table({"ranksum": pa.array([round(total, 6)])})
+    )
+
+
+def pagerank10(sf_dir: str) -> ray.data.Dataset:
+    """Full 10-superstep PageRank on the lineitem graph (rows-only check;
+    exactness enforced by pytest against the sequential oracle)."""
+    from .pagerank import pagerank
+
+    edges, ids, enc, n, outdeg = _graph_arrays(sf_dir)
+    res = pagerank(enc, iterations=10)
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "vid": pa.array(ids.astype(np.int64), type=pa.int64()),
+                "rank": pa.array(np.round(res.ranks, ROUND)),
+            }
+        )
+    )
+
+
+def cc_labels(sf_dir: str) -> ray.data.Dataset:
+    """Connected components of the bipartite graph (rows-only; exactness by
+    pytest vs union-find oracle)."""
+    from .components import connected_components
+
+    cc, _ = connected_components(edges_project(sf_dir))
+    ids = sorted(cc)
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "vid": pa.array(ids, type=pa.int64()),
+                "label": pa.array([cc[i] for i in ids], type=pa.int64()),
+            }
+        )
+    )
+
+
+def triangles_tripartite(sf_dir: str) -> ray.data.Dataset:
+    """Triangle count over the order→part→supplier→order tripartite graph
+    (N6; SQL-checkable as a 3-way self-join)."""
+    from .triangles import triangle_count
+
+    def proj(batch: pa.Table) -> pa.Table:
+        o = batch.column("l_orderkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        p = (
+            batch.column("l_partkey").to_numpy(zero_copy_only=False).astype(np.int64)
+            + PART_OFFSET
+        )
+        s = (
+            batch.column("l_suppkey").to_numpy(zero_copy_only=False).astype(np.int64)
+            + SUPP_OFFSET
+        )
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate([o, p, s]), type=pa.int64()),
+                "dst": pa.array(np.concatenate([p, s, o]), type=pa.int64()),
+            }
+        )
+
+    edges = _li(sf_dir, ["l_orderkey", "l_partkey", "l_suppkey"]).map_batches(
+        proj, batch_format="pyarrow"
+    )
+    cnt = triangle_count(edges)
+    return ray.data.from_arrow(
+        pa.table({"n_triangles": pa.array([cnt], type=pa.int64())})
+    )
+
+
+# ---- documents / embeddings queries ------------------------------------
+
+
+def sha256_documents(sf_dir: str) -> ray.data.Dataset:
+    """Per-row sha256 of documents.text (the N2 invariant on this corpus)."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def f(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "text_sha256": sha256_column(batch.column("text")),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def dedup_exact(sf_dir: str) -> ray.data.Dataset:
+    """Exact dedup survivors: smallest doc_id per distinct text hash, with
+    the duplicate count (training-data op; hash-partitioned groupby)."""
+    hashed = sha256_documents(sf_dir)
+    return hashed.groupby("text_sha256").aggregate(
+        Min("doc_id", alias_name="doc_id"), Count(alias_name="dup_count")
+    )
+
+
+def token_count(sf_dir: str) -> ray.data.Dataset:
+    """Whitespace token count per document (text-analysis op)."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def f(batch: pa.Table) -> pa.Table:
+        import re
+
+        texts = batch.column("text").to_pylist()
+        n = [len(re.split(r"\s+", t.strip())) if t is not None else None for t in texts]
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_tokens": pa.array(n, type=pa.int64()),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def doc_stats(sf_dir: str) -> ray.data.Dataset:
+    """Simple quality stats: characters and alphabetic characters per doc."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def f(batch: pa.Table) -> pa.Table:
+        text = batch.column("text")
+        n_chars = pc.utf8_length(text)
+        import re
+
+        alpha = pa.array(
+            [
+                len(re.sub(r"[^A-Za-z]", "", t)) if t is not None else None
+                for t in text.to_pylist()
+            ],
+            type=pa.int64(),
+        )
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_chars": pc.cast(n_chars, pa.int64()),
+                "n_alpha": alpha,
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def ann_topk(sf_dir: str) -> ray.data.Dataset:
+    """Brute-force cosine top-10 against the first embedding vector
+    (similarity-search baseline; numpy matmul per batch against the
+    broadcast query, then a tiny global sort)."""
+    from .annsearch import brute_force_topk
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    q_tbl = (
+        ray.data.read_parquet(
+            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+        )
+        .sort("vec_id")
+        .limit(1)
+        .take_all()
+    )
+    query = np.asarray(q_tbl[0]["embedding"], dtype=np.float64)
+    out = brute_force_topk(ds, query, k=10, round_decimals=6)
+    return out
+
+
+ORACLE_SQL: dict[str, str] = {
+    "edges_project": f"""
+        SELECT DISTINCT l_orderkey AS src,
+               l_partkey + {PART_OFFSET} AS dst
+        FROM lineitem
+    """,
+    "out_degree": f"""
+        WITH e AS (SELECT DISTINCT l_orderkey AS src,
+                        l_partkey + {PART_OFFSET} AS dst FROM lineitem)
+        SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src
+    """,
+    "sinks": f"""
+        WITH e AS (SELECT DISTINCT l_orderkey AS src,
+                        l_partkey + {PART_OFFSET} AS dst FROM lineitem),
+             v AS (SELECT src AS vid FROM e UNION SELECT dst FROM e)
+        SELECT vid FROM v WHERE vid NOT IN (SELECT src FROM e)
+    """,
+    "pr_superstep1": f"""
+        WITH e AS (SELECT DISTINCT l_orderkey AS src,
+                        l_partkey + {PART_OFFSET} AS dst FROM lineitem),
+             v AS (SELECT src AS vid FROM e UNION SELECT dst FROM e),
+             n AS (SELECT COUNT(*) AS n FROM v),
+             deg AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src),
+             sink_sum AS (
+                SELECT ((1.0 - 0.85) + 0.85 * (
+                    SELECT COUNT(*) FROM v
+                    WHERE vid NOT IN (SELECT src FROM e)
+                ) * (1.0 / n.n)) / n.n AS s
+                FROM n
+             ),
+             mass AS (
+                SELECT e.dst AS vid, SUM((1.0 / n.n) / deg.outdeg) AS m
+                FROM e JOIN deg ON e.src = deg.src CROSS JOIN n
+                GROUP BY e.dst
+             )
+        SELECT v.vid,
+               ROUND((SELECT s FROM sink_sum)
+                     + 0.85 * COALESCE(mass.m, 0.0), {ROUND}) AS rank
+        FROM v LEFT JOIN mass ON v.vid = mass.vid
+    """,
+    "toprank_superstep": None,  # filled below (reuses pr_superstep1 SQL)
+    "ranksum_superstep": None,
+    "pagerank10": None,  # rows-only (iterative; pytest-verified vs oracle)
+    "cc_labels": None,  # rows-only (iterative)
+    "triangles_tripartite": f"""
+        WITH e1 AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+             e2 AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
+             e3 AS (SELECT DISTINCT l_suppkey AS s, l_orderkey AS o FROM lineitem)
+        SELECT COUNT(*) AS n_triangles
+        FROM e1 JOIN e2 ON e1.p = e2.p JOIN e3 ON e2.s = e3.s AND e3.o = e1.o
+    """,
+    "sha256_documents": """
+        SELECT doc_id, sha256(text) AS text_sha256 FROM documents
+    """,
+    "dedup_exact": """
+        SELECT sha256(text) AS text_sha256,
+               MIN(doc_id) AS doc_id,
+               COUNT(*) AS dup_count
+        FROM documents GROUP BY sha256(text)
+    """,
+    "token_count": r"""
+        SELECT doc_id,
+               len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens
+        FROM documents
+    """,
+    "doc_stats": """
+        SELECT doc_id,
+               length(text) AS n_chars,
+               length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha
+        FROM documents
+    """,
+    "ann_topk": """
+        -- CAST to DOUBLE[]: duckdb otherwise evaluates in float32 while the
+        -- engine computes in float64, and rounded values can disagree
+        WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS e
+                   FROM embeddings ORDER BY vec_id LIMIT 1)
+        SELECT vec_id,
+               ROUND(CAST(list_cosine_similarity(
+                     CAST(embedding AS DOUBLE[]),
+                     (SELECT e FROM q)) AS DOUBLE), 6) AS cos_sim
+        FROM embeddings
+        ORDER BY cos_sim DESC, vec_id
+        LIMIT 10
+    """,
+}
+
+_PR1 = ORACLE_SQL["pr_superstep1"]
+ORACLE_SQL["toprank_superstep"] = (
+    f"SELECT * FROM ({_PR1}) ORDER BY rank DESC, vid LIMIT 10"
+)
+ORACLE_SQL["ranksum_superstep"] = (
+    f"SELECT ROUND(SUM(rank), 6) AS ranksum FROM ({_PR1})"
+)
+
+QUERIES = {
+    "edges_project": edges_project,
+    "out_degree": out_degree,
+    "sinks": sinks,
+    "pr_superstep1": pr_superstep1,
+    "toprank_superstep": toprank_superstep,
+    "ranksum_superstep": ranksum_superstep,
+    "pagerank10": pagerank10,
+    "cc_labels": cc_labels,
+    "triangles_tripartite": triangles_tripartite,
+    "sha256_documents": sha256_documents,
+    "dedup_exact": dedup_exact,
+    "token_count": token_count,
+    "doc_stats": doc_stats,
+    "ann_topk": ann_topk,
+}
