@@ -89,10 +89,14 @@ def repo_set(corpus: ray.data.Dataset):
 def extract_edges(
     corpus: ray.data.Dataset,
     repo_set_ref=None,
-    concurrency: int | tuple = 4,
+    concurrency: int | tuple | None = None,
     dedup: bool = True,
 ) -> ray.data.Dataset:
     """Corpus → deduped string edge Dataset (src_repo, dst_repo)."""
+    from .util import default_concurrency
+
+    if concurrency is None:
+        concurrency = default_concurrency()
     edges = corpus.map_batches(
         ExtractEdges,
         fn_constructor_args=(repo_set_ref,),
@@ -107,7 +111,7 @@ def extract_edges(
     return edges
 
 
-def encoded_corpus_graph(corpus: ray.data.Dataset, concurrency: int | tuple = 4):
+def encoded_corpus_graph(corpus: ray.data.Dataset, concurrency: int | tuple | None = None):
     """Full N3 build: (edges dense Dataset, ids: sorted np array of repo
     names). Downstream engines consume the dense (src, dst) edges."""
     from . import graph as G

@@ -1,0 +1,171 @@
+"""Multimodal column plumbing: image/audio/video as opaque ``binary``
+columns with typed metadata, processed by actor-pool ``map_batches`` stages.
+
+The decode kernels themselves are STUBBED (this container ships no
+image/audio libraries): ``decode_backend="real"`` raises
+``NotImplementedError`` at the exact call site where PIL/libav would be
+invoked, while the default ``"fake"`` backend produces a deterministic
+decode derived from the payload's sha256 — so the Ray-side plumbing
+(schemas, batch sizing for large binary rows, actor signatures, output
+layout) is real and tested end-to-end.
+
+Large-binary guidance encoded here: small ``batch_size`` (payloads are
+wide rows), ``batch_format="pyarrow"`` throughout (binary columns do not
+round-trip pandas cleanly), one actor pool per stage sized by
+``concurrency × num_cpus``.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+MEDIA_SCHEMA = pa.schema(
+    [
+        ("media_id", pa.int64()),
+        ("kind", pa.string()),  # "image" | "audio" | "video"
+        ("mime", pa.string()),
+        ("payload", pa.binary()),
+        ("meta_width", pa.int32()),
+        ("meta_height", pa.int32()),
+        ("meta_duration_ms", pa.int32()),
+    ]
+)
+
+
+def synthetic_media_table(n: int = 64, seed: int = 42) -> pa.Table:
+    """Deterministic fake media corpus (binary payloads from a seeded RNG)."""
+    rng = np.random.default_rng(seed)
+    kinds = ["image", "audio", "video"]
+    rows = {k.name: [] for k in MEDIA_SCHEMA}
+    for i in range(n):
+        kind = kinds[i % 3]
+        payload = rng.bytes(256 + int(rng.integers(0, 512)))
+        rows["media_id"].append(i)
+        rows["kind"].append(kind)
+        rows["mime"].append(
+            {"image": "image/png", "audio": "audio/wav", "video": "video/mp4"}[kind]
+        )
+        rows["payload"].append(payload)
+        rows["meta_width"].append(int(rng.integers(64, 1920)) if kind != "audio" else 0)
+        rows["meta_height"].append(int(rng.integers(64, 1080)) if kind != "audio" else 0)
+        rows["meta_duration_ms"].append(
+            int(rng.integers(1000, 60000)) if kind != "image" else 0
+        )
+    return pa.Table.from_pydict(rows, schema=MEDIA_SCHEMA)
+
+
+def _fake_features(payload: bytes, dim: int) -> np.ndarray:
+    """Deterministic pseudo-decode: features seeded from sha256(payload)."""
+    seed = int.from_bytes(hashlib.sha256(payload).digest()[:8], "little")
+    return np.random.default_rng(seed).standard_normal(dim)
+
+
+class DecodeAndFeaturize:
+    """Actor-pool stage: payload → fixed-dim feature vector + basic props.
+
+    ``__init__`` is where a real backend would load models/codecs once per
+    actor; ``__call__`` handles one Arrow batch of binary rows.
+    """
+
+    def __init__(self, feature_dim: int = 16, decode_backend: str = "fake"):
+        self.dim = feature_dim
+        self.backend = decode_backend
+        self.init_count = 1  # observable by tests: init ran once per actor
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch.column("payload").to_pylist()
+        if self.backend == "real":
+            # real decode would be: PIL.Image.open(io.BytesIO(p)) / libav
+            raise NotImplementedError(
+                "real image/audio decode backend unavailable in this environment"
+            )
+        feats = np.stack([_fake_features(p, self.dim) for p in payloads]) if payloads else np.zeros((0, self.dim))
+        sizes = np.array([len(p) for p in payloads], dtype=np.int64)
+        return pa.table(
+            {
+                "media_id": batch.column("media_id"),
+                "kind": batch.column("kind"),
+                "payload_bytes": pa.array(sizes),
+                "features": pa.array(list(feats), type=pa.list_(pa.float64())),
+            }
+        )
+
+
+class Resize:
+    """Actor-pool stage stub: image resize (plumbing only — emits target
+    dims and passes the payload through; a real backend replaces the body)."""
+
+    def __init__(self, width: int = 224, height: int = 224,
+                 decode_backend: str = "fake"):
+        self.w, self.h = width, height
+        self.backend = decode_backend
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.backend == "real":
+            raise NotImplementedError("real resize backend unavailable")
+        n = len(batch)
+        return (
+            batch.set_column(
+                batch.schema.get_field_index("meta_width"),
+                "meta_width",
+                pa.array(np.full(n, self.w, dtype=np.int32), type=pa.int32()),
+            )
+            .set_column(
+                batch.schema.get_field_index("meta_height"),
+                "meta_height",
+                pa.array(np.full(n, self.h, dtype=np.int32), type=pa.int32()),
+            )
+        )
+
+
+class FrameSample:
+    """Actor-pool stage stub: sample K 'frames' per video row → one output
+    row per frame (flat_map shape), deterministic from the payload hash."""
+
+    def __init__(self, frames_per_video: int = 4, decode_backend: str = "fake"):
+        self.k = frames_per_video
+        self.backend = decode_backend
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.backend == "real":
+            raise NotImplementedError("real frame extraction unavailable")
+        ids, frame_no, ts = [], [], []
+        for mid, kind, dur in zip(
+            batch.column("media_id").to_pylist(),
+            batch.column("kind").to_pylist(),
+            batch.column("meta_duration_ms").to_pylist(),
+        ):
+            if kind != "video":
+                continue
+            for f in range(self.k):
+                ids.append(mid)
+                frame_no.append(f)
+                ts.append(int(dur * (f + 0.5) / self.k))
+        return pa.table(
+            {
+                "media_id": pa.array(ids, type=pa.int64()),
+                "frame_no": pa.array(frame_no, type=pa.int32()),
+                "ts_ms": pa.array(ts, type=pa.int32()),
+            }
+        )
+
+
+def featurize(
+    ds: ray.data.Dataset,
+    feature_dim: int = 16,
+    concurrency: int | tuple = 2,
+    batch_size: int = 16,
+) -> ray.data.Dataset:
+    """Media dataset → features. Small batch_size on purpose: binary rows
+    are wide; batch × concurrency must fit worker heaps."""
+    return ds.map_batches(
+        DecodeAndFeaturize,
+        fn_constructor_kwargs=dict(feature_dim=feature_dim),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )

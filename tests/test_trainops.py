@@ -1,0 +1,170 @@
+"""Training-data operators: dedup suite, text analysis, multimodal plumbing."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data
+
+from engine import dedup, multimodal, textstats
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog and then runs far away "
+    "into the deep green forest while the sun sets slowly behind hills "
+)
+
+
+def _docs_table():
+    """20 distinct docs + planted near-dups of doc 0 and an exact dup."""
+    rng = np.random.default_rng(42)
+    words = BASE.split()
+    texts, ids = [], []
+    for i in range(20):
+        w = list(rng.permutation(words)) + [f"unique{i}word{j}" for j in range(6)]
+        texts.append(" ".join(w))
+        ids.append(i)
+    # near-dup of doc 0: drop two words
+    texts.append(" ".join(texts[0].split()[:-2]))
+    ids.append(100)
+    # exact dup of doc 1
+    texts.append(texts[1])
+    ids.append(101)
+    return pa.table({"doc_id": pa.array(ids, type=pa.int64()), "text": pa.array(texts)})
+
+
+@pytest.fixture(scope="module")
+def docs_ds():
+    return ray.data.from_arrow(_docs_table()).repartition(3)
+
+
+def test_minhash_finds_planted_dups(docs_ds):
+    res = dedup.minhash_lsh_dedup(docs_ds, threshold=0.7)
+    clusters = res["clusters"]
+    assert clusters.get(100) == 0  # near-dup joined to doc 0
+    assert clusters.get(101) == 1  # exact dup joined to doc 1
+    # distinct docs unclustered
+    assert 5 not in clusters and 6 not in clusters
+
+
+def test_minhash_signature_stability():
+    h1 = dedup.MinHasher(seed=42)
+    h2 = dedup.MinHasher(seed=42)
+    s1, s2 = h1.signature(BASE), h2.signature(BASE)
+    np.testing.assert_array_equal(s1, s2)
+    assert not np.array_equal(s1, dedup.MinHasher(seed=7).signature(BASE))
+
+
+def test_jaccard_bounds():
+    assert dedup.jaccard(BASE, BASE) == 1.0
+    assert dedup.jaccard(BASE, "totally different words entirely") < 0.05
+
+
+def test_simhash_near_dups(docs_ds):
+    pairs = dedup.simhash_near_dups(docs_ds, max_hamming=6)
+    found = {(a, b) for a, b, _ in pairs}
+    assert (1, 101) in found  # exact dup: hamming 0
+    assert all(d == 0 for a, b, d in pairs if (a, b) == (1, 101))
+
+
+def test_embedding_near_dups():
+    rng = np.random.default_rng(42)
+    m = rng.standard_normal((50, 16))
+    m[30] = m[10] + rng.standard_normal(16) * 0.01  # planted near-dup
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(50), type=pa.int64()),
+            "embedding": pa.array([list(map(float, r)) for r in m],
+                                  type=pa.list_(pa.float64())),
+        }
+    )
+    ds = ray.data.from_arrow(tbl).repartition(4)
+    pairs = dedup.embedding_near_dups(ds, threshold=0.99)
+    assert any(a == 10 and b == 30 for a, b, _ in pairs)
+    # oracle: full numpy check
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    sims = mn @ mn.T
+    want = {(i, j) for i in range(50) for j in range(i + 1, 50) if sims[i, j] >= 0.99}
+    assert {(a, b) for a, b, _ in pairs} == want
+
+
+def test_textstats():
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2], type=pa.int64()),
+            "text": [
+                "the cat and the dog are in the house with a mouse",
+                "der hund und die katze sind nicht in dem haus",
+                "!!! ??? ,,, ...",
+            ],
+        }
+    )
+    out = textstats.analyze(ray.data.from_arrow(tbl), concurrency=1).to_pandas()
+    out = out.sort_values("doc_id").reset_index(drop=True)
+    assert out.loc[0, "lang_id"] == "en"
+    assert out.loc[1, "lang_id"] == "de"
+    assert out.loc[0, "n_words"] == 12
+    assert out.loc[0, "n_tokens_ws"] == 12
+    assert out.loc[2, "punct_ratio"] > 0.5
+    assert out.loc[0, "stopword_ratio"] > 0.4
+    assert 0.0 <= out.loc[2, "quality"] <= 1.0
+    # fingerprint: deterministic, order-sensitive
+    ta = textstats.TextAnalyzer()
+    assert ta.fingerprint("a b c") == ta.fingerprint("a b c")
+    assert ta.fingerprint("a b c") != ta.fingerprint("c b a")
+
+
+def test_multimodal_plumbing():
+    tbl = multimodal.synthetic_media_table(n=30)
+    ds = ray.data.from_arrow(tbl).repartition(2)
+    feats = multimodal.featurize(ds, feature_dim=8, concurrency=2, batch_size=8)
+    df = feats.to_pandas().sort_values("media_id").reset_index(drop=True)
+    assert len(df) == 30
+    assert all(len(f) == 8 for f in df["features"])
+    # deterministic: same payload → same features
+    again = multimodal.featurize(
+        ray.data.from_arrow(tbl).repartition(2), feature_dim=8, concurrency=2,
+        batch_size=8
+    ).to_pandas().sort_values("media_id").reset_index(drop=True)
+    np.testing.assert_allclose(
+        np.stack(df["features"].map(np.asarray)),
+        np.stack(again["features"].map(np.asarray)),
+    )
+
+
+def test_multimodal_real_backend_is_stubbed():
+    cls = multimodal.DecodeAndFeaturize(decode_backend="real")
+    with pytest.raises(NotImplementedError):
+        cls(multimodal.synthetic_media_table(n=2))
+
+
+def test_frame_sample():
+    tbl = multimodal.synthetic_media_table(n=9)
+    out = (
+        ray.data.from_arrow(tbl)
+        .map_batches(
+            multimodal.FrameSample,
+            fn_constructor_kwargs=dict(frames_per_video=4),
+            batch_format="pyarrow",
+            concurrency=1,
+        )
+        .to_pandas()
+    )
+    n_videos = sum(1 for k in tbl.column("kind").to_pylist() if k == "video")
+    assert len(out) == 4 * n_videos
+    assert set(out["frame_no"]) == {0, 1, 2, 3}
+
+
+def test_resize_stub():
+    tbl = multimodal.synthetic_media_table(n=6)
+    out = (
+        ray.data.from_arrow(tbl)
+        .map_batches(
+            multimodal.Resize,
+            fn_constructor_kwargs=dict(width=64, height=48),
+            batch_format="pyarrow",
+            concurrency=1,
+        )
+        .to_pandas()
+    )
+    assert (out["meta_width"] == 64).all()
+    assert (out["meta_height"] == 48).all()
+    assert out["payload"].map(len).gt(0).all()
