@@ -5,24 +5,31 @@ vertices); this module keeps ALL vertex and edge state sharded across
 long-lived Ray actors, so nothing is O(V) on any single process:
 
 - Shard ``s`` of ``P`` owns vertices ``{v : v % P == s}`` and the out-edges
-  whose src it owns (the actor-held analog of the reference's in-CSR
-  ``Graph4CL`` layout, ref: src/Graph4CL.cpp:16-46 — we use the out-CSR /
-  push direction because Ray's shuffle replaces the gather).
+  whose src it owns (the actor-held analog of the reference's CSR
+  ``Graph4CL`` layout, ref: src/Graph4CL.cpp:16-46 — out-CSR / push
+  direction, because the object-store exchange replaces the gather).
 - Ingest is push-based: ``map_batches`` tasks split each edge block by
   ``src % P`` and call ``ingest`` on the owning actors — the driver never
   sees an edge.
-- Each superstep: (1) tiny scalar collective for the dangling sum
-  (ref: src/Graph.cpp:135-140), (2) every actor bincount-combines its local
-  contributions by dst and ships one array per destination shard through
-  the object store (all-to-all of pre-combined partials), (3) every actor
-  applies ``new = sink_sum + d·mass`` to its owned slice and returns its
-  local L1 residual (ref update rule: src/Graph.cpp:142-155).
-- Driver traffic per superstep: 3·P small RPCs + P² object refs — no
-  vertex data.
+- The exchange topology is STATIC and shipped once: each shard's combined
+  destination-id slices (sorted, contiguous per target shard) go to their
+  receivers at setup; receivers precompute a permutation + segment
+  boundaries. Per superstep only the VALUE arrays move, and every combine
+  is ``np.add/minimum.reduceat`` over precomputed segments — no hashing,
+  no ``ufunc.at``, no re-serialized ids.
+- A superstep is exactly TWO actor waves: (1) emit — each actor combines
+  its local contributions per destination with one ``reduceat`` and ships
+  one contiguous value array per destination shard; (2) apply — each actor
+  merges its incoming slices (vector ``ray.get``), applies
+  ``new = sink_sum + d·mass`` (ref update rule: src/Graph.cpp:142-155,
+  sink_sum per src/Graph.cpp:135-140) and returns its local L1 residual
+  AND its new dangling-rank sum, which feeds the next superstep's
+  sink_sum with no extra collective. Driver traffic: 2·P RPCs + P² tiny
+  ObjectRefs — never vertex data.
 
-Connected components run on the same actors with a min-label combine
+Connected components run on the same actors with min-label combines
 (north-rule N4). Checkpoint/resume writes one parquet per shard per
-iteration (per-partition lineage, north-rule N7).
+iteration with per-partition lineage (north-rule N7).
 """
 
 from __future__ import annotations
@@ -58,8 +65,8 @@ class ShardActor:
         return len(src)
 
     def finalize(self, n_total: int) -> dict:
-        """Build the local CSR-ish layout; precompute the static combine and
-        routing structure so supersteps are pure numpy."""
+        """Build the local layout; precompute every static structure so a
+        superstep is pure vectorized numpy over contiguous arrays."""
         self.n_total = n_total
         self.n_owned = len(range(self.sid, n_total, self.P))
         src = (
@@ -69,34 +76,70 @@ class ShardActor:
             np.concatenate(self._dst_parts) if self._dst_parts else np.empty(0, np.int64)
         )
         self._src_parts = self._dst_parts = []
-        order = np.argsort(src, kind="stable")
-        src, dst = src[order], dst[order]
-        self.edge_src_local = src // self.P          # local index of src
-        self.edge_dst = dst
+        self.num_edges = len(dst)
         # out-degree of owned vertices (multigraph: duplicates count,
         # ref: src/Graph.cpp:92-97)
-        self.outdeg = np.bincount(self.edge_src_local, minlength=self.n_owned).astype(
-            np.int64
-        )
+        src_local = src // self.P
+        self.outdeg = np.bincount(src_local, minlength=self.n_owned).astype(np.int64)
         self.inv_outdeg = np.zeros(self.n_owned)
         nz = self.outdeg > 0
         self.inv_outdeg[nz] = 1.0 / self.outdeg[nz]
         self.is_sink = ~nz
-        # static per-shard combine: compact dst ids once
-        self.uniq_dst, self.dst_inv = np.unique(dst, return_inverse=True)
-        dshard = self.uniq_dst % self.P
-        self.route_order = np.argsort(dshard, kind="stable")
-        routed = dshard[self.route_order]
-        self.route_bounds = np.searchsorted(routed, np.arange(self.P + 1))
+
+        # destination compaction, pre-sorted by (dst % P, dst) so per-target
+        # slices are contiguous
+        key = (dst % self.P) * np.int64(n_total + 1) + dst
+        uniq_key, inv = np.unique(key, return_inverse=True)
+        self.uniq_dst = (uniq_key % np.int64(n_total + 1)).astype(np.int64)
+        uniq_shard = (uniq_key // np.int64(n_total + 1)).astype(np.int64)
+        self.route_bounds = np.searchsorted(uniq_shard, np.arange(self.P + 1))
+        # edge-level combine structure: edges reordered by compact dst idx
+        # once, so every per-superstep combine is a single reduceat
+        edge_order = np.argsort(inv, kind="stable")
+        sorted_inv = inv[edge_order]
+        self.edge_starts = np.searchsorted(sorted_inv, np.arange(len(self.uniq_dst)))
+        self.edge_src_local = src_local[edge_order]
+
         self.rank = np.full(self.n_owned, 1.0 / n_total) if n_total else np.empty(0)
         self.label = np.arange(self.sid, n_total, self.P, dtype=np.int64)
         self._incoming: list = []
+        self._in_ready = False
         return {
             "shard": self.sid,
             "owned": self.n_owned,
-            "edges": int(len(dst)),
+            "edges": int(self.num_edges),
             "sinks": int(self.is_sink.sum()),
         }
+
+    # ---- static exchange topology ---------------------------------------
+
+    def static_id_slices(self) -> list:
+        """One ObjectRef per target shard: the sorted dst ids this shard
+        will send values for (shipped once, cached by the receiver)."""
+        out = []
+        for t in range(self.P):
+            lo, hi = self.route_bounds[t], self.route_bounds[t + 1]
+            out.append(ray.put(self.uniq_dst[lo:hi].copy()))
+        return out
+
+    def set_sources(self, id_refs: list) -> None:
+        """Receive every source shard's static id slice for this target;
+        precompute the merge permutation + segment boundaries."""
+        slices = ray.get(list(id_refs))
+        self._src_sizes = [len(s) for s in slices]
+        if sum(self._src_sizes) == 0:
+            self.in_perm = np.empty(0, np.int64)
+            self.in_starts = np.empty(0, np.int64)
+            self.in_target = np.empty(0, np.int64)
+            self._in_ready = True
+            return
+        concat = np.concatenate(slices) // self.P  # local indices
+        self.in_perm = np.argsort(concat, kind="stable")
+        sorted_loc = concat[self.in_perm]
+        uniq_loc, starts = np.unique(sorted_loc, return_index=True)
+        self.in_starts = starts
+        self.in_target = uniq_loc
+        self._in_ready = True
 
     # ---- PageRank -------------------------------------------------------
 
@@ -107,57 +150,61 @@ class ShardActor:
         return float(self.rank[self.is_sink].sum())
 
     def emit_mass(self) -> list:
-        """Combine local contributions by dst, return one (dst, mass) pair
-        of arrays per destination shard (refs go through the object store)."""
+        """Combine local contributions per compact dst (one ``reduceat``
+        over the dst-sorted edge array), ship one contiguous slice per
+        destination shard."""
         w = self.rank * self.inv_outdeg
-        mass = np.bincount(
-            self.dst_inv, weights=w[self.edge_src_local], minlength=len(self.uniq_dst)
-        )
+        vals = w[self.edge_src_local]  # edges already in dst-sorted order
+        if len(vals):
+            mass = np.add.reduceat(vals, self.edge_starts)
+        else:
+            mass = np.empty(0, np.float64)
         out = []
         for t in range(self.P):
             lo, hi = self.route_bounds[t], self.route_bounds[t + 1]
-            sel = self.route_order[lo:hi]
-            # ray.put → the driver routes only tiny refs; payload moves
-            # shard-to-shard through the object store
-            out.append(ray.put((self.uniq_dst[sel], mass[sel])))
+            out.append(ray.put(mass[lo:hi]))
         return out
 
-    def receive(self, parts: list) -> None:
-        """Accept this shard's slice of every source shard's emission
-        (a list of ObjectRefs, resolved locally at apply time)."""
-        self._incoming.extend(parts)
+    def receive(self, refs: list) -> None:
+        """This shard's slice refs from every source shard, source order."""
+        self._incoming = refs
 
-    def apply_rank(self, sink_sum: float, d: float) -> float:
-        mass = np.zeros(self.n_owned)
-        for ref in self._incoming:
-            dst_ids, m = ray.get(ref)
-            np.add.at(mass, dst_ids // self.P, m)
-        self._incoming = []
-        new = sink_sum + d * mass
+    def apply_rank(self, refs: list, sink_sum: float, d: float) -> tuple:
+        """One wave: resolve incoming mass slices, apply the update, return
+        (local L1, dangling-rank sum of the NEW ranks) — the latter feeds
+        the next superstep's sink_sum without a separate collective."""
+        parts = [np.asarray(p) for p in ray.get(list(refs))]  # one vector get
+        mass_local = np.zeros(self.n_owned)
+        if parts and self.in_perm.size:
+            concat = np.concatenate(parts)
+            sums = np.add.reduceat(concat[self.in_perm], self.in_starts)
+            mass_local[self.in_target] = sums
+        new = sink_sum + d * mass_local
         l1 = float(np.abs(new - self.rank).sum())
         self.rank = new
-        return l1
+        return l1, float(new[self.is_sink].sum())
 
     # ---- Connected components (min-label) -------------------------------
 
     def emit_min_label(self) -> list:
-        """Per destination shard: (dst_ids, min incoming label per dst)."""
-        lbl = np.full(len(self.uniq_dst), np.iinfo(np.int64).max, dtype=np.int64)
-        np.minimum.at(lbl, self.dst_inv, self.label[self.edge_src_local])
+        vals = self.label[self.edge_src_local]  # already in dst-sorted order
+        if len(vals):
+            mins = np.minimum.reduceat(vals, self.edge_starts)
+        else:
+            mins = np.empty(0, np.int64)
         out = []
         for t in range(self.P):
             lo, hi = self.route_bounds[t], self.route_bounds[t + 1]
-            sel = self.route_order[lo:hi]
-            out.append(ray.put((self.uniq_dst[sel], lbl[sel])))
+            out.append(ray.put(mins[lo:hi]))
         return out
 
-    def apply_min_label(self) -> int:
+    def apply_min_label(self, refs: list) -> int:
+        parts = [np.asarray(p) for p in ray.get(list(refs))]
         new = self.label.copy()
-        for ref in self._incoming:
-            dst_ids, lbl = ray.get(ref)
-            loc = dst_ids // self.P
-            np.minimum.at(new, loc, lbl)
-        self._incoming = []
+        if parts and self.in_perm.size:
+            concat = np.concatenate(parts)
+            mins = np.minimum.reduceat(concat[self.in_perm], self.in_starts)
+            new[self.in_target] = np.minimum(new[self.in_target], mins)
         changed = int((new != self.label).sum())
         self.label = new
         return changed
@@ -178,7 +225,9 @@ class ShardActor:
         return {
             "part": self.sid,
             "rows": int(len(data)),
-            "content_hash": hashlib.sha256(np.ascontiguousarray(data).tobytes()).hexdigest()[:16],
+            "content_hash": hashlib.sha256(
+                np.ascontiguousarray(data).tobytes()
+            ).hexdigest()[:16],
         }
 
     def restore(self, root: str, it: int, what: str = "rank") -> None:
@@ -205,9 +254,7 @@ class BSPGraph:
         ``symmetric_copy``: also ingest reversed edges (for CC messages)."""
         self.P = num_shards
         self.n = n
-        self.actors = [
-            ShardActor.remote(s, num_shards) for s in range(num_shards)
-        ]
+        self.actors = [ShardActor.remote(s, num_shards) for s in range(num_shards)]
         actors, P = self.actors, num_shards
 
         def route(batch: pa.Table) -> pa.Table:
@@ -224,21 +271,28 @@ class BSPGraph:
             ray.get(refs)  # delivery barrier inside the task, not the driver
             return pa.table({"n": pa.array([len(src)], type=pa.int64())})
 
-        # drive ingestion; driver only sees per-block edge counts
         counts = edges_encoded.map_batches(route, batch_format="pyarrow")
         self.num_edges = int(
-            sum(b.column("n").to_numpy()[0] for b in counts.iter_batches(batch_format="pyarrow"))
+            sum(
+                b.column("n").to_numpy().sum()
+                for b in counts.iter_batches(batch_format="pyarrow")
+            )
         )
         self.shard_stats = ray.get([a.finalize.remote(n) for a in self.actors])
         self.num_sinks = sum(s["sinks"] for s in self.shard_stats)
+        # ship the static exchange topology once
+        id_slices = ray.get([a.static_id_slices.remote() for a in self.actors])
+        ray.get(
+            [
+                self.actors[t].set_sources.remote([id_slices[s][t] for s in range(P)])
+                for t in range(P)
+            ]
+        )
 
-    def _exchange(self, emit_method: str) -> None:
-        emitted = [getattr(a, emit_method).remote() for a in self.actors]
-        parts = ray.get(emitted)  # P lists of P (ids, values) pairs (small refs)
-        recv = []
-        for t, a in enumerate(self.actors):
-            recv.append(a.receive.remote([parts[s][t] for s in range(self.P)]))
-        ray.get(recv)
+    def _emit(self, emit_method: str) -> list:
+        """Emit wave; returns per-target lists of incoming refs."""
+        emitted = ray.get([getattr(a, emit_method).remote() for a in self.actors])
+        return [[emitted[s][t] for s in range(self.P)] for t in range(self.P)]
 
     def pagerank(
         self,
@@ -258,20 +312,25 @@ class BSPGraph:
             done = ckpt.completed_iterations(checkpoint_dir)
             if done:
                 start = done[-1]
-                ray.get(
-                    [a.restore.remote(checkpoint_dir, start) for a in self.actors]
-                )
+                ray.get([a.restore.remote(checkpoint_dir, start) for a in self.actors])
         metrics: list[dict] = []
         it = start
+        sink_total = sum(ray.get([a.sink_rank_sum.remote() for a in self.actors]))
         while True:
             if iterations is not None and it >= iterations:
                 break
             it += 1
             t0 = time.perf_counter()
-            sink_total = sum(ray.get([a.sink_rank_sum.remote() for a in self.actors]))
             sink_sum = ((1.0 - d) + d * sink_total) / self.n
-            self._exchange("emit_mass")
-            l1 = sum(ray.get([a.apply_rank.remote(sink_sum, d) for a in self.actors]))
+            incoming = self._emit("emit_mass")
+            results = ray.get(
+                [
+                    a.apply_rank.remote(incoming[t], sink_sum, d)
+                    for t, a in enumerate(self.actors)
+                ]
+            )
+            l1 = sum(r[0] for r in results)
+            sink_total = sum(r[1] for r in results)
             dt = time.perf_counter() - t0
             metrics.append(
                 {
@@ -297,16 +356,23 @@ class BSPGraph:
         with open(os.path.join(d, "_SUCCESS"), "w") as f:
             f.write("")
 
-    def connected_components(self, max_iters: int = 10_000) -> tuple[ray.data.Dataset, int]:
+    def connected_components(
+        self, max_iters: int = 10_000
+    ) -> tuple[ray.data.Dataset, int]:
         """Min-label propagation to fixpoint. Requires symmetric_copy=True.
         Labels are the minimum dense vid of each component (exact-match
         semantics, north-rule N4). Returns (labels Dataset, rounds)."""
         rounds = 0
         while rounds < max_iters:
             rounds += 1
-            self._exchange("emit_min_label")
+            incoming = self._emit("emit_min_label")
             changed = sum(
-                ray.get([a.apply_min_label.remote() for a in self.actors])
+                ray.get(
+                    [
+                        a.apply_min_label.remote(incoming[t])
+                        for t, a in enumerate(self.actors)
+                    ]
+                )
             )
             if changed == 0:
                 break

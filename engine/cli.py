@@ -1,0 +1,160 @@
+"""CLI driver — the ``ray job submit`` entrypoint (north-rule N10).
+
+    python -m engine.cli run --input <corpus_dir_or_snap_file> \
+        --algo pagerank|cc|lpa|triangles \
+        [--engine bsp|dataset] [--iterations K | --eps 1e-6] \
+        [--ckpt DIR] [--out DIR] [--shards P] [--top-k 10]
+
+On a real cluster the same command runs via
+``ray job submit --working-dir . -- python -m engine.cli run ...``;
+here it initializes a local session (this is the ONLY module, besides
+bench.py and tests, that owns ``ray.init``).
+
+Input autodetection: a ``.txt`` path is read as a SNAP edge list
+(multigraph semantics, ref: src/Graph.cpp:32-116); a directory or
+``.parquet`` path is read as the corpus table and goes through sha256 +
+edge extraction first (simple-graph semantics, SURVEY.md §7.6).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+
+def _build_edges(args):
+    import ray.data
+
+    from . import extract, ingest
+
+    if args.input.endswith(".txt"):
+        return ingest.read_snap(args.input), None
+    corpus = ingest.read_corpus(args.input)
+    corpus = ingest.with_sha256(corpus)
+    rref = extract.repo_set(corpus)
+    sedges = extract.extract_edges(corpus, repo_set_ref=rref)
+    import pyarrow as pa
+
+    return (
+        sedges.map_batches(
+            lambda t: pa.table(
+                {"src": t.column("src_repo"), "dst": t.column("dst_repo")}
+            ),
+            batch_format="pyarrow",
+        ),
+        corpus,
+    )
+
+
+def cmd_run(args) -> int:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=args.num_cpus,
+            include_dashboard=False,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    edges, _corpus = _build_edges(args)
+    t0 = time.perf_counter()
+    report: dict = {"algo": args.algo, "input": args.input}
+
+    if args.algo == "pagerank":
+        if args.engine == "bsp":
+            from .bsp import bsp_pagerank
+
+            res = bsp_pagerank(
+                edges,
+                iterations=args.iterations,
+                eps=args.eps,
+                num_shards=args.shards,
+                checkpoint_dir=args.ckpt,
+            )
+        else:
+            from .pagerank import pagerank
+
+            res = pagerank(
+                edges,
+                iterations=args.iterations,
+                eps=args.eps,
+                checkpoint_dir=args.ckpt,
+                salted=args.salted,
+            )
+        report.update(
+            iterations=res.iterations,
+            rank_sum=float(res.ranks.sum()),
+            metrics_last=res.metrics[-1] if res.metrics else {},
+            top=[
+                {"id": str(r["id"]), "rank": r["rank"]}
+                for r in res.top_k(args.top_k).to_pylist()
+            ],
+        )
+        if args.out:
+            import ray.data as rd
+
+            rd.from_arrow(res.as_table()).write_parquet(args.out)
+    elif args.algo == "cc":
+        from .components import connected_components
+
+        cc, rounds = connected_components(edges)
+        labels = sorted(set(cc.values()))
+        report.update(rounds=rounds, num_components=len(labels))
+        if args.out:
+            import ray.data as rd
+
+            from .components import components_dataset
+
+            components_dataset(cc).write_parquet(args.out)
+    elif args.algo == "lpa":
+        from .labelprop import label_propagation
+
+        labels = label_propagation(edges, iterations=args.iterations or 5)
+        report.update(num_communities=len(set(labels.values())))
+    elif args.algo == "triangles":
+        from .triangles import triangle_count
+
+        report.update(n_triangles=triangle_count(edges))
+    else:
+        print(f"unknown algo {args.algo}", file=sys.stderr)
+        return 2
+
+    report["wall_sec"] = round(time.perf_counter() - t0, 3)
+    print(json.dumps(report))
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="engine.cli")
+    sub = p.add_subparsers(dest="cmd", required=True)
+    r = sub.add_parser("run", help="run a graph algorithm over an input")
+    r.add_argument("--input", required=True)
+    r.add_argument("--algo", default="pagerank",
+                   choices=["pagerank", "cc", "lpa", "triangles"])
+    r.add_argument("--engine", default="bsp", choices=["bsp", "dataset"])
+    r.add_argument("--iterations", type=int, default=None)
+    r.add_argument("--eps", type=float, default=None)
+    r.add_argument("--ckpt", default=None)
+    r.add_argument("--out", default=None)
+    r.add_argument("--shards", type=int, default=8)
+    r.add_argument("--top-k", type=int, default=10)
+    r.add_argument("--salted", action="store_true")
+    r.add_argument("--num-cpus", type=int,
+                   default=int(os.environ.get("RAY_GRAFT_CPUS", "8")))
+    args = p.parse_args(argv)
+    if args.cmd == "run":
+        if args.algo == "pagerank" and args.iterations is None and args.eps is None:
+            args.eps = 1e-6
+        return cmd_run(args)
+    return 2
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -48,6 +48,25 @@ def _sort_block_by_dst(batch: pa.Table) -> pa.Table:
     return batch.take(pa.array(order))
 
 
+def _attach_inv_and_sort(enc, inv_ref, global_sort: bool):
+    """Adjacency build: attach 1/outdeg[src] and sort by dst.
+
+    ``global_sort=True`` range-partitions by dst (one Ray sort, once per
+    build): each block then holds a contiguous dst range, so per-superstep
+    combined partials total ≈ V rows instead of ≈ E — a much smaller
+    shuffle. Falls back to per-block sorting when disabled."""
+
+    def attach_inv(batch: pa.Table) -> pa.Table:
+        iv = ray.get(inv_ref)
+        src = batch.column("src").to_numpy(zero_copy_only=False)
+        return batch.append_column("inv_outdeg", pa.array(iv[src]))
+
+    ds = enc.map_batches(attach_inv, batch_format="pyarrow")
+    if global_sort:
+        return ds.sort("dst")
+    return ds.map_batches(_sort_block_by_dst, batch_format="pyarrow")
+
+
 @dataclass
 class PageRankResult:
     ids: np.ndarray          # original vertex ids, sorted (dictionary order)
@@ -76,7 +95,12 @@ class _PreparedGraph:
     """Build product: dictionary, dense degrees, sinks, materialized
     dst-sorted adjacency with per-edge 1/outdeg[src]."""
 
-    def __init__(self, edges: ray.data.Dataset, num_blocks: int | None = None):
+    def __init__(
+        self,
+        edges: ray.data.Dataset,
+        num_blocks: int | None = None,
+        global_sort: bool = True,
+    ):
         self.ids = G.vertex_ids(edges)
         self.n = len(self.ids)
         enc = G.encode_edges(edges, self.ids)
@@ -88,17 +112,7 @@ class _PreparedGraph:
         nz = self.outdeg > 0
         inv[nz] = 1.0 / self.outdeg[nz]
         inv_ref = ray.put(inv)
-
-        def attach_inv(batch: pa.Table) -> pa.Table:
-            iv = ray.get(inv_ref)
-            src = batch.column("src").to_numpy(zero_copy_only=False)
-            return batch.append_column("inv_outdeg", pa.array(iv[src]))
-
-        self.adj = (
-            enc.map_batches(attach_inv, batch_format="pyarrow")
-            .map_batches(_sort_block_by_dst, batch_format="pyarrow")
-            .materialize()
-        )
+        self.adj = _attach_inv_and_sort(enc, inv_ref, global_sort).materialize()
         self.num_edges = self.adj.count()
 
 
@@ -152,12 +166,18 @@ def pagerank(
     checkpoint_dir: str | None = None,
     checkpoint_every: int = 1,
     prepared: "_PreparedGraph | None" = None,
+    shuffle_aggregate: bool = False,
 ) -> PageRankResult:
     """Run PageRank over an edge Dataset (original ids, any dtype).
 
     Stop when ``iterations`` supersteps have run, or when the L1 residual
     drops below ``eps`` (whichever is given; both → first hit). Exactly one
     of the two must be set.
+
+    ``shuffle_aggregate=False`` skips the per-superstep
+    ``groupby("dst")`` (valid because the dense apply merges the few
+    block-boundary duplicate partials); keep it True to exercise the full
+    shuffle path or when the result must stay distributed.
     """
     if iterations is None and eps is None:
         raise ValueError("set iterations and/or eps")
@@ -200,8 +220,14 @@ def pagerank(
                 Sum("mass", alias_name="mass")
             )
             masses = phase1.groupby("dst").aggregate(Sum("mass", alias_name="mass"))
-        else:
+        elif shuffle_aggregate:
             masses = partials.groupby("dst").aggregate(Sum("mass", alias_name="mass"))
+        else:
+            # adj is globally dst-sorted → per-block partials are already
+            # per-dst-unique except at block boundaries; the dense
+            # scatter-add below merges those duplicates, so the groupby
+            # shuffle is redundant — one map stage per superstep
+            masses = partials
         new = np.full(n, sink_sum)
         for b in masses.iter_batches(batch_format="pyarrow", batch_size=1 << 20):
             dv = b.column("dst").to_numpy(zero_copy_only=False)
