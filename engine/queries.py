@@ -307,6 +307,134 @@ def ann_topk(sf_dir: str) -> ray.data.Dataset:
     return out
 
 
+def embedding_near_dup(sf_dir: str) -> ray.data.Dataset:
+    """Cosine near-duplicate pairs (a < b, cos >= 0.35) over the embeddings
+    table — SQL-checkable via a self-join (training-data dedup op)."""
+    from .dedup import embedding_near_dups
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    pairs = embedding_near_dups(ds, threshold=0.35)
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "a": pa.array([p[0] for p in pairs], type=pa.int64()),
+                "b": pa.array([p[1] for p in pairs], type=pa.int64()),
+                "cos_sim": pa.array(
+                    [round(p[2], 6) for p in pairs], type=pa.float64()
+                ),
+            }
+        )
+    )
+
+
+def lpa_labels(sf_dir: str) -> ray.data.Dataset:
+    """2 rounds of label propagation on the bipartite lineitem graph
+    (rows-only; exactness by pytest vs the sequential oracle)."""
+    from .labelprop import label_propagation
+
+    labels = label_propagation(edges_project(sf_dir), iterations=2)
+    ids = sorted(labels)
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "vid": pa.array(ids, type=pa.int64()),
+                "label": pa.array([labels[i] for i in ids], type=pa.int64()),
+            }
+        )
+    )
+
+
+def minhash_dedup(sf_dir: str) -> ray.data.Dataset:
+    """MinHash-LSH near-dup clusters over documents (rows-only; recall
+    tested in pytest against planted duplicates)."""
+    from .dedup import minhash_lsh_dedup
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    res = minhash_lsh_dedup(ds, threshold=0.8)
+    cl = res["clusters"]
+    ids = sorted(cl)
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "cluster": pa.array([cl[i] for i in ids], type=pa.int64()),
+            }
+        )
+    )
+
+
+def simhash_fingerprints(sf_dir: str) -> ray.data.Dataset:
+    """64-bit SimHash per document (rows-only; deterministic)."""
+    from .dedup import SimHasher
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    sh = ds.map_batches(SimHasher, batch_format="pyarrow", concurrency=2)
+    agg = sh.groupby("doc_id").aggregate(Min("simhash", alias_name="simhash"))
+    return agg
+
+
+def text_analysis(sf_dir: str) -> ray.data.Dataset:
+    """Language-ID + quality + token-count columns (rows-only for the
+    heuristic columns; n_chars/n_tokens_ws are covered by the SQL-checked
+    doc_stats/token_count queries)."""
+    from .textstats import analyze
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    out = analyze(ds)
+    return out.select_columns(
+        ["doc_id", "lang_id", "n_words", "n_tokens_bpeish", "quality"]
+    )
+
+
+def pr_superstep1_salted(sf_dir: str) -> ray.data.Dataset:
+    """One superstep through the salted two-phase aggregation path
+    (north-rule N9) — must equal pr_superstep1 exactly, and shares its SQL
+    oracle."""
+    from .pagerank import pagerank
+
+    edges, ids, enc, n, outdeg = _graph_arrays(sf_dir)
+    res = pagerank(enc, iterations=1, salted=True, heavy_indeg_threshold=8,
+                   shuffle_aggregate=True)
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "vid": pa.array(ids.astype(np.int64), type=pa.int64()),
+                "rank": pa.array(np.round(res.ranks, ROUND)),
+            }
+        )
+    )
+
+
+def pagerank10_bsp(sf_dir: str) -> ray.data.Dataset:
+    """Full 10-superstep PageRank on the shard-actor BSP engine — must be
+    bit-identical to the dataset engine (rows-only vs driver; exactness by
+    pytest)."""
+    from .bsp import BSPGraph
+
+    edges, ids, enc, n, outdeg = _graph_arrays(sf_dir)
+    g = BSPGraph(enc.materialize(), n=n, num_shards=4)
+    ds, _, _ = g.pagerank(iterations=10)
+    import pandas as _pd
+
+    df = ds.to_pandas().sort_values("vid").reset_index(drop=True)
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "vid": pa.array(ids.astype(np.int64), type=pa.int64()),
+                "rank": pa.array(np.round(df["rank"].to_numpy(), ROUND)),
+            }
+        )
+    )
+
+
 ORACLE_SQL: dict[str, str] = {
     "edges_project": f"""
         SELECT DISTINCT l_orderkey AS src,
@@ -378,6 +506,20 @@ ORACLE_SQL: dict[str, str] = {
                length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha
         FROM documents
     """,
+    "embedding_near_dup": """
+        SELECT e1.vec_id AS a, e2.vec_id AS b,
+               ROUND(CAST(list_cosine_similarity(
+                     CAST(e1.embedding AS DOUBLE[]),
+                     CAST(e2.embedding AS DOUBLE[])) AS DOUBLE), 6) AS cos_sim
+        FROM embeddings e1 JOIN embeddings e2 ON e1.vec_id < e2.vec_id
+        WHERE list_cosine_similarity(CAST(e1.embedding AS DOUBLE[]),
+                                     CAST(e2.embedding AS DOUBLE[])) >= 0.35
+    """,
+    "lpa_labels": None,
+    "minhash_dedup": None,
+    "simhash_fingerprints": None,
+    "text_analysis": None,
+    "pagerank10_bsp": None,
     "ann_topk": """
         -- CAST to DOUBLE[]: duckdb otherwise evaluates in float32 while the
         -- engine computes in float64, and rounded values can disagree
@@ -400,6 +542,7 @@ ORACLE_SQL["toprank_superstep"] = (
 ORACLE_SQL["ranksum_superstep"] = (
     f"SELECT ROUND(SUM(rank), 6) AS ranksum FROM ({_PR1})"
 )
+ORACLE_SQL["pr_superstep1_salted"] = _PR1  # same semantics, salted path
 
 QUERIES = {
     "edges_project": edges_project,
@@ -416,4 +559,11 @@ QUERIES = {
     "token_count": token_count,
     "doc_stats": doc_stats,
     "ann_topk": ann_topk,
+    "embedding_near_dup": embedding_near_dup,
+    "lpa_labels": lpa_labels,
+    "minhash_dedup": minhash_dedup,
+    "simhash_fingerprints": simhash_fingerprints,
+    "text_analysis": text_analysis,
+    "pr_superstep1_salted": pr_superstep1_salted,
+    "pagerank10_bsp": pagerank10_bsp,
 }

@@ -87,3 +87,57 @@ def test_query_matches_oracle(con, name):
 def test_rows_only_queries_run(name):
     df = _to_pandas(entrymod.queries()[name](SF_DIR))
     assert len(df) > 0
+
+
+def _lineitem_edges(sf_dir=SF_DIR):
+    import duckdb as _dd
+
+    con = _dd.connect()
+    rows = con.execute(
+        f"""SELECT DISTINCT l_orderkey AS src, l_partkey + 10000000 AS dst
+            FROM read_parquet('{sf_dir}/lineitem.parquet')"""
+    ).fetchall()
+    return [(int(a), int(b)) for a, b in rows]
+
+
+def test_pagerank10_matches_oracle():
+    """Rows-only driver check upgraded to exactness here: distributed
+    10-superstep ranks vs the sequential oracle (allclose 1e-9)."""
+    from engine import oracle
+
+    edges = _lineitem_edges()
+    want = oracle.pagerank_sync(edges, iterations=10)
+    df = _to_pandas(entrymod.queries()["pagerank10"](SF_DIR))
+    got = dict(zip(df["vid"], df["rank"]))
+    assert set(got) == set(want)
+    for v in want:
+        assert abs(got[v] - want[v]) < 1e-9, v
+
+
+def test_pagerank10_bsp_equals_dataset():
+    a = _to_pandas(entrymod.queries()["pagerank10"](SF_DIR)).sort_values("vid")
+    b = _to_pandas(entrymod.queries()["pagerank10_bsp"](SF_DIR)).sort_values("vid")
+    np.testing.assert_array_equal(a["vid"].to_numpy(), b["vid"].to_numpy())
+    np.testing.assert_allclose(
+        a["rank"].to_numpy(), b["rank"].to_numpy(), atol=1e-12
+    )
+
+
+def test_cc_labels_matches_oracle():
+    from engine import oracle
+
+    edges = _lineitem_edges()
+    want = oracle.connected_components(edges)
+    df = _to_pandas(entrymod.queries()["cc_labels"](SF_DIR))
+    got = dict(zip(df["vid"], df["label"]))
+    assert got == want
+
+
+def test_lpa_labels_matches_oracle():
+    from engine import oracle
+
+    edges = _lineitem_edges()
+    want = oracle.label_propagation(edges, iterations=2)
+    df = _to_pandas(entrymod.queries()["lpa_labels"](SF_DIR))
+    got = dict(zip(df["vid"], df["label"]))
+    assert got == want
