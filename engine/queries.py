@@ -435,6 +435,68 @@ def pagerank10_bsp(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def graph_stats(sf_dir: str) -> ray.data.Dataset:
+    """R17 stats report: vertex/edge/sink counts + max id of the lineitem
+    graph (SQL-checkable)."""
+    edges, ids, enc, n, outdeg = _graph_arrays(sf_dir)
+    n_edges = enc.count()
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "n_vertices": pa.array([n], type=pa.int64()),
+                "n_edges": pa.array([n_edges], type=pa.int64()),
+                "n_sinks": pa.array([int((outdeg == 0).sum())], type=pa.int64()),
+                "max_id": pa.array([int(ids.max())], type=pa.int64()),
+            }
+        )
+    )
+
+
+def prepleti_triple(sf_dir: str) -> ray.data.Dataset:
+    """R18: one prepleti tripling round over the distinct lineitem graph,
+    fully distributed (global max broadcast as a scalar; three shifted
+    copies emitted per batch; duplicates kept — multigraph semantics,
+    ref: prepleti.cpp:59-74). SQL-checkable as a UNION ALL."""
+    edges = edges_project(sf_dir).materialize()
+    mx = int(max(edges.max("src"), edges.max("dst")))
+
+    def triple(batch: pa.Table) -> pa.Table:
+        s = batch.column("src").to_numpy(zero_copy_only=False).astype(np.int64)
+        d = batch.column("dst").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "src": pa.array(
+                    np.concatenate([s, mx + d + 1, mx + s + 1]), type=pa.int64()
+                ),
+                "dst": pa.array(np.concatenate([d, s, mx + d]), type=pa.int64()),
+            }
+        )
+
+    return edges.map_batches(triple, batch_format="pyarrow")
+
+
+def events_tumbling(sf_dir: str) -> ray.data.Dataset:
+    """Tumbling 1-hour window aggregate over the events stream table
+    (count + value sum per user per window; SQL-checkable)."""
+    from .windows import tumbling_window
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"]
+    )
+    return tumbling_window(ev, window_sec=3600)
+
+
+def events_sessions(sf_dir: str) -> ray.data.Dataset:
+    """Session windows (30-min inactivity gap) over events (rows-only;
+    exactness by pytest vs a pandas oracle)."""
+    from .windows import session_windows
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    )
+    return session_windows(ev, gap_sec=1800)
+
+
 ORACLE_SQL: dict[str, str] = {
     "edges_project": f"""
         SELECT DISTINCT l_orderkey AS src,
@@ -516,6 +578,33 @@ ORACLE_SQL: dict[str, str] = {
                                      CAST(e2.embedding AS DOUBLE[])) >= 0.35
     """,
     "lpa_labels": None,
+    "events_sessions": None,
+    "graph_stats": f"""
+        WITH e AS (SELECT DISTINCT l_orderkey AS src,
+                        l_partkey + {PART_OFFSET} AS dst FROM lineitem),
+             v AS (SELECT src AS vid FROM e UNION SELECT dst FROM e)
+        SELECT (SELECT COUNT(*) FROM v) AS n_vertices,
+               (SELECT COUNT(*) FROM e) AS n_edges,
+               (SELECT COUNT(*) FROM v
+                WHERE vid NOT IN (SELECT src FROM e)) AS n_sinks,
+               (SELECT MAX(vid) FROM v) AS max_id
+    """,
+    "prepleti_triple": f"""
+        WITH e AS (SELECT DISTINCT l_orderkey AS src,
+                        l_partkey + {PART_OFFSET} AS dst FROM lineitem),
+             m AS (SELECT MAX(GREATEST(src, dst)) AS mx FROM e)
+        SELECT src, dst FROM e
+        UNION ALL SELECT m.mx + e.dst + 1 AS src, e.src AS dst FROM e, m
+        UNION ALL SELECT m.mx + e.src + 1 AS src, m.mx + e.dst AS dst FROM e, m
+    """,
+    "events_tumbling": """
+        SELECT user_id,
+               CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS window_start,
+               COUNT(*) AS n_events,
+               SUM(CAST(ROUND(value * 100) AS BIGINT)) AS sum_value_cents
+        FROM events
+        GROUP BY 1, 2
+    """,
     "minhash_dedup": None,
     "simhash_fingerprints": None,
     "text_analysis": None,
@@ -566,4 +655,8 @@ QUERIES = {
     "text_analysis": text_analysis,
     "pr_superstep1_salted": pr_superstep1_salted,
     "pagerank10_bsp": pagerank10_bsp,
+    "graph_stats": graph_stats,
+    "prepleti_triple": prepleti_triple,
+    "events_tumbling": events_tumbling,
+    "events_sessions": events_sessions,
 }

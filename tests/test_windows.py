@@ -1,0 +1,64 @@
+"""Stream-shaped operators: tumbling + session windows over events."""
+
+import duckdb
+import pandas as pd
+import ray.data
+
+from engine.windows import session_windows, tumbling_window
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_tumbling_matches_duckdb():
+    ev = ray.data.read_parquet(f"{SF}/events.parquet",
+                               columns=["user_id", "ts", "value"])
+    got = (
+        tumbling_window(ev, window_sec=3600)
+        .to_pandas()
+        .sort_values(["user_id", "window_start"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    want = con.execute(
+        f"""SELECT user_id,
+                   CAST(floor(epoch(ts)/3600)*3600 AS BIGINT) AS window_start,
+                   COUNT(*) AS n_events,
+                   SUM(CAST(ROUND(value*100) AS BIGINT)) AS sum_value_cents
+            FROM read_parquet('{SF}/events.parquet')
+            GROUP BY 1, 2
+            ORDER BY 1, 2"""
+    ).fetchdf()
+    pd.testing.assert_frame_equal(
+        got[want.columns.tolist()], want, check_dtype=False
+    )
+
+
+def _session_oracle(df: pd.DataFrame, gap_sec: int) -> set:
+    out = set()
+    for uid, g in df.groupby("user_id"):
+        secs = sorted(g["ts"].astype("int64") // 1_000_000)
+        start, prev, n = secs[0], secs[0], 1
+        for t in secs[1:]:
+            if t - prev > gap_sec:
+                out.add((uid, start, n, prev - start))
+                start, n = t, 0
+            n += 1
+            prev = t
+        out.add((uid, start, n, prev - start))
+    return out
+
+
+def test_sessions_match_oracle():
+    ev_df = ray.data.read_parquet(
+        f"{SF}/events.parquet", columns=["user_id", "ts"]
+    ).to_pandas()
+    want = _session_oracle(ev_df, gap_sec=1800)
+    got_df = session_windows(
+        ray.data.read_parquet(f"{SF}/events.parquet", columns=["user_id", "ts"]),
+        gap_sec=1800,
+    ).to_pandas()
+    got = {
+        (r.user_id, r.session_start, r.n_events, r.duration_sec)
+        for r in got_df.itertuples()
+    }
+    assert got == want
