@@ -305,6 +305,53 @@ def run_scaling() -> dict:
     }
 
 
+def run_tune() -> dict:
+    """R16 analog (the reference autotunes OpenCL work-group size 1..256 by
+    re-running full PageRank per probe, ref: src/main.cpp:35-93): probe BSP
+    shard counts on the scaled graph and report the fastest."""
+    import statistics
+
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    from engine import graph as G
+    from engine.bsp import BSPGraph
+
+    edges = _scaled_graph_edges().materialize()
+    ids = G.vertex_ids(edges)
+    enc = G.encode_edges(edges, ids).materialize()
+    probes = {}
+    for p in (4, 8, 16, 32):
+        bsp = BSPGraph(enc, n=len(ids), num_shards=p)
+        _, _, metrics = bsp.pagerank(iterations=5)
+        med = statistics.median(m["wall_sec"] for m in metrics)
+        probes[p] = {
+            "step_sec": round(med, 3),
+            "edges_per_sec": round(bsp.num_edges / med),
+        }
+        del bsp
+    best = min(probes, key=lambda p: probes[p]["step_sec"])
+    out = {
+        "metric": "bsp_shard_autotune",
+        "value": best,
+        "unit": "num_shards",
+        "probes": {str(k): v for k, v in probes.items()},
+        "num_cpus": NUM_CPUS,
+        "num_edges": int(enc.count()),
+    }
+    ray.shutdown()
+    return out
+
+
 if __name__ == "__main__":
     child = [a for a in sys.argv if a.startswith("--scaling-child")]
     if child:
@@ -312,5 +359,7 @@ if __name__ == "__main__":
         print(json.dumps(run_scaling_child(op)))
     elif "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
+    elif "--tune" in sys.argv:
+        print(json.dumps(run_tune()))
     else:
         print(json.dumps(run_bench(quick="--quick" in sys.argv)))

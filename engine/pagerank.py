@@ -258,3 +258,15 @@ def pagerank(
 def ranks_dataset(res: PageRankResult) -> ray.data.Dataset:
     """Result as a Ray Dataset (id, rank) for downstream pipelines."""
     return ray.data.from_arrow(res.as_table())
+
+
+def agreement(a: PageRankResult, b: PageRankResult, atol: float = 1e-9) -> float:
+    """R14 analog — fraction of vertices whose ranks agree within ``atol``,
+    compared BY VALUE per original id, never by sort position (the
+    reference's positional compare is nondeterministic under ties,
+    ref: src/main.cpp:16-33; SURVEY.md §7.6)."""
+    da, db = a.as_dict(), b.as_dict()
+    if set(da) != set(db):
+        return 0.0
+    hits = sum(1 for v in da if abs(da[v] - db[v]) <= atol)
+    return hits / max(1, len(da))

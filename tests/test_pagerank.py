@@ -63,3 +63,15 @@ def test_topk():
     assert top.column("id").to_pylist() == [4, 3, 5, 0]
     bot = res.top_k(1, ascending=True)
     assert abs(bot.column("rank").to_pylist()[0] - 2.079594e-02) < 1e-6
+
+
+def test_agreement_by_value():
+    from engine.bsp import bsp_pagerank
+    from engine.pagerank import agreement
+
+    path = FIXTURES["mini"]
+    a = pagerank(read_snap(path), iterations=10)
+    b = bsp_pagerank(read_snap(path), iterations=10, num_shards=3)
+    assert agreement(a, b) == 1.0
+    c = pagerank(read_snap(path), iterations=3)
+    assert agreement(a, c) < 1.0
