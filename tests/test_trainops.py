@@ -168,3 +168,30 @@ def test_resize_stub():
     assert (out["meta_width"] == 64).all()
     assert (out["meta_height"] == 48).all()
     assert out["payload"].map(len).gt(0).all()
+
+
+def test_ivf_topk_recall():
+    """IVF-bucketed ANN: probing all centroids must equal brute force
+    exactly; a partial probe keeps high recall on the planted neighbor."""
+    import ray.data
+    from engine.annsearch import brute_force_topk, ivf_build, ivf_topk
+
+    rng = np.random.default_rng(42)
+    m = rng.standard_normal((400, 32))
+    m[77] = m[5] * 0.9 + rng.standard_normal(32) * 0.05  # planted neighbor
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(400), type=pa.int64()),
+            "embedding": pa.array(
+                [list(map(float, r)) for r in m], type=pa.list_(pa.float64())
+            ),
+        }
+    )
+    ds = ray.data.from_arrow(tbl).repartition(4)
+    q = m[5]
+    brute = brute_force_topk(ds, q, k=5).to_pandas()
+    idx = ivf_build(ds, num_centroids=8, sample_rows=400)
+    full = ivf_topk(idx, q, k=5, nprobe=8).to_pandas()
+    assert full["vec_id"].tolist() == brute["vec_id"].tolist()
+    part = ivf_topk(idx, q, k=5, nprobe=3).to_pandas()
+    assert 5 in part["vec_id"].tolist() and 77 in part["vec_id"].tolist()
