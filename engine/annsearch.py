@@ -76,17 +76,16 @@ class IVFIndex:
         self.centroids = centroids  # (C, dim), L2-normalized
 
 
-def ivf_build(
+def _fit_centroids(
     ds: ray.data.Dataset,
     num_centroids: int = 16,
     sample_rows: int = 2048,
     id_col: str = "vec_id",
     col: str = "embedding",
-) -> IVFIndex:
-    """Deterministic centroid pick: first ``sample_rows`` by id, then
-    k-means++-free farthest-point seeding + 5 Lloyd steps on the sample
-    (all driver-side numpy on the small sample), then a distributed
-    assignment pass."""
+) -> np.ndarray:
+    """Deterministic centroids: first ``sample_rows`` by id, farthest-point
+    seeding + 5 Lloyd steps on the sample (driver-side numpy on the small
+    sample only). Returns an (C, dim) L2-normalized matrix."""
     sample = ds.sort(id_col).limit(sample_rows).take_all()
     m = np.array([np.asarray(r[col], dtype=np.float64) for r in sample])
     m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
@@ -102,6 +101,19 @@ def ivf_build(
             if len(sel):
                 v = sel.mean(axis=0)
                 cent[j] = v / max(np.linalg.norm(v), 1e-30)
+    return cent
+
+
+def ivf_build(
+    ds: ray.data.Dataset,
+    num_centroids: int = 16,
+    sample_rows: int = 2048,
+    id_col: str = "vec_id",
+    col: str = "embedding",
+) -> IVFIndex:
+    """Fit centroids on a deterministic sample, then a distributed
+    nearest-centroid assignment pass."""
+    cent = _fit_centroids(ds, num_centroids, sample_rows, id_col, col)
     cent_ref = ray.put(cent)
 
     def assign_bucket(batch: pa.Table) -> pa.Table:

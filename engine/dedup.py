@@ -5,8 +5,10 @@ embedding-cosine near-dup.
 All signature stages are ``map_batches`` ACTOR POOLS (permutation tables /
 regexes built once per actor); all hashing is process-stable (crc32 /
 blake2 — never Python ``hash``, which is salted per process). Candidate
-generation is a ``groupby`` on band/chunk keys (the LSH shuffle); exact
-verification touches only candidate pairs.
+generation is a ``groupby`` on band/chunk keys (the LSH shuffle); pair
+enumeration and exact verification run INSIDE ``groupby.map_groups`` on
+those keys — the driver never holds bucket membership, signatures, or
+candidate texts, only the final (small) verified-pair list.
 """
 
 from __future__ import annotations
@@ -16,12 +18,14 @@ import re
 import zlib
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import ray
 import ray.data
-from ray.data.aggregate import Count, Min
+from ray.data.aggregate import Count
 
 _MERSENNE = (1 << 61) - 1
+_M61 = np.uint64(_MERSENNE)
 
 
 def _stable_u64(s: str) -> int:
@@ -42,11 +46,22 @@ def _shingles(text: str, k: int = 3) -> np.ndarray:
     )
 
 
+def _mod_m61(x: np.ndarray) -> np.ndarray:
+    """Exact ``x mod (2^61-1)`` for uint64 ``x`` (any value < 2^64)."""
+    x = (x & _M61) + (x >> np.uint64(61))
+    return np.where(x >= _M61, x - _M61, x)
+
+
 class MinHasher:
     """Actor-pool stage: doc batch → (doc_id, band, band_hash) LSH rows.
 
     K permutations h_i(x) = (a_i·x + b_i) mod p (Mersenne p = 2^61-1),
     deterministic from ``seed``; B bands × R rows, K = B·R.
+
+    The mod-p multiply runs in pure uint64 numpy (no object-dtype bignums):
+    shingle hashes are crc32 (< 2^32), so with a split a = a_hi·2^32 + a_lo
+    every intermediate product fits 64 bits exactly, and ·2^32 mod p is a
+    61-bit rotate (2^61 ≡ 1 mod p). Bit-identical to exact big-int math.
     """
 
     def __init__(self, num_perm: int = 64, bands: int = 16, seed: int = 42,
@@ -55,6 +70,11 @@ class MinHasher:
         rng = np.random.default_rng(seed)
         self.a = rng.integers(1, _MERSENNE, size=num_perm, dtype=np.int64)
         self.b = rng.integers(0, _MERSENNE, size=num_perm, dtype=np.int64)
+        # uint64 split forms for the exact Mersenne mulmod
+        au = self.a.astype(np.uint64)
+        self._a_lo = (au & np.uint64(0xFFFFFFFF))[None, :]
+        self._a_hi = (au >> np.uint64(32))[None, :]
+        self._b_u = self.b.astype(np.uint64)[None, :]
         self.bands = bands
         self.rows = num_perm // bands
         self.k = shingle_k
@@ -62,10 +82,18 @@ class MinHasher:
         self.id_col = id_col
 
     def signature(self, text: str) -> np.ndarray:
-        sh = _shingles(text, self.k).astype(object)  # object → exact bigint mod
+        sh = _shingles(text, self.k)
         if len(sh) == 0:
             return np.zeros(len(self.a), dtype=np.int64)
-        m = (sh[:, None] * self.a[None, :] + self.b[None, :]) % _MERSENNE
+        x = sh.astype(np.uint64)[:, None]  # crc32 < 2^32
+        lo = _mod_m61(x * self._a_lo)      # < 2^32·2^32 = 2^64: exact
+        hi = _mod_m61(x * self._a_hi)      # < 2^32·2^29 = 2^61: exact
+        # hi·2^32 mod p: rotate left 32 within 61 bits (2^61 ≡ 1 mod p)
+        hi = _mod_m61(
+            ((hi & np.uint64((1 << 29) - 1)) << np.uint64(32))
+            + (hi >> np.uint64(29))
+        )
+        m = _mod_m61(_mod_m61(lo + hi) + self._b_u)
         return m.min(axis=0).astype(np.int64)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -99,112 +127,11 @@ def jaccard(text_a: str, text_b: str, k: int = 3) -> float:
     return inter / (len(sa) + len(sb) - inter)
 
 
-def minhash_lsh_dedup(
-    ds: ray.data.Dataset,
-    threshold: float = 0.8,
-    num_perm: int = 64,
-    bands: int = 16,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    concurrency: int | tuple | None = None,
-    max_bucket: int = 64,
-) -> dict:
-    """Full near-dup pipeline. Returns
-    ``{"pairs": [(a, b, jaccard)...], "clusters": {doc_id: root_id}}``
-    (root = smallest doc_id in the near-dup cluster).
-
-    Stages: minhash actor pool → LSH bucket groupby → candidate pairs →
-    exact Jaccard verify on the candidates only (second read pruned by a
-    broadcast candidate-id set) → union-find over surviving pairs (the
-    candidate graph is tiny relative to the corpus; a distributed min-label
-    pass — engine.components — is the fallback if it ever isn't).
-    Buckets larger than ``max_bucket`` are skipped as degenerate (identical
-    boilerplate); exact dedup should collapse those first.
-    """
-    from .util import default_concurrency
-
-    if concurrency is None:
-        concurrency = default_concurrency()
-    sig = ds.map_batches(
-        MinHasher,
-        fn_constructor_kwargs=dict(
-            num_perm=num_perm, bands=bands, text_col=text_col, id_col=id_col
-        ),
-        batch_format="pyarrow",
-        concurrency=concurrency,
-    )
-    buckets = sig.groupby(["band", "band_hash"]).aggregate(
-        Count(alias_name="sz"), Min("doc_id", alias_name="first_id")
-    )
-    # candidate buckets = size in [2, max_bucket]
-    cand = buckets.map_batches(
-        lambda t: t.filter(
-            pa.compute.and_(
-                pa.compute.greater(t.column("sz"), 1),
-                pa.compute.less_equal(t.column("sz"), max_bucket),
-            )
-        ),
-        batch_format="pyarrow",
-    ).materialize()
-    if cand.count() == 0:
-        return {"pairs": [], "clusters": {}}
-    # join signatures back to candidate buckets to enumerate pairs
-    cand_keys = set()
-    for b in cand.iter_batches(batch_format="pyarrow"):
-        for bnd, h in zip(b.column("band").to_pylist(), b.column("band_hash").to_pylist()):
-            cand_keys.add((bnd, h))
-    keys_ref = ray.put(cand_keys)
-
-    def in_cand(batch: pa.Table) -> pa.Table:
-        keys = ray.get(keys_ref)
-        bnd = batch.column("band").to_pylist()
-        h = batch.column("band_hash").to_pylist()
-        mask = pa.array([(x, y) in keys for x, y in zip(bnd, h)])
-        return batch.filter(mask)
-
-    members = sig.map_batches(in_cand, batch_format="pyarrow")
-    pairs: set[tuple[int, int]] = set()
-    from collections import defaultdict
-
-    bucket_members = defaultdict(list)
-    for b in members.iter_batches(batch_format="pyarrow"):
-        for i, bnd, h in zip(
-            b.column("doc_id").to_pylist(),
-            b.column("band").to_pylist(),
-            b.column("band_hash").to_pylist(),
-        ):
-            bucket_members[(bnd, h)].append(i)
-    for mem in bucket_members.values():
-        mem = sorted(set(mem))
-        for x in range(len(mem)):
-            for y in range(x + 1, len(mem)):
-                pairs.add((mem[x], mem[y]))
-    if not pairs:
-        return {"pairs": [], "clusters": {}}
-
-    # exact verify: fetch candidate texts only (pruned read)
-    cand_ids = sorted({i for p in pairs for i in p})
-    ids_ref = ray.put(np.asarray(cand_ids, dtype=np.int64))
-
-    def keep_cand(batch: pa.Table) -> pa.Table:
-        cids = ray.get(ids_ref)
-        idv = batch.column(id_col).to_numpy(zero_copy_only=False)
-        pos = np.searchsorted(cids, idv)
-        pos[pos >= len(cids)] = len(cids) - 1
-        return batch.filter(pa.array(cids[pos] == idv))
-
-    texts = {}
-    for b in ds.map_batches(keep_cand, batch_format="pyarrow").iter_batches(
-        batch_format="pyarrow"
-    ):
-        for i, t in zip(b.column(id_col).to_pylist(), b.column(text_col).to_pylist()):
-            texts[i] = t
-    verified = []
-    for a_, b_ in sorted(pairs):
-        j = jaccard(texts[a_] or "", texts[b_] or "")
-        if j >= threshold:
-            verified.append((a_, b_, j))
-
+def _union_find_clusters(verified: list[tuple[int, int, float]]) -> dict:
+    """Union-find over the (small) verified near-dup pair list; root =
+    smallest doc_id. The candidate GRAPH is tiny relative to the corpus; a
+    distributed min-label pass (engine.components) is the fallback if it
+    ever isn't."""
     parent: dict[int, int] = {}
 
     def find(x):
@@ -221,8 +148,189 @@ def minhash_lsh_dedup(
             if rb < ra:
                 ra, rb = rb, ra
             parent[rb] = ra
-    clusters = {x: find(x) for x in parent}
-    return {"pairs": verified, "clusters": clusters}
+    return {x: find(x) for x in parent}
+
+
+def minhash_lsh_dedup(
+    ds: ray.data.Dataset,
+    threshold: float = 0.8,
+    num_perm: int = 64,
+    bands: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    concurrency: int | tuple | None = None,
+    max_bucket: int = 64,
+) -> dict:
+    """Full near-dup pipeline. Returns
+    ``{"pairs": [(a, b, jaccard)...], "clusters": {doc_id: root_id}}``
+    (root = smallest doc_id in the near-dup cluster).
+
+    Stages (all distributed; driver holds only the candidate-bucket key
+    array, the candidate doc-id array — both small broadcast sides — and
+    the final verified pairs):
+
+      1. minhash actor pool → (doc_id, band, band_hash), materialized once.
+      2. LSH bucket sizes: ``groupby(band, band_hash).Count``; candidate
+         buckets have size in [2, max_bucket] (larger = degenerate
+         boilerplate; exact dedup should collapse those first).
+      3. candidate member rows: vectorized ``np.isin`` against the
+         broadcast candidate band_hash array (64-bit; cross-band hash
+         collisions are harmless — grouping below is exact).
+      4. texts attached to members via a reduce-side groupby(doc_id) join
+         against the candidate-pruned corpus slice (no driver text dict).
+      5. pair enumeration + exact Jaccard verify INSIDE
+         ``groupby(band, band_hash).map_groups`` — shingles computed once
+         per member per bucket, pairs emitted only at j ≥ threshold.
+      6. global pair dedup (same pair verified in several bands) + driver
+         union-find over the verified pairs.
+    """
+    from .util import default_concurrency
+
+    if concurrency is None:
+        concurrency = default_concurrency()
+    sig = ds.map_batches(
+        MinHasher,
+        fn_constructor_kwargs=dict(
+            num_perm=num_perm, bands=bands, text_col=text_col, id_col=id_col
+        ),
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    ).materialize()  # consumed twice below — never recompute the actor stage
+    buckets = sig.groupby(["band", "band_hash"]).aggregate(Count(alias_name="sz"))
+    cand = buckets.map_batches(
+        lambda t: t.filter(
+            pa.compute.and_(
+                pa.compute.greater(t.column("sz"), 1),
+                pa.compute.less_equal(t.column("sz"), max_bucket),
+            )
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+    if cand.count() == 0:
+        return {"pairs": [], "clusters": {}}
+
+    # broadcast small side #1: candidate bucket hashes (one int per bucket)
+    cand_hashes = np.sort(
+        np.concatenate(
+            [
+                b.column("band_hash").to_numpy(zero_copy_only=False)
+                for b in cand.iter_batches(batch_format="pyarrow")
+            ]
+        )
+    )
+    hashes_ref = ray.put(cand_hashes)
+
+    def in_cand(batch: pa.Table) -> pa.Table:
+        hs = ray.get(hashes_ref)
+        h = batch.column("band_hash").to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(hs, h)
+        pos[pos >= len(hs)] = len(hs) - 1
+        return batch.filter(pa.array(hs[pos] == h))
+
+    members = (
+        sig.map_batches(in_cand, batch_format="pyarrow")
+        .map_batches(
+            lambda t: t.append_column(
+                text_col, pa.array([None] * len(t), type=pa.string())
+            ),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+
+    # broadcast small side #2: candidate doc ids (prunes the corpus re-read)
+    cand_ids = np.unique(
+        np.concatenate(
+            [
+                b.column("doc_id").to_numpy(zero_copy_only=False)
+                for b in members.select_columns(["doc_id"]).iter_batches(
+                    batch_format="pyarrow"
+                )
+            ]
+        )
+    )
+    if len(cand_ids) == 0:
+        return {"pairs": [], "clusters": {}}
+    ids_ref = ray.put(cand_ids)
+
+    def docs_rows(batch: pa.Table) -> pa.Table:
+        cids = ray.get(ids_ref)
+        idv = batch.column(id_col).to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(cids, idv)
+        pos[pos >= len(cids)] = len(cids) - 1
+        kept = batch.filter(pa.array(cids[pos] == idv))
+        return pa.table(
+            {
+                "doc_id": pa.array(
+                    kept.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+                ),
+                "band": pa.array(np.full(len(kept), -1, dtype=np.int32)),
+                "band_hash": pa.array(np.zeros(len(kept), dtype=np.int64)),
+                text_col: kept.column(text_col).cast(pa.string()),
+            }
+        )
+
+    docs_cand = ds.map_batches(docs_rows, batch_format="pyarrow")
+
+    # reduce-side join: one group per candidate doc; the band=-1 row carries
+    # the text, member rows get it attached
+    def attach_text(g: pd.DataFrame) -> pd.DataFrame:
+        tmask = g["band"].to_numpy() == -1
+        if not tmask.any():
+            return g.iloc[0:0]
+        text = g.loc[tmask, text_col].iloc[0]
+        out = g.loc[~tmask].copy()
+        out[text_col] = text
+        return out
+
+    with_text = (
+        members.union(docs_cand).groupby("doc_id").map_groups(
+            attach_text, batch_format="pandas"
+        )
+    )
+
+    # per-bucket pair enumeration + exact Jaccard verify, fully distributed
+    def verify_bucket(g: pd.DataFrame, thr=threshold) -> pd.DataFrame:
+        empty = pd.DataFrame({"a": pd.Series(dtype="int64"),
+                              "b": pd.Series(dtype="int64"),
+                              "j": pd.Series(dtype="float64")})
+        if len(g) < 2 or len(g) > max_bucket:
+            return empty
+        g = g.sort_values("doc_id")
+        ids_ = g["doc_id"].to_numpy()
+        sh = [_shingles(t or "") for t in g[text_col].tolist()]
+        rows_a, rows_b, rows_j = [], [], []
+        for x in range(len(ids_)):
+            for y in range(x + 1, len(ids_)):
+                sa, sb = sh[x], sh[y]
+                if len(sa) == 0 and len(sb) == 0:
+                    j = 1.0
+                else:
+                    inter = len(np.intersect1d(sa, sb))
+                    j = inter / (len(sa) + len(sb) - inter)
+                if j >= thr:
+                    rows_a.append(int(ids_[x]))
+                    rows_b.append(int(ids_[y]))
+                    rows_j.append(j)
+        if not rows_a:
+            return empty
+        return pd.DataFrame({"a": rows_a, "b": rows_b, "j": rows_j})
+
+    pair_rows = with_text.groupby(["band", "band_hash"]).map_groups(
+        verify_bucket, batch_format="pandas"
+    )
+
+    # final collection: verified pairs only (the small output), deduped
+    seen: dict[tuple[int, int], float] = {}
+    for b in pair_rows.iter_batches(batch_format="pyarrow"):
+        for a_, b_, j in zip(
+            b.column("a").to_pylist(),
+            b.column("b").to_pylist(),
+            b.column("j").to_pylist(),
+        ):
+            seen[(a_, b_)] = j
+    verified = [(a_, b_, j) for (a_, b_), j in sorted(seen.items())]
+    return {"pairs": verified, "clusters": _union_find_clusters(verified)}
 
 
 class SimHasher:
@@ -277,6 +385,16 @@ class SimHasher:
         )
 
 
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized uint64 popcount (SWAR)."""
+    x = x - ((x >> np.uint64(1)) & np.uint64(0x5555555555555555))
+    x = (x & np.uint64(0x3333333333333333)) + (
+        (x >> np.uint64(2)) & np.uint64(0x3333333333333333)
+    )
+    x = (x + (x >> np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    return (x * np.uint64(0x0101010101010101)) >> np.uint64(56)
+
+
 def simhash_near_dups(
     ds: ray.data.Dataset,
     max_hamming: int = 3,
@@ -286,7 +404,12 @@ def simhash_near_dups(
     max_bucket: int = 64,
 ) -> list[tuple[int, int, int]]:
     """Near-dup pairs (a, b, hamming) with distance ≤ max_hamming, via
-    16-bit-chunk LSH buckets + exact Hamming verify in the bucket."""
+    16-bit-chunk LSH buckets + exact Hamming verify.
+
+    The signature rows already carry the full fingerprint, so pairing needs
+    no text join: each (chunk, chunk_key) bucket is paired inside
+    ``groupby.map_groups`` with a vectorized XOR-popcount — no driver-side
+    signature dict. Only the final (small) pair list reaches the driver."""
     from .util import default_concurrency
 
     if concurrency is None:
@@ -296,31 +419,39 @@ def simhash_near_dups(
         fn_constructor_kwargs=dict(text_col=text_col, id_col=id_col),
         batch_format="pyarrow",
         concurrency=concurrency,
-    ).materialize()
-    from collections import defaultdict
+    )
 
-    buckets = defaultdict(list)
-    for b in sig.iter_batches(batch_format="pyarrow"):
-        for i, c, k, fp in zip(
-            b.column("doc_id").to_pylist(),
-            b.column("chunk").to_pylist(),
-            b.column("chunk_key").to_pylist(),
-            b.column("simhash").to_pylist(),
-        ):
-            buckets[(c, k)].append((i, fp))
+    def bucket_pairs(g: pd.DataFrame, maxh=max_hamming) -> pd.DataFrame:
+        empty = pd.DataFrame({"a": pd.Series(dtype="int64"),
+                              "b": pd.Series(dtype="int64"),
+                              "hamming": pd.Series(dtype="int64")})
+        if len(g) < 2 or len(g) > max_bucket:
+            return empty
+        g = g.drop_duplicates("doc_id").sort_values("doc_id")
+        ids_ = g["doc_id"].to_numpy(dtype=np.int64)
+        fps = g["simhash"].to_numpy(dtype=np.uint64)
+        if len(ids_) < 2:
+            return empty
+        d = _popcount64(fps[:, None] ^ fps[None, :])
+        ai, bj = np.nonzero(np.triu(d <= maxh, k=1))
+        if len(ai) == 0:
+            return empty
+        return pd.DataFrame(
+            {"a": ids_[ai], "b": ids_[bj], "hamming": d[ai, bj].astype(np.int64)}
+        )
+
+    pair_rows = sig.groupby(["chunk", "chunk_key"]).map_groups(
+        bucket_pairs, batch_format="pandas"
+    )
     out = set()
-    for mem in buckets.values():
-        if len(mem) < 2 or len(mem) > max_bucket:
-            continue
-        mem = sorted(set(mem))
-        for x in range(len(mem)):
-            for y in range(x + 1, len(mem)):
-                (ia, fa), (ib, fb) = mem[x], mem[y]
-                if ia == ib:
-                    continue
-                d = int(bin(fa ^ fb).count("1"))
-                if d <= max_hamming:
-                    out.add((min(ia, ib), max(ia, ib), d))
+    for b in pair_rows.iter_batches(batch_format="pyarrow"):
+        out.update(
+            zip(
+                b.column("a").to_pylist(),
+                b.column("b").to_pylist(),
+                b.column("hamming").to_pylist(),
+            )
+        )
     return sorted(out)
 
 
@@ -330,10 +461,11 @@ def embedding_near_dups(
     id_col: str = "vec_id",
     col: str = "embedding",
 ) -> list[tuple[int, int, float]]:
-    """Cosine near-dup pairs via blocked matmul of each batch against the
-    broadcast full matrix (O(n²/B) per batch, distributed across batches).
-    Scale path: IVF/LSH-bucket first (engine.annsearch.ivf_build), then run
-    this within buckets."""
+    """EXACT cosine near-dup pairs via blocked matmul of each batch against
+    the broadcast full matrix (O(n²/B) per batch, distributed across
+    batches; the broadcast side is O(n·dim) — one object-store copy per
+    node, viable to ~1e7×768 f64). The scale path beyond that is
+    ``embedding_near_dups_ivf`` (bucketed, no full broadcast)."""
     from .annsearch import _batch_matrix
 
     rows = []
@@ -374,3 +506,81 @@ def embedding_near_dups(
             )
         )
     return sorted(out)
+
+
+def embedding_near_dups_ivf(
+    ds: ray.data.Dataset,
+    threshold: float = 0.95,
+    num_centroids: int = 16,
+    assign_top: int = 2,
+    id_col: str = "vec_id",
+    col: str = "embedding",
+) -> list[tuple[int, int, float]]:
+    """Bucketed cosine near-dup — the 100-TB path: no full-matrix broadcast.
+
+    Composes the IVF build (engine.annsearch centroids) with per-bucket
+    all-pairs: each vector is assigned to its ``assign_top`` nearest
+    centroids (multi-probe insertion), then pairs are enumerated inside
+    ``groupby("bucket").map_groups`` with one matmul per bucket. A pair is
+    found iff the two vectors share ≥1 bucket — near-identical vectors
+    (cos ≥ 0.95) share their top centroid with high probability; raise
+    ``assign_top`` for recall (assign_top == num_centroids is exhaustive
+    and equals the brute-force output — the pytest equivalence anchor)."""
+    from .annsearch import _batch_matrix, _fit_centroids
+
+    cent = _fit_centroids(ds, num_centroids, id_col=id_col, col=col)
+    top = min(assign_top, len(cent))
+    cent_ref = ray.put(cent)
+
+    def assign_multi(batch: pa.Table) -> pa.Table:
+        cc = ray.get(cent_ref)
+        mm = _batch_matrix(batch, col)
+        nm = mm / np.maximum(np.linalg.norm(mm, axis=1, keepdims=True), 1e-30)
+        sims = nm @ cc.T
+        near = np.argsort(-sims, axis=1, kind="stable")[:, :top]
+        bid = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        n, dim = nm.shape
+        rep = np.repeat(np.arange(n), top)
+        return pa.table(
+            {
+                "bucket": pa.array(near.reshape(-1).astype(np.int32)),
+                id_col: pa.array(bid[rep]),
+                # normalized vector carried into the bucket (fixed-size list)
+                col: pa.FixedSizeListArray.from_arrays(
+                    pa.array(nm[rep].reshape(-1)), dim
+                ),
+            }
+        )
+
+    bucketed = ds.map_batches(assign_multi, batch_format="pyarrow")
+
+    def bucket_pairs(g: pd.DataFrame, thr=threshold) -> pd.DataFrame:
+        empty = pd.DataFrame({"a": pd.Series(dtype="int64"),
+                              "b": pd.Series(dtype="int64"),
+                              "cos_sim": pd.Series(dtype="float64")})
+        g = g.drop_duplicates(id_col)
+        if len(g) < 2:
+            return empty
+        ids_ = g[id_col].to_numpy(dtype=np.int64)
+        m = np.stack([np.asarray(v, dtype=np.float64) for v in g[col].tolist()])
+        sims = m @ m.T
+        ai, bj = np.nonzero(np.triu(sims >= thr, k=1))
+        if len(ai) == 0:
+            return empty
+        a_ids, b_ids = ids_[ai], ids_[bj]
+        swap = a_ids > b_ids
+        a_ids[swap], b_ids[swap] = b_ids[swap], a_ids[swap]
+        return pd.DataFrame({"a": a_ids, "b": b_ids, "cos_sim": sims[ai, bj]})
+
+    pair_rows = bucketed.groupby("bucket").map_groups(
+        bucket_pairs, batch_format="pandas"
+    )
+    seen: dict[tuple[int, int], float] = {}
+    for b in pair_rows.iter_batches(batch_format="pyarrow"):
+        for a_, b_, s in zip(
+            b.column("a").to_pylist(),
+            b.column("b").to_pylist(),
+            b.column("cos_sim").to_pylist(),
+        ):
+            seen[(a_, b_)] = s
+    return sorted((a_, b_, s) for (a_, b_), s in seen.items())

@@ -145,10 +145,20 @@ def _make_contrib_fn(rank_ref, heavy_ref=None, num_salts: int = 8):
             # salt heavy-hitter keys so no single reducer key explodes
             salt = np.zeros(len(out_dst), dtype=np.int32)
             hmask = np.isin(out_dst, heavy)
-            if hmask.any():
-                # deterministic per-batch salt: partials for the same heavy
-                # dst land in different sub-keys across batches
-                salt[hmask] = int(src[0]) % num_salts if len(src) else 0
+            if hmask.any() and len(src):
+                # deterministic per-(batch, heavy-key) salt: mix the key with
+                # a batch fingerprint so partials for the same heavy dst
+                # spread across sub-keys regardless of batch count/ordering
+                fp = np.uint64(
+                    (int(src[0]) * 0x9E3779B97F4A7C15 + len(src))
+                    & 0xFFFFFFFFFFFFFFFF
+                )
+                mixed = (
+                    out_dst[hmask].astype(np.uint64)
+                    * np.uint64(0xBF58476D1CE4E5B9)
+                    + fp
+                )
+                salt[hmask] = (mixed % np.uint64(num_salts)).astype(np.int32)
             cols["salt"] = pa.array(salt)
         return pa.table(cols)
 
@@ -232,7 +242,10 @@ def pagerank(
         for b in masses.iter_batches(batch_format="pyarrow", batch_size=1 << 20):
             dv = b.column("dst").to_numpy(zero_copy_only=False)
             mv = b.column("mass").to_numpy(zero_copy_only=False)
-            new[dv] += d * mv
+            # scatter-ADD (not fancy-index +=, which drops duplicate dst
+            # entries within one batch): partials for the same dst may meet
+            # here whenever a sorted block is split mid-key
+            np.add.at(new, dv, d * mv)
         l1 = float(np.abs(new - rank).sum())
         rank = new
         dt = time.perf_counter() - t0

@@ -329,6 +329,32 @@ def embedding_near_dup(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def embedding_near_dup_ivf(sf_dir: str) -> ray.data.Dataset:
+    """Cosine near-duplicate pairs through the IVF-BUCKETED scale path (no
+    full-matrix broadcast; per-bucket all-pairs inside groupby.map_groups).
+    Multi-probe assignment (top-4 of 16 centroids) — approximate, so
+    rows-only here; pytest proves full-probe ≡ brute force."""
+    from .dedup import embedding_near_dups_ivf
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    pairs = embedding_near_dups_ivf(
+        ds, threshold=0.35, num_centroids=16, assign_top=4
+    )
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "a": pa.array([p[0] for p in pairs], type=pa.int64()),
+                "b": pa.array([p[1] for p in pairs], type=pa.int64()),
+                "cos_sim": pa.array(
+                    [round(p[2], 6) for p in pairs], type=pa.float64()
+                ),
+            }
+        )
+    )
+
+
 def lpa_labels(sf_dir: str) -> ray.data.Dataset:
     """2 rounds of label propagation on the bipartite lineitem graph
     (rows-only; exactness by pytest vs the sequential oracle)."""
@@ -422,14 +448,15 @@ def pagerank10_bsp(sf_dir: str) -> ray.data.Dataset:
     edges, ids, enc, n, outdeg = _graph_arrays(sf_dir)
     g = BSPGraph(enc.materialize(), n=n, num_shards=4)
     ds, _, _ = g.pagerank(iterations=10)
-    import pandas as _pd
-
-    df = ds.to_pandas().sort_values("vid").reset_index(drop=True)
+    rank = np.empty(n)
+    for b in ds.iter_batches(batch_format="pyarrow", batch_size=1 << 20):
+        vid = b.column("vid").to_numpy(zero_copy_only=False).astype(np.int64)
+        rank[vid] = b.column("rank").to_numpy(zero_copy_only=False)
     return ray.data.from_arrow(
         pa.table(
             {
                 "vid": pa.array(ids.astype(np.int64), type=pa.int64()),
-                "rank": pa.array(np.round(df["rank"].to_numpy(), ROUND)),
+                "rank": pa.array(np.round(rank, ROUND)),
             }
         )
     )
@@ -601,11 +628,15 @@ ORACLE_SQL: dict[str, str] = {
         SELECT user_id,
                CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS window_start,
                COUNT(*) AS n_events,
-               SUM(CAST(ROUND(value * 100) AS BIGINT)) AS sum_value_cents
+               -- CAST the SUM: duckdb SUM(BIGINT) yields HUGEINT/decimal128
+               -- while the engine emits int64 -> value-hash mismatch otherwise
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+                   AS sum_value_cents
         FROM events
         GROUP BY 1, 2
     """,
     "minhash_dedup": None,
+    "embedding_near_dup_ivf": None,
     "simhash_fingerprints": None,
     "text_analysis": None,
     "pagerank10_bsp": None,
@@ -649,6 +680,7 @@ QUERIES = {
     "doc_stats": doc_stats,
     "ann_topk": ann_topk,
     "embedding_near_dup": embedding_near_dup,
+    "embedding_near_dup_ivf": embedding_near_dup_ivf,
     "lpa_labels": lpa_labels,
     "minhash_dedup": minhash_dedup,
     "simhash_fingerprints": simhash_fingerprints,

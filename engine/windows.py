@@ -41,8 +41,15 @@ def tumbling_window(
             pc.floor(pc.divide(pc.cast(epoch, pa.float64()), window_sec)),
             float(window_sec),
         )
+        # round_mode matches duckdb ROUND (half away from zero — arrow calls
+        # it half_towards_infinity); arrow's default half-to-even would
+        # diverge on exact .5-cent values
         cents = pc.cast(
-            pc.round(pc.multiply(batch.column(value_col), 100.0)), pa.int64()
+            pc.round(
+                pc.multiply(batch.column(value_col), 100.0),
+                round_mode="half_towards_infinity",
+            ),
+            pa.int64(),
         )
         return pa.table(
             {

@@ -57,6 +57,33 @@ def test_pagerank_salted_equals_unsalted_star():
     np.testing.assert_allclose(plain.ranks, salted.ranks, atol=1e-12)
 
 
+def test_salt_spreads_across_batches():
+    """The per-batch salt must spread one heavy key's partials over >1
+    sub-key across batches (a constant salt would re-concentrate the skew
+    on a single reducer)."""
+    import pyarrow as pa
+    import ray
+
+    from engine.pagerank import _make_contrib_fn
+
+    rank_ref = ray.put(np.full(100, 0.01))
+    heavy_ref = ray.put(np.array([0], dtype=np.uint64))
+    contrib = _make_contrib_fn(rank_ref, heavy_ref, num_salts=8)
+    salts = set()
+    for start in range(1, 90, 10):  # 9 batches, all pointing at dst 0
+        src = np.arange(start, start + 10, dtype=np.uint64)
+        batch = pa.table(
+            {
+                "src": pa.array(src, type=pa.uint64()),
+                "dst": pa.array(np.zeros(10, dtype=np.uint64), type=pa.uint64()),
+                "inv_outdeg": pa.array(np.ones(10)),
+            }
+        )
+        out = contrib(batch)
+        salts.update(out.column("salt").to_pylist())
+    assert len(salts) > 1
+
+
 def test_topk():
     res = pagerank(read_snap(FIXTURES["small"]), iterations=29)
     top = res.top_k(4)

@@ -86,6 +86,63 @@ def test_embedding_near_dups():
     assert {(a, b) for a, b, _ in pairs} == want
 
 
+def test_minhash_dedup_large_corpus():
+    """Planted-dup recall on a corpus ~15× the small fixture: the verify
+    stage is fully distributed (groupby.map_groups), so the only driver
+    state is the verified-pair list — this exercises that path at size."""
+    rng = np.random.default_rng(7)
+    words = BASE.split()
+    texts, ids = [], []
+    for i in range(300):
+        w = list(rng.permutation(words)) + [f"u{i}w{j}" for j in range(8)]
+        texts.append(" ".join(w))
+        ids.append(i)
+    planted = {}
+    for k in range(10):  # near-dup of doc k: drop last two words
+        texts.append(" ".join(texts[k].split()[:-2]))
+        ids.append(1000 + k)
+        planted[1000 + k] = k
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(ids, type=pa.int64()),
+                  "text": pa.array(texts)})
+    ).repartition(8)
+    res = dedup.minhash_lsh_dedup(ds, threshold=0.7)
+    for dup, orig in planted.items():
+        assert res["clusters"].get(dup) == orig, (dup, orig)
+    # distinct docs not clustered together
+    roots = {res["clusters"].get(i) for i in range(10, 20)}
+    assert roots == {None}
+
+
+def test_embedding_near_dups_ivf_matches_brute():
+    """assign_top == num_centroids is exhaustive (every pair shares every
+    bucket) and must equal the brute-force pair set; a 2-probe assignment
+    still finds the planted near-identical pair."""
+    rng = np.random.default_rng(42)
+    m = rng.standard_normal((120, 16))
+    m[30] = m[10] + rng.standard_normal(16) * 0.01
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(120), type=pa.int64()),
+            "embedding": pa.array([list(map(float, r)) for r in m],
+                                  type=pa.list_(pa.float64())),
+        }
+    )
+    ds = ray.data.from_arrow(tbl).repartition(4)
+    brute = dedup.embedding_near_dups(ds, threshold=0.9)
+    full = dedup.embedding_near_dups_ivf(
+        ds, threshold=0.9, num_centroids=6, assign_top=6
+    )
+    assert [(a, b, round(s, 9)) for a, b, s in full] == [
+        (a, b, round(s, 9)) for a, b, s in brute
+    ]
+    part = dedup.embedding_near_dups_ivf(
+        ds, threshold=0.9, num_centroids=6, assign_top=2
+    )
+    assert any(a == 10 and b == 30 for a, b, _ in part)
+    assert set((a, b) for a, b, _ in part) <= set((a, b) for a, b, _ in brute)
+
+
 def test_textstats():
     tbl = pa.table(
         {
