@@ -200,6 +200,12 @@ def run_bench(quick: bool = False) -> dict:
     eps_bsp = bsp.num_edges / _st.median(step_times)
     extra["pagerank_bsp_edges_per_sec_per_superstep"] = round(eps_bsp)
 
+    # ---- distributed join dictionary (the 10^12-file encode path) ----
+    t0 = time.perf_counter()
+    enc_j, _n_j = G.encode_edges_join(edges)
+    extra["encode_join_edges"] = int(enc_j.count())
+    queries["encode_edges_join"] = round(time.perf_counter() - t0, 3)
+
     if not quick:
         # ---- connected components (BSP) ------------------------------
         bsp_cc = BSPGraph(

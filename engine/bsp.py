@@ -99,6 +99,7 @@ class ShardActor:
         sorted_inv = inv[edge_order]
         self.edge_starts = np.searchsorted(sorted_inv, np.arange(len(self.uniq_dst)))
         self.edge_src_local = src_local[edge_order]
+        self.edge_dst_idx = sorted_inv  # per-edge compact dst index (sorted)
 
         self.rank = np.full(self.n_owned, 1.0 / n_total) if n_total else np.empty(0)
         self.label = np.arange(self.sid, n_total, self.P, dtype=np.int64)
@@ -209,6 +210,58 @@ class ShardActor:
         self.label = new
         return changed
 
+    # ---- Label propagation (per-shard label-count combine) --------------
+
+    def emit_label_counts(self) -> list:
+        """LPA emit: count (dst, label) pairs locally (the per-shard
+        combine), ship one (dst_ids, labels, counts) triple per target
+        shard — message volume is distinct (dst, label) pairs, not edges."""
+        vals = self.label[self.edge_src_local]
+        base = np.int64(self.n_total + 1)
+        key = self.edge_dst_idx.astype(np.int64) * base + vals
+        uk, cnt = np.unique(key, return_counts=True)
+        dst_idx = (uk // base).astype(np.int64)
+        lbl = (uk % base).astype(np.int64)
+        gdst = self.uniq_dst[dst_idx]
+        pos = np.searchsorted(dst_idx, self.route_bounds)
+        out = []
+        for t in range(self.P):
+            lo, hi = pos[t], pos[t + 1]
+            out.append(ray.put((gdst[lo:hi], lbl[lo:hi], cnt[lo:hi].astype(np.int64))))
+        return out
+
+    def apply_mode_label(self, refs: list) -> int:
+        """LPA apply: merge incoming (dst, label, count) triples, take the
+        most frequent label per owned vertex (tie → smallest label).
+        Vertices with no incoming keep their label."""
+        parts = ray.get(list(refs))
+        parts = [p for p in parts if len(p[0])]
+        if not parts:
+            return 0
+        gd = np.concatenate([p[0] for p in parts])
+        lb = np.concatenate([p[1] for p in parts])
+        ct = np.concatenate([p[2] for p in parts])
+        base = np.int64(self.n_total + 1)
+        key = (gd // self.P) * base + lb
+        order = np.argsort(key, kind="stable")
+        key_s, ct_s = key[order], ct[order]
+        starts = np.concatenate(([0], np.flatnonzero(np.diff(key_s)) + 1))
+        tot = np.add.reduceat(ct_s, starts)
+        ukey = key_s[starts]
+        uloc = (ukey // base).astype(np.int64)
+        ulbl = (ukey % base).astype(np.int64)
+        # per vertex: argmax count, tie-break smallest label (lexsort keys
+        # are last-is-primary)
+        order2 = np.lexsort((ulbl, -tot, uloc))
+        uloc_s = uloc[order2]
+        first = np.concatenate(([0], np.flatnonzero(np.diff(uloc_s)) + 1))
+        sel = order2[first]
+        new = self.label.copy()
+        new[uloc[sel]] = ulbl[sel]
+        changed = int((new != self.label).sum())
+        self.label = new
+        return changed
+
     # ---- state I/O ------------------------------------------------------
 
     def get_state(self, what: str = "rank") -> pa.Table:
@@ -216,10 +269,13 @@ class ShardActor:
         col = self.rank if what == "rank" else self.label
         return pa.table({"vid": pa.array(vid, type=pa.uint64()), what: pa.array(col)})
 
-    def checkpoint(self, root: str, it: int, what: str = "rank") -> dict:
-        os.makedirs(os.path.join(root, f"iter={it}", "ranks"), exist_ok=True)
+    def checkpoint_to(self, iter_dir: str, what: str = "rank") -> dict:
+        """Write this shard's state parquet into ``iter_dir`` (the driver
+        passes a tmp dir and renames it atomically once all shards and the
+        metadata are written)."""
+        os.makedirs(os.path.join(iter_dir, "ranks"), exist_ok=True)
         tbl = self.get_state(what)
-        fn = os.path.join(root, f"iter={it}", "ranks", f"shard-{self.sid:05d}.parquet")
+        fn = os.path.join(iter_dir, "ranks", f"shard-{self.sid:05d}.parquet")
         pq.write_table(tbl, fn)
         data = self.rank if what == "rank" else self.label
         return {
@@ -312,6 +368,22 @@ class BSPGraph:
             done = ckpt.completed_iterations(checkpoint_dir)
             if done:
                 start = done[-1]
+                meta_fn = os.path.join(
+                    checkpoint_dir, f"iter={start}", "metrics.json"
+                )
+                with open(meta_fn) as f:
+                    meta = json.load(f)
+                ck_p = meta.get("num_shards")
+                ck_n = meta.get("num_vertices")
+                if ck_p is not None and ck_p != self.P:
+                    raise ValueError(
+                        f"checkpoint written with num_shards={ck_p}, "
+                        f"cannot resume with num_shards={self.P}"
+                    )
+                if ck_n is not None and ck_n != self.n:
+                    raise ValueError(
+                        f"checkpoint holds {ck_n} vertices, graph has {self.n}"
+                    )
                 ray.get([a.restore.remote(checkpoint_dir, start) for a in self.actors])
         metrics: list[dict] = []
         it = start
@@ -349,12 +421,33 @@ class BSPGraph:
         return self.state_dataset("rank"), it, metrics
 
     def _checkpoint(self, root: str, it: int, metric: dict) -> None:
-        lineage = ray.get([a.checkpoint.remote(root, it) for a in self.actors])
+        """Atomic per-iteration checkpoint: shards write into a tmp dir,
+        the driver writes metadata (including the shard count and vertex
+        count that ``restore`` validates) and renames — stale files from a
+        previous run with a different P can never survive alongside a
+        fresh ``_SUCCESS``."""
+        import shutil
+
         d = os.path.join(root, f"iter={it}")
-        with open(os.path.join(d, "metrics.json"), "w") as f:
-            json.dump({"iteration": it, "metrics": metric, "partitions": lineage}, f)
-        with open(os.path.join(d, "_SUCCESS"), "w") as f:
+        tmp = d + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(d, ignore_errors=True)
+        os.makedirs(tmp, exist_ok=True)
+        lineage = ray.get([a.checkpoint_to.remote(tmp) for a in self.actors])
+        with open(os.path.join(tmp, "metrics.json"), "w") as f:
+            json.dump(
+                {
+                    "iteration": it,
+                    "num_shards": self.P,
+                    "num_vertices": self.n,
+                    "metrics": metric,
+                    "partitions": lineage,
+                },
+                f,
+            )
+        with open(os.path.join(tmp, "_SUCCESS"), "w") as f:
             f.write("")
+        os.replace(tmp, d)
 
     def connected_components(
         self, max_iters: int = 10_000
@@ -378,9 +471,53 @@ class BSPGraph:
                 break
         return self.state_dataset("label"), rounds
 
+    def label_propagation(self, iterations: int = 5) -> ray.data.Dataset:
+        """Synchronous LPA (north-rule N5) on the shard actors: per-shard
+        (dst, label)-count combine → exchange → per-vertex mode with
+        smallest-label tie-break. The graph must be ingested as the DEDUPED
+        symmetrized edge set (``graph.symmetrize``) — LPA counts are
+        multiplicity-sensitive, unlike the idempotent CC min."""
+        if self.n * (self.n + 1) >= 2**62:
+            raise ValueError("packed (dst,label) key overflow guard")
+        for _ in range(iterations):
+            incoming = self._emit("emit_label_counts")
+            ray.get(
+                [
+                    a.apply_mode_label.remote(incoming[t])
+                    for t, a in enumerate(self.actors)
+                ]
+            )
+        return self.state_dataset("label")
+
     def state_dataset(self, what: str = "rank") -> ray.data.Dataset:
         tables = ray.get([a.get_state.remote(what) for a in self.actors])
         return ray.data.from_arrow(tables)
+
+
+def bsp_pagerank_dataset(
+    edges: ray.data.Dataset,
+    iterations: int | None = None,
+    eps: float | None = None,
+    num_shards: int = 8,
+    d: float = DAMPING,
+    checkpoint_dir: str | None = None,
+) -> tuple[ray.data.Dataset, int, list[dict]]:
+    """Fully Dataset-native PageRank — NO O(V) driver state anywhere:
+    the vertex dictionary is distributed (``graph.vertices_dataset``),
+    encoding is two hash joins (``graph.encode_edges_join``), vertex state
+    lives on the BSP shards, and the result maps back to original ids with
+    one decode join. This is the 10^12-file path promised by the north
+    rule. Returns ((id, rank) Dataset, iterations, metrics)."""
+    from . import graph as G
+
+    verts, n = G.vertices_dataset(edges)
+    enc, _ = G.encode_edges_join(edges, vertices=verts)
+    g = BSPGraph(enc, n=n, num_shards=num_shards)
+    state, iters, metrics = g.pagerank(
+        iterations=iterations, eps=eps, d=d, checkpoint_dir=checkpoint_dir
+    )
+    decoded = G.decode_vids(state, verts).select_columns(["id", "rank"])
+    return decoded, iters, metrics
 
 
 def bsp_pagerank(
@@ -390,17 +527,29 @@ def bsp_pagerank(
     num_shards: int = 8,
     d: float = DAMPING,
     checkpoint_dir: str | None = None,
+    dictionary: str = "auto",
 ):
     """End-to-end PageRank on the shard-actor engine over original-id edges.
 
     Returns a ``PageRankResult`` (same shape as ``engine.pagerank``): ranks
-    aligned to the sorted original-id dictionary.
+    aligned to the sorted original-id dictionary. (This convenience wrapper
+    collects the O(V) result driver-side; use ``bsp_pagerank_dataset`` to
+    stay distributed end to end.) ``dictionary``: see ``_PreparedGraph``.
     """
     from . import graph as G
     from .pagerank import PageRankResult
 
-    ids = G.vertex_ids(edges)
-    enc = G.encode_edges(edges, ids)
+    if dictionary == "auto":
+        dictionary = (
+            "join" if edges.count() >= G.join_dict_edge_threshold() else "broadcast"
+        )
+    if dictionary == "join":
+        verts, n = G.vertices_dataset(edges)
+        enc, _ = G.encode_edges_join(edges, vertices=verts)
+        ids = np.asarray(verts.sort("vid").to_pandas()["id"])
+    else:
+        ids = G.vertex_ids(edges)
+        enc = G.encode_edges(edges, ids)
     g = BSPGraph(enc, n=len(ids), num_shards=num_shards)
     ds, iters, metrics = g.pagerank(
         iterations=iterations, eps=eps, d=d, checkpoint_dir=checkpoint_dir
@@ -412,25 +561,97 @@ def bsp_pagerank(
     return PageRankResult(ids=ids, ranks=rank, iterations=iters, metrics=metrics)
 
 
+def bsp_label_propagation(
+    edges: ray.data.Dataset, iterations: int = 5, num_shards: int = 8
+) -> dict:
+    """LPA on the shard-actor engine over original-id edges; must equal
+    ``engine.labelprop.label_propagation`` exactly (same synchronous
+    mode/tie-break semantics). Returns dict id -> community label id."""
+    from . import graph as G
+
+    ids = G.vertex_ids(edges)
+    enc = G.encode_edges(edges, ids)
+    sym = G.symmetrize(enc)  # deduped simple graph, both directions
+    g = BSPGraph(sym, n=len(ids), num_shards=num_shards)
+    ds = g.label_propagation(iterations=iterations)
+    vid_all, lbl_all = [], []
+    for b in ds.iter_batches(batch_format="pyarrow", batch_size=1 << 20):
+        vid_all.append(b.column("vid").to_numpy(zero_copy_only=False).astype(np.int64))
+        lbl_all.append(b.column("label").to_numpy(zero_copy_only=False).astype(np.int64))
+    vid = np.concatenate(vid_all) if vid_all else np.empty(0, np.int64)
+    lbl = np.concatenate(lbl_all) if lbl_all else np.empty(0, np.int64)
+    return dict(zip(ids[vid].tolist(), ids[lbl].tolist()))
+
+
+def bsp_connected_components_dataset(
+    edges: ray.data.Dataset, num_shards: int = 8
+) -> tuple[ray.data.Dataset, int]:
+    """Undirected connected components on the shard-actor engine, fully
+    Dataset-native: join vertex dictionary in, decode labels out — no O(V)
+    driver arrays. Returns ((id, label_id) Dataset, rounds)."""
+    from . import graph as G
+
+    verts, n = G.vertices_dataset(edges)
+    enc, _ = G.encode_edges_join(edges, vertices=verts)
+    g = BSPGraph(enc, n=n, num_shards=num_shards, symmetric_copy=True)
+    state, rounds = g.connected_components()
+    withid = G.decode_vids(state, verts)  # join on vid: uniform key
+    # label decode: a join keyed on `label` would be skewed (few distinct
+    # labels, one per component) AND trips Ray 2.49's empty-partition join
+    # crash on small inputs. Instead: the component roots are exactly the
+    # rows with vid == label, one per component — a SMALL table, broadcast
+    # as a sorted lookup (degenerate worst case: all-singleton components
+    # makes it O(V), the same bound as the broadcast dictionary).
+    import pyarrow.compute as pc
+
+    roots = withid.map_batches(
+        lambda t: t.filter(
+            pc.equal(t.column("vid"), pc.cast(t.column("label"), pa.uint64()))
+        ),
+        batch_format="pyarrow",
+    )
+    root_lbl, root_id = [], []
+    for b in roots.select_columns(["label", "id"]).iter_batches(
+        batch_format="pyarrow"
+    ):
+        root_lbl.append(b.column("label").to_numpy(zero_copy_only=False))
+        root_id.append(np.asarray(b.column("id").to_pylist()))
+    lbl_arr = np.concatenate(root_lbl)
+    id_arr = np.concatenate(root_id)
+    order = np.argsort(lbl_arr)
+    lookup_ref = ray.put((lbl_arr[order], id_arr[order]))
+
+    def add_label_id(t: pa.Table) -> pa.Table:
+        lbls, ids_ = ray.get(lookup_ref)
+        lv = t.column("label").to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(lbls, lv)
+        return pa.table(
+            {"id": t.column("id"), "label_id": pa.array(ids_[pos])}
+        )
+
+    decoded = withid.map_batches(add_label_id, batch_format="pyarrow")
+    return decoded, rounds
+
+
 def bsp_connected_components(
     edges: ray.data.Dataset, num_shards: int = 8
 ) -> tuple[dict, int]:
     """Undirected connected components; label = smallest original id in the
     component (exact-match semantics, north-rule N4).
 
-    Returns (dict original_id -> original_id label, rounds)."""
+    Returns (dict original_id -> original_id label, rounds). Convenience
+    wrapper (collects O(V) driver-side, vectorized); pipelines should use
+    ``bsp_connected_components_dataset``."""
     from . import graph as G
 
     ids = G.vertex_ids(edges)
     enc = G.encode_edges(edges, ids)
     g = BSPGraph(enc, n=len(ids), num_shards=num_shards, symmetric_copy=True)
     ds, _rounds = g.connected_components()
-    out = {}
+    vid_all, lbl_all = [], []
     for b in ds.iter_batches(batch_format="pyarrow", batch_size=1 << 20):
-        vid = b.column("vid").to_numpy(zero_copy_only=False).astype(np.int64)
-        lbl = b.column("label").to_numpy(zero_copy_only=False).astype(np.int64)
-        for v, l in zip(vid, lbl):
-            out[ids[v].item() if hasattr(ids[v], "item") else ids[v]] = (
-                ids[l].item() if hasattr(ids[l], "item") else ids[l]
-            )
-    return out, _rounds
+        vid_all.append(b.column("vid").to_numpy(zero_copy_only=False).astype(np.int64))
+        lbl_all.append(b.column("label").to_numpy(zero_copy_only=False).astype(np.int64))
+    vid = np.concatenate(vid_all) if vid_all else np.empty(0, np.int64)
+    lbl = np.concatenate(lbl_all) if lbl_all else np.empty(0, np.int64)
+    return dict(zip(ids[vid].tolist(), ids[lbl].tolist())), _rounds

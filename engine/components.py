@@ -41,11 +41,12 @@ def _min_partial(labels_ref):
     return fn
 
 
-def connected_components(
+def _cc_label_arrays(
     edges: ray.data.Dataset, max_iters: int = 10_000
-) -> tuple[dict, int]:
-    """Returns (dict original_id -> smallest original id in its component,
-    rounds to fixpoint)."""
+) -> tuple[np.ndarray, np.ndarray, int]:
+    """Run min-label propagation; returns (sorted original ids, dense label
+    vids, rounds). The label/id arrays are the broadcast-engine state —
+    all post-processing on them stays vectorized numpy."""
     ids = G.vertex_ids(edges)
     n = len(ids)
     enc = G.encode_edges(edges, ids)
@@ -65,8 +66,28 @@ def connected_components(
         if (new == labels).all():
             break
         labels = new
-    get = (lambda x: x.item()) if hasattr(ids[0], "item") else (lambda x: x)
-    return {get(ids[v]): get(ids[labels[v]]) for v in range(n)}, rounds
+    return ids, labels, rounds
+
+
+def connected_components_dataset(
+    edges: ray.data.Dataset, max_iters: int = 10_000
+) -> tuple[ray.data.Dataset, int]:
+    """Returns ((id, label) Dataset, rounds) — label = smallest original id
+    in the component. Built by vectorized fancy-indexing on the label
+    array (no per-vertex Python loop)."""
+    ids, labels, rounds = _cc_label_arrays(edges, max_iters)
+    tbl = pa.table({"id": pa.array(ids), "label": pa.array(ids[labels])})
+    return ray.data.from_arrow(tbl), rounds
+
+
+def connected_components(
+    edges: ray.data.Dataset, max_iters: int = 10_000
+) -> tuple[dict, int]:
+    """Returns (dict original_id -> smallest original id in its component,
+    rounds to fixpoint). Convenience wrapper over the arrays — prefer
+    ``connected_components_dataset`` in pipelines."""
+    ids, labels, rounds = _cc_label_arrays(edges, max_iters)
+    return dict(zip(ids.tolist(), ids[labels].tolist())), rounds
 
 
 def components_dataset(cc: dict) -> ray.data.Dataset:

@@ -69,6 +69,138 @@ def encode_edges(
     return edges.map_batches(enc, batch_format="pyarrow")
 
 
+def vertices_dataset(
+    edges: ray.data.Dataset,
+) -> tuple[ray.data.Dataset, int]:
+    """Distributed vertex dictionary: Dataset (id, vid) with dense uint64
+    vids assigned in sorted-id order (same order as ``vertex_ids`` /
+    ``encode_edges`` — the deterministic dictionary of SURVEY.md §7.6),
+    built WITHOUT collecting the id set on the driver.
+
+    Steps: per-batch unique partials → distributed ``groupby("id")``
+    distinct → global ``sort("id")`` → dense vid = block offset + row
+    position. The offsets need one row-COUNT per block on the driver (ints
+    from block metadata, never rows) plus one Ray task per block to append
+    the vid column — the piece of dictionary assignment the Dataset API
+    cannot express (no rank/row_number); everything else is Dataset-native.
+
+    Returns (vertices Dataset, n). Reference analog: the ``nodes_map``
+    compaction, ref: src/Graph.cpp:60-91.
+    """
+    distinct = (
+        edges.map_batches(_batch_unique_ids, batch_format="pyarrow")
+        .groupby("id")
+        .map_groups(lambda t: t.slice(0, 1), batch_format="pyarrow")
+    )
+    sorted_ids = distinct.sort("id").materialize()
+    refs, counts = [], []
+    for rb in sorted_ids.iter_internal_ref_bundles():
+        for blk, meta in rb.blocks:
+            if not meta.num_rows:
+                continue  # sort emits empty (schemaless) boundary blocks
+            refs.append(blk)
+            counts.append(int(meta.num_rows))
+    if not refs:
+        return ray.data.from_arrow(
+            pa.table({"id": pa.array([]), "vid": pa.array([], type=pa.uint64())})
+        ), 0
+    offsets = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
+    n = int(offsets[-1])
+
+    @ray.remote
+    def add_vid(tbl: pa.Table, off: int) -> pa.Table:
+        return pa.table(
+            {
+                "id": tbl.column("id"),
+                "vid": pa.array(
+                    np.arange(off, off + len(tbl), dtype=np.uint64),
+                    type=pa.uint64(),
+                ),
+            }
+        )
+
+    new_refs = [add_vid.remote(r, int(o)) for r, o in zip(refs, offsets)]
+    return ray.data.from_arrow_refs(new_refs), n
+
+
+def join_dict_edge_threshold() -> int:
+    """Edge count above which graph builds default to the join dictionary
+    (``GRAFT_JOIN_DICT_EDGES``, default 5e8 — roughly where the broadcast
+    id array stops being a free lunch on 128 GiB nodes)."""
+    import os
+
+    return int(os.environ.get("GRAFT_JOIN_DICT_EDGES", 500_000_000))
+
+
+def join_partitions_for(edges: ray.data.Dataset) -> int:
+    """Hash-join partition count: scale with cluster CPUs but stay BELOW
+    the CPU count (hash join spawns one aggregator actor per partition;
+    more actors than CPUs deadlocks the stage), and never above what the
+    data spread can fill — Ray 2.49's hash join crashes on a partition
+    that received no rows (schemaless empty table), so tiny inputs must
+    stay at few partitions."""
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 4))
+    except Exception:
+        cpus = 4
+    rows = edges.count()
+    return max(2, min(max(2, cpus - 2), rows // 10_000 + 2))
+
+
+def encode_edges_join(
+    edges: ray.data.Dataset,
+    vertices: ray.data.Dataset | None = None,
+    num_partitions: int | None = None,
+) -> tuple[ray.data.Dataset, int]:
+    """Translate (src, dst) original ids → dense uint64 vids via two
+    hash-partitioned ``Dataset.join``s against the distributed vertex
+    dictionary — the scale path past the broadcast dictionary
+    (``encode_edges``), which caps at driver/worker memory (~1e9 ids).
+
+    Output rows equal ``encode_edges(edges, vertex_ids(edges))`` as a
+    multiset (same sort-by-id dictionary); order differs (hash join).
+    Returns (encoded edges Dataset, n).
+    """
+    if vertices is None:
+        vertices, n = vertices_dataset(edges)
+    else:
+        n = vertices.count()
+    P = num_partitions or join_partitions_for(edges)
+    vmat = vertices.materialize()
+
+    e1 = edges.join(
+        vmat, join_type="inner", num_partitions=P, on=("src",), right_on=("id",)
+    )
+    e1 = e1.select_columns(["dst", "vid"]).rename_columns({"vid": "src_vid"})
+    e2 = e1.join(
+        vmat, join_type="inner", num_partitions=P, on=("dst",), right_on=("id",)
+    )
+    enc = e2.select_columns(["src_vid", "vid"]).rename_columns(
+        {"src_vid": "src", "vid": "dst"}
+    )
+    return enc, n
+
+
+def decode_vids(
+    state: ray.data.Dataset,
+    vertices: ray.data.Dataset,
+    vid_col: str = "vid",
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Map a (vid, ...) result Dataset back to original ids with one hash
+    join against the vertex dictionary (the distributed inverse of the
+    broadcast ``ids[vid]`` lookup)."""
+    P = num_partitions or join_partitions_for(state)
+    out = state.join(
+        vertices.materialize(),
+        join_type="inner",
+        num_partitions=P,
+        on=(vid_col,),
+        right_on=("vid",),
+    )
+    return out
+
+
 def vertices_table(ids: np.ndarray) -> pa.Table:
     """The vertex dictionary as a table (vid: uint64, id)."""
     return pa.table(

@@ -43,11 +43,30 @@ def _count_partial(labels_ref):
     return fn
 
 
+def label_propagation_dataset(
+    edges: ray.data.Dataset, iterations: int = 5
+) -> ray.data.Dataset:
+    """(id, label) Dataset after ``iterations`` synchronous rounds —
+    vectorized construction, no per-vertex Python loop."""
+    ids, labels = _lpa_label_arrays(edges, iterations)
+    return ray.data.from_arrow(
+        pa.table({"id": pa.array(ids), "label": pa.array(ids[labels])})
+    )
+
+
 def label_propagation(
     edges: ray.data.Dataset, iterations: int = 5
 ) -> dict:
     """Returns dict original_id -> original_id community label after
-    ``iterations`` synchronous rounds (deterministic)."""
+    ``iterations`` synchronous rounds (deterministic). Prefer
+    ``label_propagation_dataset`` in pipelines."""
+    ids, labels = _lpa_label_arrays(edges, iterations)
+    return dict(zip(ids.tolist(), ids[labels].tolist()))
+
+
+def _lpa_label_arrays(
+    edges: ray.data.Dataset, iterations: int = 5
+) -> tuple[np.ndarray, np.ndarray]:
     ids = G.vertex_ids(edges)
     n = len(ids)
     if n * n >= 2**62:
@@ -85,5 +104,4 @@ def label_propagation(
             sv = b.column("score").to_numpy(zero_copy_only=False).astype(np.int64)
             new[dv] = n - 1 - (sv % n)
         labels = new
-    get = (lambda x: x.item()) if hasattr(ids[0], "item") else (lambda x: x)
-    return {get(ids[v]): get(ids[labels[v]]) for v in range(n)}
+    return ids, labels

@@ -93,17 +93,35 @@ class PageRankResult:
 
 class _PreparedGraph:
     """Build product: dictionary, dense degrees, sinks, materialized
-    dst-sorted adjacency with per-edge 1/outdeg[src]."""
+    dst-sorted adjacency with per-edge 1/outdeg[src].
+
+    ``dictionary="join"`` encodes via the hash-partitioned
+    ``encode_edges_join`` (no O(E)-scan against a broadcast id array);
+    "auto" switches to it above ``GRAFT_JOIN_DICT_EDGES`` edges (default
+    5e8). Note the dataset engine still broadcasts the dense rank vector
+    (O(V) per node) — its hard ceiling; past that use ``engine.bsp`` with
+    the join dictionary, which keeps every O(V)/O(E) structure sharded."""
 
     def __init__(
         self,
         edges: ray.data.Dataset,
         num_blocks: int | None = None,
         global_sort: bool = True,
+        dictionary: str = "auto",
     ):
-        self.ids = G.vertex_ids(edges)
-        self.n = len(self.ids)
-        enc = G.encode_edges(edges, self.ids)
+        if dictionary == "auto":
+            dictionary = "join" if edges.count() >= G.join_dict_edge_threshold() else "broadcast"
+        if dictionary == "join":
+            verts, _n = G.vertices_dataset(edges)
+            enc, _ = G.encode_edges_join(edges, vertices=verts)
+            # result mapping still needs the sorted original ids driver-side
+            # (the engine broadcasts the dense rank vector anyway)
+            self.ids = np.asarray(verts.sort("vid").to_pandas()["id"])
+            self.n = len(self.ids)
+        else:
+            self.ids = G.vertex_ids(edges)
+            self.n = len(self.ids)
+            enc = G.encode_edges(edges, self.ids)
         if num_blocks:
             enc = enc.repartition(num_blocks)
         self.outdeg = G.dense_out_degrees(enc, self.n)

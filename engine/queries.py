@@ -161,17 +161,17 @@ def pagerank10(sf_dir: str) -> ray.data.Dataset:
 def cc_labels(sf_dir: str) -> ray.data.Dataset:
     """Connected components of the bipartite graph (rows-only; exactness by
     pytest vs union-find oracle)."""
-    from .components import connected_components
+    from .components import connected_components_dataset
 
-    cc, _ = connected_components(edges_project(sf_dir))
-    ids = sorted(cc)
-    return ray.data.from_arrow(
-        pa.table(
+    ds, _ = connected_components_dataset(edges_project(sf_dir))
+    return ds.rename_columns({"id": "vid"}).map_batches(
+        lambda t: pa.table(
             {
-                "vid": pa.array(ids, type=pa.int64()),
-                "label": pa.array([cc[i] for i in ids], type=pa.int64()),
+                "vid": t.column("vid").cast(pa.int64()),
+                "label": t.column("label").cast(pa.int64()),
             }
-        )
+        ),
+        batch_format="pyarrow",
     )
 
 
@@ -358,9 +358,28 @@ def embedding_near_dup_ivf(sf_dir: str) -> ray.data.Dataset:
 def lpa_labels(sf_dir: str) -> ray.data.Dataset:
     """2 rounds of label propagation on the bipartite lineitem graph
     (rows-only; exactness by pytest vs the sequential oracle)."""
-    from .labelprop import label_propagation
+    from .labelprop import label_propagation_dataset
 
-    labels = label_propagation(edges_project(sf_dir), iterations=2)
+    ds = label_propagation_dataset(edges_project(sf_dir), iterations=2)
+    return ds.rename_columns({"id": "vid"}).map_batches(
+        lambda t: pa.table(
+            {
+                "vid": t.column("vid").cast(pa.int64()),
+                "label": t.column("label").cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def lpa_labels_bsp(sf_dir: str) -> ray.data.Dataset:
+    """Same 2-round LPA on the shard-actor BSP engine (per-shard
+    label-count combine) — must equal lpa_labels exactly (rows-only vs
+    driver; exactness by pytest)."""
+    from .bsp import bsp_label_propagation
+
+    labels = bsp_label_propagation(edges_project(sf_dir), iterations=2,
+                                   num_shards=4)
     ids = sorted(labels)
     return ray.data.from_arrow(
         pa.table(
@@ -605,6 +624,7 @@ ORACLE_SQL: dict[str, str] = {
                                      CAST(e2.embedding AS DOUBLE[])) >= 0.35
     """,
     "lpa_labels": None,
+    "lpa_labels_bsp": None,
     "events_sessions": None,
     "graph_stats": f"""
         WITH e AS (SELECT DISTINCT l_orderkey AS src,
@@ -682,6 +702,7 @@ QUERIES = {
     "embedding_near_dup": embedding_near_dup,
     "embedding_near_dup_ivf": embedding_near_dup_ivf,
     "lpa_labels": lpa_labels,
+    "lpa_labels_bsp": lpa_labels_bsp,
     "minhash_dedup": minhash_dedup,
     "simhash_fingerprints": simhash_fingerprints,
     "text_analysis": text_analysis,

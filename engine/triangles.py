@@ -70,15 +70,35 @@ def _oriented(edges: ray.data.Dataset):
 
 def triangle_count(
     edges: ray.data.Dataset,
-    method: str = "broadcast",
-    num_partitions: int = 16,
+    method: str = "auto",
+    num_partitions: int | None = None,
 ) -> int:
+    """``method="auto"``: the shuffled join pipeline is the DEFAULT scale
+    path once the oriented edge set crosses ``GRAFT_TRI_JOIN_EDGES``
+    (default 2e5) — below that the broadcast CSR is faster AND the join
+    path risks Ray 2.49's empty-partition crash; the auto partition count
+    (≤ rows/10k) keeps every join partition populated above the gate."""
+    import os
+
     oriented, okey_ref, n = _oriented(edges)
     if n == 0:
         return 0
+    if method == "auto":
+        gate = int(os.environ.get("GRAFT_TRI_JOIN_EDGES", 200_000))
+        method = "join" if oriented.count() >= gate else "broadcast"
     if method == "broadcast":
         return _count_broadcast(oriented, okey_ref, n)
     if method == "join":
+        if num_partitions is None:
+            try:
+                cpus = int(ray.cluster_resources().get("CPU", 4))
+            except Exception:
+                cpus = 4
+            # cap BELOW the CPU count: hash-join spawns one aggregator actor
+            # per partition, and more actors than CPUs deadlocks the stage
+            num_partitions = max(
+                2, min(max(2, cpus - 2), oriented.count() // 10_000 + 2)
+            )
         return _count_join(oriented, okey_ref, n, num_partitions)
     raise ValueError(f"unknown method {method!r}")
 

@@ -51,6 +51,66 @@ def test_bsp_connected_components(name):
     assert got == want
 
 
+@pytest.mark.parametrize("name", ["mini", "small"])
+def test_bsp_lpa_matches_dataset_engine(name):
+    from engine.bsp import bsp_label_propagation
+    from engine.labelprop import label_propagation
+
+    want = label_propagation(read_snap(FIXTURES[name]), iterations=3)
+    got = bsp_label_propagation(read_snap(FIXTURES[name]), iterations=3,
+                                num_shards=3)
+    assert got == want
+
+
+def test_bsp_lpa_random_graph():
+    import pyarrow as pa
+    import ray.data
+
+    from engine.bsp import bsp_label_propagation
+    from engine.labelprop import label_propagation
+
+    rng = np.random.default_rng(11)
+    e = rng.integers(0, 30, size=(80, 2))
+    edges = [(int(a), int(b)) for a, b in e if a != b]
+    tbl = pa.table(
+        {
+            "src": pa.array([a for a, _ in edges], type=pa.uint64()),
+            "dst": pa.array([b for _, b in edges], type=pa.uint64()),
+        }
+    )
+    want = label_propagation(ray.data.from_arrow(tbl), iterations=2)
+    got = bsp_label_propagation(ray.data.from_arrow(tbl), iterations=2,
+                                num_shards=2)
+    assert got == want
+
+
+def test_bsp_pagerank_dataset_native():
+    """End-to-end Dataset path (join dictionary in, decode join out) equals
+    the dataset engine — no O(V) driver state on the BSP side."""
+    from engine.bsp import bsp_pagerank_dataset
+    from engine.pagerank import pagerank
+
+    path = FIXTURES["small"]
+    a = pagerank(read_snap(path), iterations=12)
+    ds, iters, _ = bsp_pagerank_dataset(read_snap(path), iterations=12,
+                                        num_shards=3)
+    assert iters == 12
+    df = ds.to_pandas().sort_values("id").reset_index(drop=True)
+    assert df["id"].tolist() == list(a.ids)
+    np.testing.assert_allclose(df["rank"].to_numpy(), a.ranks, atol=1e-12)
+
+
+def test_bsp_cc_dataset_native():
+    from engine.bsp import bsp_connected_components_dataset
+
+    path = FIXTURES["small"]
+    want = oracle.connected_components(read_snap_edges_local(path))
+    ds, _ = bsp_connected_components_dataset(read_snap(path), num_shards=3)
+    df = ds.to_pandas()
+    got = dict(zip(df["id"].astype(int), df["label_id"].astype(int)))
+    assert got == want
+
+
 def test_bsp_cc_two_components():
     import pyarrow as pa
     import ray.data

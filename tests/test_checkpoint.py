@@ -69,3 +69,15 @@ def test_bsp_engine_resume(tmp_path):
         meta = json.load(f)
     assert len(meta["partitions"]) == 3
     assert sum(p["rows"] for p in meta["partitions"]) == 43
+    assert meta["num_shards"] == 3 and meta["num_vertices"] == 43
+
+
+def test_bsp_resume_rejects_mismatched_shard_count(tmp_path):
+    import pytest
+
+    path = FIXTURES["mini"]
+    root = str(tmp_path / "ck")
+    bsp_pagerank(read_snap(path), iterations=3, num_shards=3, checkpoint_dir=root)
+    with pytest.raises(ValueError, match="num_shards"):
+        bsp_pagerank(read_snap(path), iterations=5, num_shards=2,
+                     checkpoint_dir=root)

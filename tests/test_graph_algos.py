@@ -48,6 +48,66 @@ def test_lpa_matches_oracle(name, iters):
     assert got == want
 
 
+@pytest.mark.parametrize("name", ["mini", "small"])
+def test_encode_edges_join_equals_broadcast(name):
+    """The distributed join dictionary assigns the same dense vids as the
+    broadcast searchsorted dictionary (same sort-by-id order)."""
+    from engine import graph as G
+
+    edges = read_snap(FIXTURES[name])
+    ids = G.vertex_ids(edges)
+    want = sorted(
+        (int(r["src"]), int(r["dst"]))
+        for r in G.encode_edges(edges, ids).take_all()
+    )
+    enc, n = G.encode_edges_join(read_snap(FIXTURES[name]))
+    got = sorted((int(r["src"]), int(r["dst"])) for r in enc.take_all())
+    assert n == len(ids)
+    assert got == want
+
+
+def test_encode_join_sparse_ids():
+    from engine import graph as G
+
+    edges = [(10**9, 7), (7, 10**12), (10**12, 10**9), (5, 5)]
+    ids = G.vertex_ids(_ds(edges))
+    want = sorted(
+        (int(r["src"]), int(r["dst"]))
+        for r in G.encode_edges(_ds(edges), ids).take_all()
+    )
+    enc, n = G.encode_edges_join(_ds(edges))
+    got = sorted((int(r["src"]), int(r["dst"])) for r in enc.take_all())
+    assert n == 4 and got == want
+
+
+def test_prepared_graph_join_dictionary():
+    """PageRank through the join-dictionary build equals the broadcast
+    build."""
+    from engine.pagerank import _PreparedGraph, pagerank
+
+    path = FIXTURES["small"]
+    a = pagerank(read_snap(path), iterations=8)
+    g = _PreparedGraph(read_snap(path), dictionary="join")
+    b = pagerank(read_snap(path), iterations=8, prepared=g)
+    np.testing.assert_array_equal(a.ids, b.ids)
+    np.testing.assert_allclose(a.ranks, b.ranks, atol=1e-15)
+
+
+def test_cc_lpa_dataset_outputs():
+    """Dataset-native CC/LPA outputs match the dict APIs."""
+    from engine.components import connected_components, connected_components_dataset
+    from engine.labelprop import label_propagation, label_propagation_dataset
+
+    edges = [(1, 2), (2, 3), (10, 11), (12, 11), (100, 100)]
+    want_cc, _ = connected_components(_ds(edges))
+    ds, _ = connected_components_dataset(_ds(edges))
+    df = ds.to_pandas()
+    assert dict(zip(df["id"].astype(int), df["label"].astype(int))) == want_cc
+    want_lpa = label_propagation(_ds(edges), iterations=2)
+    df2 = label_propagation_dataset(_ds(edges), iterations=2).to_pandas()
+    assert dict(zip(df2["id"].astype(int), df2["label"].astype(int))) == want_lpa
+
+
 @pytest.mark.parametrize(
     "edges,want",
     [
