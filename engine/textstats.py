@@ -44,6 +44,12 @@ class TextAnalyzer:
         self.punct = re.compile(r"[^\w\s]", re.U)
         self.cjk = re.compile(r"[一-鿿぀-ヿ가-힯]")
         self.stop = {lang: frozenset(ws) for lang, ws in _STOPWORDS.items()}
+        # numpy unicode arrays for vectorized membership (np.isin)
+        self.langs = list(_STOPWORDS)
+        self._stop_arr = {
+            lang: np.sort(np.array(sorted(ws))) for lang, ws in _STOPWORDS.items()
+        }
+        self._crc_cache: dict[str, int] = {}
 
     def lang_of(self, text: str) -> str:
         if not text:
@@ -67,47 +73,97 @@ class TextAnalyzer:
             h = ((h ^ zlib.crc32(w.encode())) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
         return h
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        col = batch[self.text_col].fillna("")
-        batch = batch.copy()
-        batch["lang_id"] = [self.lang_of(t) for t in col]
-        n_chars = col.str.len()
-        words_per_doc = [self.word.findall(t.lower()) for t in col]
-        n_words = pd.Series([len(w) for w in words_per_doc], index=batch.index)
-        n_punct = col.str.count(self.punct)
-        stop_en = self.stop["en"]
-        stop_ratio = pd.Series(
-            [
-                (sum(1 for w in ws if w in stop_en) / len(ws)) if ws else 0.0
-                for ws in words_per_doc
-            ],
-            index=batch.index,
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        """One regex tokenization pass per doc; every word-level statistic
+        (language scores, stopword ratio, mean word length) is computed
+        over the FLAT token array with np.unique + np.isin + np.bincount —
+        no per-word Python loops. The only remaining per-token Python work
+        is the order-sensitive rolling-hash fingerprint (sequential by
+        construction), fed from a per-actor crc cache."""
+        texts = [t or "" for t in batch.column(self.text_col).to_pylist()]
+        n = len(texts)
+        words_per_doc = [self.word.findall(t.lower()) for t in texts]
+        counts = np.fromiter((len(w) for w in words_per_doc), dtype=np.int64, count=n)
+        flat_list = [w for ws in words_per_doc for w in ws]
+        tok_doc = np.repeat(np.arange(n, dtype=np.int64), counts)
+        safe_counts = np.maximum(counts, 1).astype(np.float64)
+
+        if flat_list:
+            flat = np.array(flat_list)
+            uw, inv = np.unique(flat, return_inverse=True)
+            # per-language stopword score: membership on unique words only
+            scores = np.empty((n, len(self.langs)))
+            for j, lang in enumerate(self.langs):
+                member = np.isin(uw, self._stop_arr[lang])[inv]
+                scores[:, j] = (
+                    np.bincount(tok_doc, weights=member, minlength=n) / safe_counts
+                )
+            wlen = np.char.str_len(uw)[inv].astype(np.float64)
+            mean_wlen = np.bincount(tok_doc, weights=wlen, minlength=n) / safe_counts
+            mean_wlen[counts == 0] = 0.0
+        else:
+            scores = np.zeros((n, len(self.langs)))
+            mean_wlen = np.zeros(n)
+
+        best = np.argmax(scores, axis=1)
+        best_score = scores[np.arange(n), best] if n else np.empty(0)
+        lang_id = np.where(
+            best_score >= 0.05, np.array(self.langs, dtype=object)[best], "unknown"
+        ).astype(object)
+        # CJK override (checked first in the scalar rule; zh wins) — only
+        # non-ASCII docs can match, so the regex runs on those alone
+        for i, t in enumerate(texts):
+            if t and not t.isascii():
+                if len(self.cjk.findall(t)) > max(4, 0.2 * len(t)):
+                    lang_id[i] = "zh"
+
+        n_chars = np.fromiter((len(t) for t in texts), dtype=np.int64, count=n)
+        n_punct = np.fromiter(
+            (len(self.punct.findall(t)) for t in texts), dtype=np.int64, count=n
         )
-        mean_wlen = pd.Series(
-            [(np.mean([len(w) for w in ws]) if ws else 0.0) for ws in words_per_doc],
-            index=batch.index,
+        punct_ratio = n_punct / np.maximum(n_chars, 1)
+        stop_ratio = scores[:, self.langs.index("en")]
+        n_tokens_ws = np.fromiter(
+            (len(t.split()) for t in texts), dtype=np.int64, count=n
         )
-        batch["n_chars"] = n_chars.astype("int64")
-        batch["n_words"] = n_words.astype("int64")
-        batch["punct_ratio"] = (n_punct / n_chars.clip(lower=1)).astype("float64")
-        batch["stopword_ratio"] = stop_ratio
-        batch["mean_word_len"] = mean_wlen
-        batch["n_tokens_ws"] = col.str.strip().str.split().map(
-            lambda x: len(x) if isinstance(x, list) else 0
-        ).astype("int64")
-        batch["n_tokens_bpeish"] = col.map(
-            lambda t: len(self.bpeish.findall(t))
-        ).astype("int64")
-        # simple composite quality score in [0, 1]
-        batch["quality"] = (
-            (batch["n_words"].clip(0, 200) / 200.0) * 0.4
-            + (1.0 - batch["punct_ratio"].clip(0, 0.5) * 2) * 0.3
-            + batch["stopword_ratio"].clip(0, 0.5) * 2 * 0.3
-        ).astype("float64")
-        batch["fingerprint"] = pd.array(
-            [self.fingerprint(t) for t in col], dtype="UInt64"
+        n_tokens_bpeish = np.fromiter(
+            (len(self.bpeish.findall(t)) for t in texts), dtype=np.int64, count=n
         )
-        return batch
+        quality = (
+            (np.clip(counts, 0, 200) / 200.0) * 0.4
+            + (1.0 - np.clip(punct_ratio, 0, 0.5) * 2) * 0.3
+            + np.clip(stop_ratio, 0, 0.5) * 2 * 0.3
+        )
+
+        # fingerprint: rolling hash per doc over cached per-word crc32s
+        cache = self._crc_cache
+        fps = np.empty(n, dtype=np.uint64)
+        for i, ws in enumerate(words_per_doc):
+            h = 0xCBF29CE484222325
+            for w in ws:
+                c = cache.get(w)
+                if c is None:
+                    c = cache[w] = zlib.crc32(w.encode())
+                h = ((h ^ c) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+            fps[i] = h
+        if len(cache) > 1_000_000:
+            cache.clear()  # bound per-actor memory on adversarial vocab
+
+        out = batch
+        for name, arr in [
+            ("lang_id", pa.array(lang_id, type=pa.string())),
+            ("n_chars", pa.array(n_chars)),
+            ("n_words", pa.array(counts)),
+            ("punct_ratio", pa.array(punct_ratio)),
+            ("stopword_ratio", pa.array(stop_ratio)),
+            ("mean_word_len", pa.array(mean_wlen)),
+            ("n_tokens_ws", pa.array(n_tokens_ws)),
+            ("n_tokens_bpeish", pa.array(n_tokens_bpeish)),
+            ("quality", pa.array(quality)),
+            ("fingerprint", pa.array(fps, type=pa.uint64())),
+        ]:
+            out = out.append_column(name, arr)
+        return out
 
 
 def analyze(
@@ -126,7 +182,7 @@ def analyze(
     return ds.map_batches(
         TextAnalyzer,
         fn_constructor_kwargs=dict(text_col=text_col),
-        batch_format="pandas",
+        batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,
     )
