@@ -226,7 +226,9 @@ def run_bench(quick: bool = False) -> dict:
     t0 = time.perf_counter()
     ids = G.vertex_ids(edges)
     enc = G.encode_edges(edges, ids)
-    bsp = BSPGraph(enc, n=len(ids), num_shards=NUM_CPUS)
+    # P=16 from `bench.py --tune`: P^2 exchange refs dominate past ~16
+    # shards at this graph size (more shards != faster on one node)
+    bsp = BSPGraph(enc, n=len(ids), num_shards=min(16, NUM_CPUS))
     queries["pagerank_bsp_prepare"] = round(time.perf_counter() - t0, 3)
     t0 = time.perf_counter()
     _, _, metrics = bsp.pagerank(iterations=SUPERSTEPS)
@@ -297,6 +299,17 @@ def run_scaling() -> dict:
     out = {}
     rounds = os.environ.get("GRAFT_TRIPLE_ROUNDS", "5")
     have_taskset = shutil.which("taskset") is not None
+
+    def settle(target_load: float = 4.0, timeout_sec: float = 240.0) -> None:
+        """Wait for the host's 1-min load to decay before measuring — a
+        child that starts while the previous 32-CPU run's load is still
+        draining reads garbage (superlinear 'efficiency')."""
+        t0 = time.time()
+        while time.time() - t0 < timeout_sec:
+            if os.getloadavg()[0] < target_load:
+                return
+            time.sleep(10)
+
     for ncpu in (8, 32):
         out[ncpu] = {}
         for op in ("pr", "mh", "bw"):
@@ -306,6 +319,7 @@ def run_scaling() -> dict:
             cmd = [sys.executable, "bench.py", f"--scaling-child={op}"]
             if have_taskset:  # physically restrict cores, not just Ray slots
                 cmd = ["taskset", "-c", f"0-{ncpu - 1}"] + cmd
+            settle()
             p = subprocess.run(
                 cmd,
                 env=env,
@@ -315,7 +329,6 @@ def run_scaling() -> dict:
                 cwd=os.path.dirname(os.path.abspath(__file__)),
             )
             out[ncpu].update(json.loads(p.stdout.strip().splitlines()[-1]))
-            time.sleep(5)  # let the previous Ray session fully tear down
     eff_bsp = out[32]["bsp_edges_per_sec"] / (4 * out[8]["bsp_edges_per_sec"])
     eff_mh = out[32]["minhash_rows_per_sec"] / (4 * out[8]["minhash_rows_per_sec"])
     eff_bw = out[32]["triad_gbps"] / (4 * out[8]["triad_gbps"])

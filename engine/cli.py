@@ -77,9 +77,10 @@ def cmd_run(args) -> int:
                 eps=args.eps,
                 num_shards=args.shards,
                 checkpoint_dir=args.ckpt,
+                dictionary=args.dict,
             )
         else:
-            from .pagerank import pagerank
+            from .pagerank import _PreparedGraph, pagerank
 
             res = pagerank(
                 edges,
@@ -87,6 +88,7 @@ def cmd_run(args) -> int:
                 eps=args.eps,
                 checkpoint_dir=args.ckpt,
                 salted=args.salted,
+                prepared=_PreparedGraph(edges, dictionary=args.dict),
             )
         report.update(
             iterations=res.iterations,
@@ -102,22 +104,50 @@ def cmd_run(args) -> int:
 
             rd.from_arrow(res.as_table()).write_parquet(args.out)
     elif args.algo == "cc":
-        from .components import connected_components
+        if args.engine == "bsp":
+            from .bsp import bsp_connected_components_dataset
 
-        cc, rounds = connected_components(edges)
-        labels = sorted(set(cc.values()))
-        report.update(rounds=rounds, num_components=len(labels))
+            ds, rounds = bsp_connected_components_dataset(
+                edges, num_shards=args.shards
+            )
+            label_col = "label_id"
+        else:
+            from .components import connected_components_dataset
+
+            ds, rounds = connected_components_dataset(edges)
+            label_col = "label"
+        report.update(
+            rounds=rounds, num_components=len(ds.unique(label_col))
+        )
         if args.out:
+            ds.write_parquet(args.out)
+    elif args.algo == "lpa":
+        iters = args.iterations or 5
+        if args.engine == "bsp":
+            import pyarrow as pa
             import ray.data as rd
 
-            from .components import components_dataset
+            from .bsp import bsp_label_propagation
 
-            components_dataset(cc).write_parquet(args.out)
-    elif args.algo == "lpa":
-        from .labelprop import label_propagation
+            labels = bsp_label_propagation(
+                edges, iterations=iters, num_shards=args.shards
+            )
+            report.update(num_communities=len(set(labels.values())))
+            if args.out:
+                ids = sorted(labels)
+                rd.from_arrow(
+                    pa.table(
+                        {"id": pa.array(ids),
+                         "label": pa.array([labels[i] for i in ids])}
+                    )
+                ).write_parquet(args.out)
+        else:
+            from .labelprop import label_propagation_dataset
 
-        labels = label_propagation(edges, iterations=args.iterations or 5)
-        report.update(num_communities=len(set(labels.values())))
+            ds = label_propagation_dataset(edges, iterations=iters)
+            report.update(num_communities=len(ds.unique("label")))
+            if args.out:
+                ds.write_parquet(args.out)
     elif args.algo == "triangles":
         from .triangles import triangle_count
 
@@ -146,6 +176,10 @@ def main(argv=None) -> int:
     r.add_argument("--shards", type=int, default=8)
     r.add_argument("--top-k", type=int, default=10)
     r.add_argument("--salted", action="store_true")
+    r.add_argument("--dict", default="auto",
+                   choices=["auto", "broadcast", "join"],
+                   help="vertex dictionary: broadcast array vs distributed "
+                        "hash-join (auto switches above GRAFT_JOIN_DICT_EDGES)")
     r.add_argument("--num-cpus", type=int,
                    default=int(os.environ.get("RAY_GRAFT_CPUS", "8")))
     args = p.parse_args(argv)

@@ -87,10 +87,15 @@ def vertices_dataset(
     Returns (vertices Dataset, n). Reference analog: the ``nodes_map``
     compaction, ref: src/Graph.cpp:60-91.
     """
+    from ray.data.aggregate import Count
+
+    sch = edges.schema()
+    id_type = dict(zip(sch.names, sch.types))["src"]
     distinct = (
         edges.map_batches(_batch_unique_ids, batch_format="pyarrow")
         .groupby("id")
-        .map_groups(lambda t: t.slice(0, 1), batch_format="pyarrow")
+        .aggregate(Count(alias_name="_c"))  # vectorized hash-agg distinct
+        .select_columns(["id"])
     )
     sorted_ids = distinct.sort("id").materialize()
     refs, counts = [], []
@@ -109,9 +114,11 @@ def vertices_dataset(
 
     @ray.remote
     def add_vid(tbl: pa.Table, off: int) -> pa.Table:
+        # Ray's hash aggregate casts unsigned group keys to int64 — cast
+        # back so the encode joins see the original edge-column dtype
         return pa.table(
             {
-                "id": tbl.column("id"),
+                "id": tbl.column("id").cast(id_type),
                 "vid": pa.array(
                     np.arange(off, off + len(tbl), dtype=np.uint64),
                     type=pa.uint64(),

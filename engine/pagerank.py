@@ -260,10 +260,21 @@ def pagerank(
         for b in masses.iter_batches(batch_format="pyarrow", batch_size=1 << 20):
             dv = b.column("dst").to_numpy(zero_copy_only=False)
             mv = b.column("mass").to_numpy(zero_copy_only=False)
-            # scatter-ADD (not fancy-index +=, which drops duplicate dst
-            # entries within one batch): partials for the same dst may meet
-            # here whenever a sorted block is split mid-key
-            np.add.at(new, dv, d * mv)
+            if len(dv) == 0:
+                continue
+            # partials for the same dst can meet inside one batch whenever
+            # a sorted block is split mid-key, so plain fancy-index +=
+            # (last write wins) would drop rank mass; for sorted batches
+            # (the dst-sorted pipeline) combine duplicates with one
+            # reduceat, else fall back to the exact scatter-add
+            diffs = np.diff(dv.astype(np.int64))
+            if np.all(diffs > 0):
+                new[dv] += d * mv
+            elif np.all(diffs >= 0):
+                starts = np.concatenate(([0], np.flatnonzero(diffs) + 1))
+                new[dv[starts]] += d * np.add.reduceat(mv, starts)
+            else:
+                np.add.at(new, dv, d * mv)
         l1 = float(np.abs(new - rank).sum())
         rank = new
         dt = time.perf_counter() - t0

@@ -532,6 +532,18 @@ def events_tumbling(sf_dir: str) -> ray.data.Dataset:
     return tumbling_window(ev, window_sec=3600)
 
 
+def events_hopping(sf_dir: str) -> ray.data.Dataset:
+    """Hopping (sliding) 1-hour window with a 15-min hop: each event lands
+    in 4 overlapping windows (vectorized repeat), then the same hash
+    groupby as the tumbling case. SQL-checkable via generate_series."""
+    from .windows import hopping_window
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"]
+    )
+    return hopping_window(ev, window_sec=3600, hop_sec=900)
+
+
 def events_sessions(sf_dir: str) -> ray.data.Dataset:
     """Session windows (30-min inactivity gap) over events (rows-only;
     exactness by pytest vs a pandas oracle)."""
@@ -625,7 +637,27 @@ ORACLE_SQL: dict[str, str] = {
     """,
     "lpa_labels": None,
     "lpa_labels_bsp": None,
-    "events_sessions": None,
+    "events_sessions": """
+        WITH t AS (
+            SELECT user_id,
+                   CAST(floor(epoch(ts)) AS BIGINT) AS sec
+            FROM events),
+        g AS (
+            SELECT user_id, sec,
+                   CASE WHEN sec - LAG(sec) OVER w > 1800 THEN 1 ELSE 0 END
+                       AS new_s
+            FROM t WINDOW w AS (PARTITION BY user_id ORDER BY sec)),
+        s AS (
+            SELECT user_id, sec,
+                   SUM(new_s) OVER (PARTITION BY user_id ORDER BY sec
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+            FROM g)
+        SELECT user_id,
+               MIN(sec) AS session_start,
+               COUNT(*) AS n_events,
+               CAST(MAX(sec) - MIN(sec) AS BIGINT) AS duration_sec
+        FROM s GROUP BY user_id, sid
+    """,
     "graph_stats": f"""
         WITH e AS (SELECT DISTINCT l_orderkey AS src,
                         l_partkey + {PART_OFFSET} AS dst FROM lineitem),
@@ -657,6 +689,16 @@ ORACLE_SQL: dict[str, str] = {
     """,
     "minhash_dedup": None,
     "embedding_near_dup_ivf": None,
+    "events_hopping": """
+        SELECT user_id,
+               (CAST(floor(epoch(ts) / 900) AS BIGINT) - g.i) * 900
+                   AS window_start,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+                   AS sum_value_cents
+        FROM events CROSS JOIN generate_series(0, 3) AS g(i)
+        GROUP BY 1, 2
+    """,
     "simhash_fingerprints": None,
     "text_analysis": None,
     "pagerank10_bsp": None,
@@ -711,5 +753,6 @@ QUERIES = {
     "graph_stats": graph_stats,
     "prepleti_triple": prepleti_triple,
     "events_tumbling": events_tumbling,
+    "events_hopping": events_hopping,
     "events_sessions": events_sessions,
 }

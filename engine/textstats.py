@@ -2,8 +2,8 @@
 quality scoring, token counting, document fingerprinting.
 
 Stateful pieces (stopword tables, compiled regexes) live in actor-pool
-callables (built once per actor); per-batch work is pandas/numpy
-vectorized where the kernel allows.
+callables (built once per actor); per-batch work is numpy-vectorized over
+zero-copy Arrow batches.
 """
 
 from __future__ import annotations
@@ -12,7 +12,6 @@ import re
 import zlib
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import ray.data
 

@@ -65,6 +65,58 @@ def tumbling_window(
     )
 
 
+def hopping_window(
+    events: ray.data.Dataset,
+    window_sec: int = 3600,
+    hop_sec: int = 900,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> ray.data.Dataset:
+    """Per (key, hopping/sliding window): event count and value-cents sum.
+
+    Each event belongs to ``window_sec / hop_sec`` overlapping windows; the
+    expansion is one vectorized repeat (rows × k), then the same hash
+    groupby as the tumbling case. ``window_sec`` must be a multiple of
+    ``hop_sec``."""
+    if window_sec % hop_sec:
+        raise ValueError("window_sec must be a multiple of hop_sec")
+    k = window_sec // hop_sec
+
+    def expand(batch: pa.Table) -> pa.Table:
+        ts = batch.column(ts_col)
+        epoch = (
+            pc.divide(pc.cast(ts, pa.int64()), 1_000_000)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        last = (epoch // hop_sec) * hop_sec
+        starts = (
+            last[:, None] - hop_sec * np.arange(k, dtype=np.int64)[None, :]
+        ).reshape(-1)
+        cents = pc.cast(
+            pc.round(
+                pc.multiply(batch.column(value_col), 100.0),
+                round_mode="half_towards_infinity",
+            ),
+            pa.int64(),
+        ).to_numpy(zero_copy_only=False)
+        rep = np.repeat(np.arange(len(epoch)), k)
+        keys = batch.column(key_col).take(pa.array(rep))
+        return pa.table(
+            {
+                key_col: keys,
+                "window_start": pa.array(starts),
+                "value_cents": pa.array(cents[rep]),
+            }
+        )
+
+    wds = events.map_batches(expand, batch_format="pyarrow")
+    return wds.groupby([key_col, "window_start"]).aggregate(
+        Count(alias_name="n_events"), Sum("value_cents", alias_name="sum_value_cents")
+    )
+
+
 def session_windows(
     events: ray.data.Dataset,
     gap_sec: int = 1800,

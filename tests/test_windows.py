@@ -33,6 +33,39 @@ def test_tumbling_matches_duckdb():
     )
 
 
+def test_hopping_matches_duckdb():
+    from engine.windows import hopping_window
+
+    ev = ray.data.read_parquet(f"{SF}/events.parquet",
+                               columns=["user_id", "ts", "value"])
+    got = (
+        hopping_window(ev, window_sec=3600, hop_sec=900)
+        .to_pandas()
+        .sort_values(["user_id", "window_start"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    want = con.execute(
+        f"""SELECT user_id,
+                   (CAST(floor(epoch(ts)/900) AS BIGINT) - g.i) * 900
+                       AS window_start,
+                   COUNT(*) AS n_events,
+                   CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT)
+                       AS sum_value_cents
+            FROM read_parquet('{SF}/events.parquet')
+                 CROSS JOIN generate_series(0, 3) AS g(i)
+            GROUP BY 1, 2
+            ORDER BY 1, 2"""
+    ).fetchdf()
+    # every event lands in exactly window/hop = 4 windows
+    assert got["n_events"].sum() == 4 * con.execute(
+        f"SELECT COUNT(*) FROM read_parquet('{SF}/events.parquet')"
+    ).fetchone()[0]
+    pd.testing.assert_frame_equal(
+        got[want.columns.tolist()], want, check_dtype=False
+    )
+
+
 def _session_oracle(df: pd.DataFrame, gap_sec: int) -> set:
     out = set()
     for uid, g in df.groupby("user_id"):
