@@ -493,6 +493,13 @@ class BSPGraph:
         tables = ray.get([a.get_state.remote(what) for a in self.actors])
         return ray.data.from_arrow(tables)
 
+    def shutdown(self) -> None:
+        """Kill the shard actors and release their CSR memory (actors hold
+        their shards for the graph's lifetime otherwise)."""
+        for a in self.actors:
+            ray.kill(a)
+        self.actors = []
+
 
 def bsp_pagerank_dataset(
     edges: ray.data.Dataset,

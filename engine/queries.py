@@ -142,8 +142,9 @@ def ranksum_superstep(sf_dir: str) -> ray.data.Dataset:
 
 
 def pagerank10(sf_dir: str) -> ray.data.Dataset:
-    """Full 10-superstep PageRank on the lineitem graph (rows-only check;
-    exactness enforced by pytest against the sequential oracle)."""
+    """Full 10-superstep PageRank on the lineitem graph, oracle-checked
+    against the unrolled-CTE DuckDB SQL (plus pytest vs the sequential
+    oracle)."""
     from .pagerank import pagerank
 
     edges, ids, enc, n, outdeg = _graph_arrays(sf_dir)
@@ -159,8 +160,8 @@ def pagerank10(sf_dir: str) -> ray.data.Dataset:
 
 
 def cc_labels(sf_dir: str) -> ray.data.Dataset:
-    """Connected components of the bipartite graph (rows-only; exactness by
-    pytest vs union-find oracle)."""
+    """Connected components of the bipartite graph, oracle-checked against
+    unrolled min-label-propagation SQL (plus pytest vs union-find)."""
     from .components import connected_components_dataset
 
     ds, _ = connected_components_dataset(edges_project(sf_dir))
@@ -460,8 +461,8 @@ def pr_superstep1_salted(sf_dir: str) -> ray.data.Dataset:
 
 def pagerank10_bsp(sf_dir: str) -> ray.data.Dataset:
     """Full 10-superstep PageRank on the shard-actor BSP engine — must be
-    bit-identical to the dataset engine (rows-only vs driver; exactness by
-    pytest)."""
+    bit-identical to the dataset engine (same unrolled-CTE SQL oracle;
+    exactness also by pytest)."""
     from .bsp import BSPGraph
 
     edges, ids, enc, n, outdeg = _graph_arrays(sf_dir)
@@ -555,6 +556,75 @@ def events_sessions(sf_dir: str) -> ray.data.Dataset:
     return session_windows(ev, gap_sec=1800)
 
 
+def _pagerank_unrolled_sql(iters: int, decimals: int = ROUND) -> str:
+    """DuckDB oracle for ``iters`` full PageRank supersteps, iteration
+    unrolled as chained CTEs (DuckDB 1.0 disallows aggregates in recursive
+    CTE terms). Mirrors the engine exactly: rank0 = 1/n, then
+    rank_k(v) = ((1-d) + d*Σ_sink rank_{k-1})/n + d*Σ_{u→v} rank_{k-1}(u)/outdeg(u).
+    Final ranks rounded to ``decimals`` on both sides (summation-order
+    insensitivity, see module docstring)."""
+    d = "0.85"
+    parts = [
+        f"""e AS MATERIALIZED (SELECT DISTINCT l_orderkey AS src,
+                 l_partkey + {PART_OFFSET} AS dst FROM lineitem),
+        v AS MATERIALIZED (SELECT src AS vid FROM e UNION SELECT dst FROM e),
+        nn AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM v),
+        deg AS MATERIALIZED (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src),
+        r0 AS MATERIALIZED (SELECT vid, 1.0 / (SELECT n FROM nn) AS rank FROM v)"""
+    ]
+    for k in range(1, iters + 1):
+        p = k - 1
+        parts.append(
+            f"""s{k} AS MATERIALIZED (SELECT ((1.0 - {d}) + {d} * COALESCE(
+                    (SELECT SUM(rank) FROM r{p}
+                     WHERE vid NOT IN (SELECT src FROM e)), 0.0))
+                    / (SELECT n FROM nn) AS s),
+        m{k} AS MATERIALIZED (SELECT e.dst AS vid, SUM(r.rank / deg.outdeg) AS m
+                 FROM e JOIN r{p} r ON e.src = r.vid
+                 JOIN deg ON e.src = deg.src
+                 GROUP BY e.dst),
+        r{k} AS MATERIALIZED (SELECT v.vid,
+                        (SELECT s FROM s{k}) + {d} * COALESCE(m{k}.m, 0.0)
+                            AS rank
+                 FROM v LEFT JOIN m{k} ON v.vid = m{k}.vid)"""
+        )
+    return (
+        "WITH "
+        + ",\n        ".join(parts)
+        + f"\n        SELECT vid, ROUND(rank, {decimals}) AS rank FROM r{iters}"
+    )
+
+
+def _cc_unrolled_sql(rounds: int) -> str:
+    """DuckDB oracle for connected components: ``rounds`` unrolled
+    min-label-propagation steps over the symmetrized edge set (label =
+    smallest original id reachable within ``rounds`` hops == component min
+    once ``rounds`` ≥ the labelling radius; the engine converges in ~9
+    rounds at sf0.1, so the unroll depth carries slack)."""
+    parts = [
+        f"""e AS MATERIALIZED (SELECT DISTINCT l_orderkey AS src,
+                 l_partkey + {PART_OFFSET} AS dst FROM lineitem),
+        ue AS MATERIALIZED (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+        v AS MATERIALIZED (SELECT src AS vid FROM e UNION SELECT dst FROM e),
+        l0 AS MATERIALIZED (SELECT vid, vid AS label FROM v)"""
+    ]
+    for k in range(1, rounds + 1):
+        p = k - 1
+        parts.append(
+            f"""l{k} AS MATERIALIZED (SELECT vid, MIN(label) AS label FROM (
+                    SELECT vid, label FROM l{p}
+                    UNION ALL
+                    SELECT ue.dst AS vid, l.label
+                    FROM ue JOIN l{p} l ON ue.src = l.vid
+                 ) AS t GROUP BY vid)"""
+        )
+    return (
+        "WITH "
+        + ",\n        ".join(parts)
+        + f"\n        SELECT vid, label FROM l{rounds}"
+    )
+
+
 ORACLE_SQL: dict[str, str] = {
     "edges_project": f"""
         SELECT DISTINCT l_orderkey AS src,
@@ -597,8 +667,8 @@ ORACLE_SQL: dict[str, str] = {
     """,
     "toprank_superstep": None,  # filled below (reuses pr_superstep1 SQL)
     "ranksum_superstep": None,
-    "pagerank10": None,  # rows-only (iterative; pytest-verified vs oracle)
-    "cc_labels": None,  # rows-only (iterative)
+    "pagerank10": _pagerank_unrolled_sql(10),
+    "cc_labels": _cc_unrolled_sql(14),
     "triangles_tripartite": f"""
         WITH e1 AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
              e2 AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
@@ -701,7 +771,9 @@ ORACLE_SQL: dict[str, str] = {
     """,
     "simhash_fingerprints": None,
     "text_analysis": None,
-    "pagerank10_bsp": None,
+    # BSP engine is pytest-bit-identical to the dataset engine, so the same
+    # unrolled SQL is its oracle
+    "pagerank10_bsp": _pagerank_unrolled_sql(10),
     "ann_topk": """
         -- CAST to DOUBLE[]: duckdb otherwise evaluates in float32 while the
         -- engine computes in float64, and rounded values can disagree
