@@ -349,11 +349,17 @@ class SimHasher:
         toks = self.word.findall((text or "").lower())
         if not toks:
             return 0
+        # token hash = low 8 digest bytes of md5, little-endian — exactly
+        # DuckDB's md5_number_lower(), so fingerprints are SQL-checkable
+        # (see ORACLE_SQL["simhash_fingerprints"])
         hs = np.fromiter(
-            (zlib.crc32(t.encode()) for t in toks), dtype=np.uint64, count=len(toks)
+            (
+                int.from_bytes(hashlib.md5(t.encode()).digest()[8:], "little")
+                for t in toks
+            ),
+            dtype=np.uint64,
+            count=len(toks),
         )
-        # widen to 64 bits deterministically
-        hs = hs * np.uint64(0x9E3779B97F4A7C15)
         bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(
             np.int64
         )

@@ -414,15 +414,27 @@ def minhash_dedup(sf_dir: str) -> ray.data.Dataset:
 
 
 def simhash_fingerprints(sf_dir: str) -> ray.data.Dataset:
-    """64-bit SimHash per document (rows-only; deterministic)."""
+    """64-bit SimHash per document, oracle-checked: token hashes are
+    DuckDB's md5_number_lower(), so the fingerprint is reproducible in
+    pure SQL (bit-vote unrolled over generate_series(0,63))."""
     from .dedup import SimHasher
 
     ds = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
     sh = ds.map_batches(SimHasher, batch_format="pyarrow", concurrency=2)
-    agg = sh.groupby("doc_id").aggregate(Min("simhash", alias_name="simhash"))
-    return agg
+
+    # one row per doc: the 4 chunk rows all carry the same fingerprint —
+    # slice chunk 0 instead of a groupby (Ray's hash aggregate runs
+    # full-range uint64 through int64/pickled objects)
+    def one_per_doc(t: pa.Table) -> pa.Table:
+        keep = pc.equal(t.column("chunk"), 0)
+        f = t.filter(keep)
+        return pa.table(
+            {"doc_id": f.column("doc_id"), "simhash": f.column("simhash")}
+        )
+
+    return sh.map_batches(one_per_doc, batch_format="pyarrow")
 
 
 def text_analysis(sf_dir: str) -> ray.data.Dataset:
@@ -625,6 +637,44 @@ def _cc_unrolled_sql(rounds: int) -> str:
     )
 
 
+def _lpa_unrolled_sql(rounds: int) -> str:
+    """DuckDB oracle for synchronous label propagation, ``rounds`` unrolled
+    steps. Mirrors engine/labelprop.py exactly: each round every vertex
+    takes the most frequent label among its neighbors' previous-round
+    labels over the symmetrized simple graph, ties broken by the SMALLEST
+    label (the engine's packed-score argmax picks (max count, min dense
+    label); dense vids are order-isomorphic to original ids, so ORDER BY
+    c DESC, label ASC selects the same winner)."""
+    parts = [
+        f"""e AS MATERIALIZED (SELECT DISTINCT l_orderkey AS src,
+                 l_partkey + {PART_OFFSET} AS dst FROM lineitem),
+        ue AS MATERIALIZED (SELECT src, dst FROM e
+                            UNION ALL SELECT dst, src FROM e),
+        v AS MATERIALIZED (SELECT src AS vid FROM e UNION SELECT dst FROM e),
+        l0 AS MATERIALIZED (SELECT vid, vid AS label FROM v)"""
+    ]
+    for k in range(1, rounds + 1):
+        p = k - 1
+        parts.append(
+            f"""b{k} AS MATERIALIZED (
+                 SELECT vid, label FROM (
+                     SELECT dst AS vid, label, ROW_NUMBER() OVER (
+                         PARTITION BY dst ORDER BY c DESC, label ASC) AS rn
+                     FROM (SELECT ue.dst, l.label, COUNT(*) AS c
+                           FROM ue JOIN l{p} l ON ue.src = l.vid
+                           GROUP BY ue.dst, l.label) AS t
+                 ) AS r WHERE rn = 1),
+        l{k} AS MATERIALIZED (
+                 SELECT l.vid, COALESCE(b{k}.label, l.label) AS label
+                 FROM l{p} l LEFT JOIN b{k} ON l.vid = b{k}.vid)"""
+        )
+    return (
+        "WITH "
+        + ",\n        ".join(parts)
+        + f"\n        SELECT vid, label FROM l{rounds}"
+    )
+
+
 ORACLE_SQL: dict[str, str] = {
     "edges_project": f"""
         SELECT DISTINCT l_orderkey AS src,
@@ -705,8 +755,9 @@ ORACLE_SQL: dict[str, str] = {
         WHERE list_cosine_similarity(CAST(e1.embedding AS DOUBLE[]),
                                      CAST(e2.embedding AS DOUBLE[])) >= 0.35
     """,
-    "lpa_labels": None,
-    "lpa_labels_bsp": None,
+    "lpa_labels": _lpa_unrolled_sql(2),
+    # BSP LPA is pytest-identical to the dataset engine — same oracle
+    "lpa_labels_bsp": _lpa_unrolled_sql(2),
     "events_sessions": """
         WITH t AS (
             SELECT user_id,
@@ -769,7 +820,29 @@ ORACLE_SQL: dict[str, str] = {
         FROM events CROSS JOIN generate_series(0, 3) AS g(i)
         GROUP BY 1, 2
     """,
-    "simhash_fingerprints": None,
+    "simhash_fingerprints": r"""
+        WITH toks AS MATERIALIZED (
+            SELECT doc_id,
+                   unnest(regexp_extract_all(lower(text), '\w+')) AS tok
+            FROM documents),
+        h AS MATERIALIZED (
+            SELECT doc_id, md5_number_lower(tok) AS h FROM toks),
+        votes AS MATERIALIZED (
+            SELECT doc_id, g.i,
+                   SUM(CASE WHEN (h >> g.i) & 1 = 1 THEN 1 ELSE -1 END) AS v
+            FROM h CROSS JOIN generate_series(0, 63) AS g(i)
+            GROUP BY doc_id, g.i),
+        fp AS (
+            SELECT doc_id,
+                   SUM(CASE WHEN v > 0
+                       THEN (CAST(1 AS UBIGINT) << i)
+                       ELSE CAST(0 AS UBIGINT) END) AS simhash
+            FROM votes GROUP BY doc_id)
+        SELECT d.doc_id,
+               CAST(COALESCE(fp.simhash, 0) AS UBIGINT) AS simhash
+        FROM (SELECT DISTINCT doc_id FROM documents) d
+        LEFT JOIN fp USING (doc_id)
+    """,
     "text_analysis": None,
     # BSP engine is pytest-bit-identical to the dataset engine, so the same
     # unrolled SQL is its oracle

@@ -10,6 +10,13 @@ O(sqrt E)), then wedges are closed in one of two ways:
   vectorized ``searchsorted``/``repeat`` and counts closures per batch →
   global sum. Distributed compute, O(E') object-store footprint per node —
   the right trade to ~1e8 oriented edges.
+- ``method="shard"``: fully partitioned shard actors — each actor owns
+  the oriented edges with ``u % P == sid`` (adjacency sorted by
+  (u, order) for wedge generation, plus a sorted packed key set for
+  membership), wedges (v, w) are generated locally and routed to the
+  owner of ``v`` through the object store, closures checked by
+  ``searchsorted`` membership. Two waves, no broadcast CSR, no Ray
+  shuffle join — the O(E'/P)-memory-per-actor scale path.
 - ``method="join"``: fully shuffled two-join pipeline
   (E' ⨝ E' on u → wedges; wedges ⨝ E' on (v,w) left_semi → closures) for
   inputs too large to broadcast. Caveat: ray 2.49's hash-shuffle join
@@ -17,7 +24,7 @@ O(sqrt E)), then wedges are closed in one of two ways:
   crashes (pyarrow FieldRef error) — so this path needs
   rows ≫ num_partitions; sentinel rows are injected to keep whole
   datasets non-empty, but per-partition emptiness on tiny inputs is not
-  defendable — hence broadcast is the default.
+  defendable — hence the shard path is the preferred scale route.
 
 The orientation key is ``deg[v] * n + v`` (a total order packed into
 int64), with all ties broken by vid — deterministic.
@@ -73,11 +80,14 @@ def triangle_count(
     method: str = "auto",
     num_partitions: int | None = None,
 ) -> int:
-    """``method="auto"``: the shuffled join pipeline is the DEFAULT scale
-    path once the oriented edge set crosses ``GRAFT_TRI_JOIN_EDGES``
-    (default 2e5) — below that the broadcast CSR is faster AND the join
-    path risks Ray 2.49's empty-partition crash; the auto partition count
-    (≤ rows/10k) keeps every join partition populated above the gate."""
+    """``method="auto"``: the partitioned shard-actor pipeline is the
+    DEFAULT scale path once the oriented edge set crosses
+    ``GRAFT_TRI_JOIN_EDGES`` (default 2e5) — below that the broadcast CSR
+    is faster (actor spin-up ~P × 100 ms dominates tiny graphs). The
+    shuffled two-join variant is kept as an explicit ``method="join"``
+    (it exercises Ray's hash-join machinery but is ~2× slower than the
+    shard actors and subject to Ray 2.49's empty-partition crash on
+    sparse partitions)."""
     import os
 
     oriented, okey_ref, n = _oriented(edges)
@@ -85,9 +95,17 @@ def triangle_count(
         return 0
     if method == "auto":
         gate = int(os.environ.get("GRAFT_TRI_JOIN_EDGES", 200_000))
-        method = "join" if oriented.count() >= gate else "broadcast"
+        method = "shard" if oriented.count() >= gate else "broadcast"
     if method == "broadcast":
         return _count_broadcast(oriented, okey_ref, n)
+    if method == "shard":
+        if num_partitions is None:
+            try:
+                cpus = int(ray.cluster_resources().get("CPU", 4))
+            except Exception:
+                cpus = 4
+            num_partitions = max(2, min(cpus - 2, oriented.count() // 10_000 + 2))
+        return _count_shard(oriented, okey_ref, n, num_partitions)
     if method == "join":
         if num_partitions is None:
             try:
@@ -151,6 +169,125 @@ def _count_broadcast(oriented: ray.data.Dataset, okey_ref, n: int) -> int:
 
     out = oriented.map_batches(close_wedges, batch_format="pyarrow")
     return int(out.sum("tri") or 0)
+
+
+@ray.remote
+class _TriShard:
+    """Owns oriented edges with ``u % P == sid``; generates this shard's
+    wedges and answers membership queries for edges whose ``u`` it owns.
+    Per-actor memory is O(E'/P + V) (V for the orientation-key array —
+    the same footprint every BSP shard already carries for ranks)."""
+
+    def __init__(self, sid: int, num_shards: int, okey: np.ndarray, n: int):
+        # okey arrives as the resolved array: Ray auto-dereferences an
+        # ObjectRef passed as a direct actor-constructor argument
+        self.sid = sid
+        self.P = num_shards
+        self.ok = okey
+        self.n = n
+        self._us: list = []
+        self._vs: list = []
+
+    def ingest(self, u: np.ndarray, v: np.ndarray) -> int:
+        self._us.append(u.astype(np.int64))
+        self._vs.append(v.astype(np.int64))
+        return len(u)
+
+    def finalize(self) -> int:
+        u = np.concatenate(self._us) if self._us else np.empty(0, np.int64)
+        v = np.concatenate(self._vs) if self._vs else np.empty(0, np.int64)
+        self._us = self._vs = None
+        # adjacency rows sorted by (u, order(v)): wedge partners of the row
+        # at position i are rows i+1 .. end-of-u-run
+        order = np.lexsort((self.ok[v], u))
+        self.u, self.v = u[order], v[order]
+        # membership keys for closure checks (u*n + v packed, sorted)
+        self.keys = np.sort(self.u * np.int64(self.n) + self.v)
+        return len(u)
+
+    def wedges(self) -> list:
+        """Generate all (v, w) wedge keys from the local adjacency, routed
+        by ``v % P``; returns P packed-key arrays (ObjectRefs)."""
+        u, v, n, P = self.u, self.v, self.n, self.P
+        outs: list = [[] for _ in range(P)]
+        if len(u):
+            # end-of-run index for every row
+            run_starts = np.flatnonzero(np.concatenate(([True], u[1:] != u[:-1])))
+            run_ids = np.cumsum(np.concatenate(([True], u[1:] != u[:-1]))) - 1
+            run_ends = np.concatenate((run_starts[1:], [len(u)]))
+            ends = run_ends[run_ids]
+            pos = np.arange(len(u), dtype=np.int64)
+            counts = ends - (pos + 1)
+            tot = int(counts.sum())
+            if tot:
+                starts_rep = np.repeat(pos + 1, counts)
+                local = np.arange(tot, dtype=np.int64) - np.repeat(
+                    counts.cumsum() - counts, counts
+                )
+                w = v[starts_rep + local]
+                vr = np.repeat(v, counts)
+                wk = vr * np.int64(n) + w
+                tgt = vr % P
+                for t in range(P):
+                    m = tgt == t
+                    if m.any():
+                        outs[t].append(wk[m])
+        return [
+            ray.put(
+                np.concatenate(outs[t]) if outs[t] else np.empty(0, np.int64)
+            )
+            for t in range(P)
+        ]
+
+    def count_closed(self, refs: list) -> int:
+        total = 0
+        for r in refs:
+            wk = ray.get(r)
+            if len(wk) == 0 or len(self.keys) == 0:
+                continue
+            idx = np.searchsorted(self.keys, wk)
+            idx[idx >= len(self.keys)] = len(self.keys) - 1
+            total += int((self.keys[idx] == wk).sum())
+        return total
+
+
+def _count_shard(
+    oriented: ray.data.Dataset, okey_ref, n: int, num_shards: int
+) -> int:
+    if n.bit_length() * 2 >= 63:
+        raise ValueError("packed-key overflow guard: n too large for int64 n^2")
+    actors = [
+        _TriShard.remote(s, num_shards, okey_ref, n) for s in range(num_shards)
+    ]
+    P = num_shards
+
+    def route(batch: pa.Table) -> pa.Table:
+        u = batch.column("u").to_numpy(zero_copy_only=False).astype(np.int64)
+        v = batch.column("v").to_numpy(zero_copy_only=False).astype(np.int64)
+        shard = u % P
+        refs = []
+        for s in range(P):
+            m = shard == s
+            if m.any():
+                refs.append(actors[s].ingest.remote(u[m], v[m]))
+        ray.get(refs)
+        return pa.table({"n": pa.array([len(u)], type=pa.int64())})
+
+    for _ in oriented.map_batches(route, batch_format="pyarrow").iter_batches():
+        pass
+    ray.get([a.finalize.remote() for a in actors])
+    # wave 1: every shard emits wedge keys routed by v % P
+    emitted = ray.get([a.wedges.remote() for a in actors])
+    # wave 2: each shard checks membership of the wedges routed to it
+    counts = ray.get(
+        [
+            actors[t].count_closed.remote([emitted[s][t] for s in range(P)])
+            for t in range(P)
+        ]
+    )
+    for a in actors:
+        ray.kill(a)
+    return int(sum(counts))
 
 
 def _count_join(

@@ -137,6 +137,19 @@ def test_triangles_random_graph():
     assert got == want
 
 
+def test_triangles_shard_path():
+    """Shard-actor wedge closing ≡ oracle on dense and random graphs
+    (including shards that own no edges)."""
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    assert triangle_count(_ds(k4), method="shard", num_partitions=3) == 4
+    rng = np.random.default_rng(11)
+    e = rng.integers(0, 60, size=(500, 2))
+    edges = [(int(a), int(b)) for a, b in e]
+    want = oracle.triangle_count(edges)
+    got = triangle_count(_ds(edges), method="shard", num_partitions=4)
+    assert got == want
+
+
 def test_lpa_random_graph():
     rng = np.random.default_rng(7)
     e = rng.integers(0, 30, size=(80, 2))
