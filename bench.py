@@ -264,7 +264,11 @@ def run_bench(quick: bool = False) -> dict:
     eps_bsp = bsp.num_edges / _st.median(step_times)
     extra["pagerank_bsp_edges_per_sec_per_superstep"] = round(eps_bsp)
 
-    # ---- distributed join dictionary (the 10^12-file encode path) ----
+    # ---- distributed dictionary encodes (the 10^12-file paths) ----
+    t0 = time.perf_counter()
+    enc_s, _n_s = G.encode_edges_service(edges)
+    extra["encode_service_edges"] = int(enc_s.count())
+    queries["encode_edges_service"] = round(time.perf_counter() - t0, 3)
     t0 = time.perf_counter()
     enc_j, _n_j = G.encode_edges_join(edges)
     extra["encode_join_edges"] = int(enc_j.count())

@@ -511,14 +511,15 @@ def bsp_pagerank_dataset(
 ) -> tuple[ray.data.Dataset, int, list[dict]]:
     """Fully Dataset-native PageRank — NO O(V) driver state anywhere:
     the vertex dictionary is distributed (``graph.vertices_dataset``),
-    encoding is two hash joins (``graph.encode_edges_join``), vertex state
+    encoding goes through the hash-sharded dictionary-actor service
+    (``graph.encode_edges_service``, O(V/P) per actor), vertex state
     lives on the BSP shards, and the result maps back to original ids with
     one decode join. This is the 10^12-file path promised by the north
     rule. Returns ((id, rank) Dataset, iterations, metrics)."""
     from . import graph as G
 
     verts, n = G.vertices_dataset(edges)
-    enc, _ = G.encode_edges_join(edges, vertices=verts)
+    enc, _ = G.encode_edges_service(edges, vertices=verts)
     g = BSPGraph(enc, n=n, num_shards=num_shards)
     state, iters, metrics = g.pagerank(
         iterations=iterations, eps=eps, d=d, checkpoint_dir=checkpoint_dir
@@ -548,11 +549,16 @@ def bsp_pagerank(
 
     if dictionary == "auto":
         dictionary = (
-            "join" if edges.count() >= G.join_dict_edge_threshold() else "broadcast"
+            "service"
+            if edges.count() >= G.join_dict_edge_threshold()
+            else "broadcast"
         )
-    if dictionary == "join":
+    if dictionary in ("join", "service"):
         verts, n = G.vertices_dataset(edges)
-        enc, _ = G.encode_edges_join(edges, vertices=verts)
+        encode = (
+            G.encode_edges_join if dictionary == "join" else G.encode_edges_service
+        )
+        enc, _ = encode(edges, vertices=verts)
         ids = np.asarray(verts.sort("vid").to_pandas()["id"])
     else:
         ids = G.vertex_ids(edges)
@@ -599,7 +605,7 @@ def bsp_connected_components_dataset(
     from . import graph as G
 
     verts, n = G.vertices_dataset(edges)
-    enc, _ = G.encode_edges_join(edges, vertices=verts)
+    enc, _ = G.encode_edges_service(edges, vertices=verts)
     g = BSPGraph(enc, n=n, num_shards=num_shards, symmetric_copy=True)
     state, rounds = g.connected_components()
     withid = G.decode_vids(state, verts)  # join on vid: uniform key

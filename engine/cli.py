@@ -177,9 +177,11 @@ def main(argv=None) -> int:
     r.add_argument("--top-k", type=int, default=10)
     r.add_argument("--salted", action="store_true")
     r.add_argument("--dict", default="auto",
-                   choices=["auto", "broadcast", "join"],
-                   help="vertex dictionary: broadcast array vs distributed "
-                        "hash-join (auto switches above GRAFT_JOIN_DICT_EDGES)")
+                   choices=["auto", "broadcast", "join", "service"],
+                   help="vertex dictionary: broadcast array, Dataset hash-"
+                        "join, or sharded dictionary-actor service (auto "
+                        "switches broadcast->service above "
+                        "GRAFT_JOIN_DICT_EDGES)")
     r.add_argument("--num-cpus", type=int,
                    default=int(os.environ.get("RAY_GRAFT_CPUS", "8")))
     args = p.parse_args(argv)

@@ -95,12 +95,13 @@ class _PreparedGraph:
     """Build product: dictionary, dense degrees, sinks, materialized
     dst-sorted adjacency with per-edge 1/outdeg[src].
 
-    ``dictionary="join"`` encodes via the hash-partitioned
-    ``encode_edges_join`` (no O(E)-scan against a broadcast id array);
-    "auto" switches to it above ``GRAFT_JOIN_DICT_EDGES`` edges (default
-    5e8). Note the dataset engine still broadcasts the dense rank vector
-    (O(V) per node) — its hard ceiling; past that use ``engine.bsp`` with
-    the join dictionary, which keeps every O(V)/O(E) structure sharded."""
+    ``dictionary="service"`` encodes via the hash-sharded dictionary
+    actors (``encode_edges_service``); ``"join"`` is the pure-Dataset-API
+    hash-join equivalent (~100× slower per row in Ray 2.49); "auto"
+    switches from "broadcast" to "service" above ``GRAFT_JOIN_DICT_EDGES``
+    edges (default 5e8). Note the dataset engine still broadcasts the
+    dense rank vector (O(V) per node) — its hard ceiling; past that use
+    ``engine.bsp``, which keeps every O(V)/O(E) structure sharded."""
 
     def __init__(
         self,
@@ -110,10 +111,19 @@ class _PreparedGraph:
         dictionary: str = "auto",
     ):
         if dictionary == "auto":
-            dictionary = "join" if edges.count() >= G.join_dict_edge_threshold() else "broadcast"
-        if dictionary == "join":
+            dictionary = (
+                "service"
+                if edges.count() >= G.join_dict_edge_threshold()
+                else "broadcast"
+            )
+        if dictionary in ("join", "service"):
             verts, _n = G.vertices_dataset(edges)
-            enc, _ = G.encode_edges_join(edges, vertices=verts)
+            encode = (
+                G.encode_edges_join
+                if dictionary == "join"
+                else G.encode_edges_service
+            )
+            enc, _ = encode(edges, vertices=verts)
             # result mapping still needs the sorted original ids driver-side
             # (the engine broadcasts the dense rank vector anyway)
             self.ids = np.asarray(verts.sort("vid").to_pandas()["id"])

@@ -80,6 +80,50 @@ def test_encode_join_sparse_ids():
     assert n == 4 and got == want
 
 
+@pytest.mark.parametrize("name", ["mini", "small"])
+def test_encode_edges_service_equals_broadcast(name):
+    """The dictionary-actor service assigns the same dense vids as the
+    broadcast searchsorted dictionary (same sort-by-id order)."""
+    from engine import graph as G
+
+    edges = read_snap(FIXTURES[name])
+    ids = G.vertex_ids(edges)
+    want = sorted(
+        (int(r["src"]), int(r["dst"]))
+        for r in G.encode_edges(edges, ids).take_all()
+    )
+    enc, n = G.encode_edges_service(read_snap(FIXTURES[name]), num_shards=3)
+    got = sorted((int(r["src"]), int(r["dst"])) for r in enc.take_all())
+    assert n == len(ids)
+    assert got == want
+
+
+def test_encode_service_sparse_ids():
+    from engine import graph as G
+
+    edges = [(10**9, 7), (7, 10**12), (10**12, 10**9), (5, 5)]
+    ids = G.vertex_ids(_ds(edges))
+    want = sorted(
+        (int(r["src"]), int(r["dst"]))
+        for r in G.encode_edges(_ds(edges), ids).take_all()
+    )
+    enc, n = G.encode_edges_service(_ds(edges), num_shards=2)
+    got = sorted((int(r["src"]), int(r["dst"])) for r in enc.take_all())
+    assert n == 4 and got == want
+
+
+def test_prepared_graph_service_dictionary():
+    """PageRank through the dictionary-service build equals broadcast."""
+    from engine.pagerank import _PreparedGraph, pagerank
+
+    path = FIXTURES["small"]
+    a = pagerank(read_snap(path), iterations=8)
+    g = _PreparedGraph(read_snap(path), dictionary="service")
+    b = pagerank(read_snap(path), iterations=8, prepared=g)
+    np.testing.assert_array_equal(a.ids, b.ids)
+    np.testing.assert_allclose(a.ranks, b.ranks, atol=1e-15)
+
+
 def test_prepared_graph_join_dictionary():
     """PageRank through the join-dictionary build equals the broadcast
     build."""
