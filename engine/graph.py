@@ -13,9 +13,10 @@ Broadcast pattern: the sorted unique-id array and the dense out-degree
 array are O(V) driver/worker objects shipped once per build via ``ray.put``
 and read zero-copy inside ``map_batches`` tasks. This is the standard
 "broadcast dictionary" design and holds to V ≈ 1e8-1e9 on big-memory nodes
-(8-16 B/vertex/node); beyond that, the encode step becomes a
-hash-partitioned ``Dataset.join`` on the id column (same downstream
-pipeline) — see ``encode_edges_join``.
+(8-16 B/vertex/node); beyond that, the encode step goes through the
+hash-sharded dictionary-actor service (``encode_edges_service``, O(V/P)
+per actor; same downstream pipeline) or the pure-Dataset-API
+``encode_edges_join``.
 """
 
 from __future__ import annotations

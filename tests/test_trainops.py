@@ -45,6 +45,32 @@ def test_minhash_finds_planted_dups(docs_ds):
     assert 5 not in clusters and 6 not in clusters
 
 
+def test_minhash_planted_dups_larger_corpus():
+    """330-doc corpus (≥10× the small fixture), 30 planted near-dups —
+    exercises the distributed bucket/verify stages with many buckets and
+    no driver-side candidate dict."""
+    rng = np.random.default_rng(7)
+    words = BASE.split()
+    texts, ids = [], []
+    for i in range(300):
+        w = list(rng.permutation(words)) + [f"u{i}w{j}" for j in range(8)]
+        texts.append(" ".join(w))
+        ids.append(i)
+    for i in range(30):  # near-dup of doc i: drop the last two words
+        texts.append(" ".join(texts[i].split()[:-2]))
+        ids.append(1000 + i)
+    ds = ray.data.from_arrow(
+        pa.table(
+            {"doc_id": pa.array(ids, type=pa.int64()), "text": pa.array(texts)}
+        )
+    ).repartition(8)
+    res = dedup.minhash_lsh_dedup(ds, threshold=0.7)
+    clusters = res["clusters"]
+    for i in range(30):
+        assert clusters.get(1000 + i) == i, i
+    assert 200 not in clusters  # an unduplicated doc stays unclustered
+
+
 def test_minhash_signature_stability():
     h1 = dedup.MinHasher(seed=42)
     h2 = dedup.MinHasher(seed=42)
