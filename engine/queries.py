@@ -534,6 +534,38 @@ def prepleti_triple(sf_dir: str) -> ray.data.Dataset:
     return edges.map_batches(triple, batch_format="pyarrow")
 
 
+def vocab_top50(sf_dir: str) -> ray.data.Dataset:
+    """Top-50 corpus vocabulary (count DESC, token ASC) — the
+    tokenizer-training vocabulary step, SQL-checkable via unnest."""
+    from .textstats import vocab_topk
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    return vocab_topk(ds, k=50)
+
+
+def train_val_test_split(sf_dir: str) -> ray.data.Dataset:
+    """Deterministic md5-bucket split assignment per document —
+    repartition/reorder-stable, SQL-checkable via md5_number_lower."""
+    from .textstats import train_split
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    )
+    return train_split(ds)
+
+
+def token_percentiles(sf_dir: str) -> ray.data.Dataset:
+    """Exact p50/p90/p99 whitespace-token-count percentiles via
+    distributed sort + block-metadata indexing (percentile_disc
+    semantics)."""
+    from .textstats import token_count_percentiles
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["text"]
+    )
+    return token_count_percentiles(ds)
+
+
 def events_tumbling(sf_dir: str) -> ray.data.Dataset:
     """Tumbling 1-hour window aggregate over the events stream table
     (count + value sum per user per window; SQL-checkable)."""
@@ -820,6 +852,34 @@ ORACLE_SQL: dict[str, str] = {
         FROM events CROSS JOIN generate_series(0, 3) AS g(i)
         GROUP BY 1, 2
     """,
+    "vocab_top50": r"""
+        SELECT tok AS token, COUNT(*) AS cnt
+        FROM (SELECT unnest(regexp_extract_all(lower(text), '\w+')) AS tok
+              FROM documents) AS t
+        GROUP BY tok
+        ORDER BY cnt DESC, token ASC
+        LIMIT 50
+    """,
+    "train_val_test_split": """
+        SELECT doc_id,
+               CASE WHEN md5_number_lower(CAST(doc_id AS VARCHAR)) % 1000 < 800
+                        THEN 'train'
+                    WHEN md5_number_lower(CAST(doc_id AS VARCHAR)) % 1000 < 900
+                        THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents
+    """,
+    "token_percentiles": r"""
+        WITH n AS (SELECT len(regexp_split_to_array(trim(text), '\s+')) AS n
+                   FROM documents)
+        SELECT CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY n) AS BIGINT)
+                   AS p50,
+               CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY n) AS BIGINT)
+                   AS p90,
+               CAST(percentile_disc(0.99) WITHIN GROUP (ORDER BY n) AS BIGINT)
+                   AS p99
+        FROM n
+    """,
     "simhash_fingerprints": r"""
         WITH toks AS MATERIALIZED (
             SELECT doc_id,
@@ -900,4 +960,7 @@ QUERIES = {
     "events_tumbling": events_tumbling,
     "events_hopping": events_hopping,
     "events_sessions": events_sessions,
+    "vocab_top50": vocab_top50,
+    "train_val_test_split": train_val_test_split,
+    "token_percentiles": token_percentiles,
 }

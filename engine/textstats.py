@@ -13,6 +13,7 @@ import zlib
 
 import numpy as np
 import pyarrow as pa
+import ray
 import ray.data
 
 _STOPWORDS = {
@@ -184,4 +185,123 @@ def analyze(
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,
+    )
+
+
+def vocab_topk(
+    docs: ray.data.Dataset,
+    k: int = 50,
+    text_col: str = "text",
+) -> ray.data.Dataset:
+    """Top-k corpus vocabulary: ``\\w+`` word tokens of lowercased text,
+    counted with a per-batch combiner (one row per distinct token per
+    batch reaches the shuffle, not one per occurrence), global
+    ``groupby(token).Sum``, deterministic (count DESC, token ASC) order.
+    The vocabulary-building step of a tokenizer-training pipeline."""
+    from ray.data.aggregate import Sum
+
+    word = re.compile(r"\w+")
+
+    def count_batch(t: pa.Table) -> pa.Table:
+        toks: list = []
+        for x in t.column(text_col).to_pylist():
+            toks.extend(word.findall((x or "").lower()))
+        if not toks:
+            return pa.table(
+                {
+                    "token": pa.array([], type=pa.string()),
+                    "cnt": pa.array([], type=pa.int64()),
+                }
+            )
+        u, c = np.unique(np.asarray(toks, dtype=object), return_counts=True)
+        return pa.table(
+            {
+                "token": pa.array([str(s) for s in u], type=pa.string()),
+                "cnt": pa.array(c.astype(np.int64)),
+            }
+        )
+
+    agg = (
+        docs.map_batches(count_batch, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+    )
+    return agg.sort(["cnt", "token"], descending=[True, False]).limit(k)
+
+
+def train_split(
+    docs: ray.data.Dataset,
+    id_col: str = "doc_id",
+    bounds: tuple = (800, 900),
+) -> ray.data.Dataset:
+    """Deterministic train/val/test assignment: bucket =
+    md5-low-64(str(id)) % 1000 (== DuckDB ``md5_number_lower``), train
+    below ``bounds[0]``, val below ``bounds[1]``, else test. Stable under
+    any repartitioning/reordering — the property a resumable 100-TB split
+    needs (no RNG state, no global pass)."""
+    import hashlib
+
+    def split_batch(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_pylist()
+        h = np.fromiter(
+            (
+                int.from_bytes(hashlib.md5(str(i).encode()).digest()[8:], "little")
+                % 1000
+                for i in ids
+            ),
+            dtype=np.int64,
+            count=len(ids),
+        )
+        lab = np.where(h < bounds[0], "train", np.where(h < bounds[1], "val", "test"))
+        return pa.table(
+            {
+                id_col: t.column(id_col),
+                "split": pa.array([str(s) for s in lab], type=pa.string()),
+            }
+        )
+
+    return docs.map_batches(split_batch, batch_format="pyarrow")
+
+
+def token_count_percentiles(
+    docs: ray.data.Dataset,
+    qs: tuple = (0.5, 0.9, 0.99),
+    text_col: str = "text",
+) -> ray.data.Dataset:
+    """Exact whitespace-token-count percentiles (percentile_disc
+    semantics: smallest value with cumulative fraction ≥ q) via a
+    distributed sort — the driver reads only per-block row COUNTS from
+    metadata plus one single-row slice per quantile, never the data."""
+
+    def nt(t: pa.Table) -> pa.Table:
+        texts = t.column(text_col).to_pylist()
+        n = [
+            len(re.split(r"\s+", x.strip())) if x is not None else 0
+            for x in texts
+        ]
+        return pa.table({"n": pa.array(n, type=pa.int64())})
+
+    s = docs.map_batches(nt, batch_format="pyarrow").sort("n").materialize()
+    refs, counts = [], []
+    for rb in s.iter_internal_ref_bundles():
+        for blk, meta in rb.blocks:
+            if meta.num_rows:
+                refs.append(blk)
+                counts.append(int(meta.num_rows))
+    total = int(sum(counts))
+    bounds = np.cumsum([0] + counts)
+
+    @ray.remote
+    def pick(tbl: pa.Table, row: int) -> int:
+        return int(tbl.column("n")[row].as_py())
+
+    out = {}
+    for q in qs:
+        # percentile_disc: first value at cumulative count ceil(q * total)
+        idx = max(0, int(np.ceil(q * total)) - 1)
+        b = int(np.searchsorted(bounds, idx, side="right")) - 1
+        out[f"p{int(q * 100)}"] = pick.remote(refs[b], idx - int(bounds[b]))
+    vals = {k: ray.get(v) for k, v in out.items()}
+    return ray.data.from_arrow(
+        pa.table({k: pa.array([v], type=pa.int64()) for k, v in vals.items()})
     )
