@@ -20,7 +20,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray
 import ray.data
-from ray.data.aggregate import Count, Min, Sum
+from ray.data.aggregate import Count, Min
 
 from . import graph as G
 from .ingest import sha256_column
@@ -566,6 +566,37 @@ def token_percentiles(sf_dir: str) -> ray.data.Dataset:
     return token_count_percentiles(ds)
 
 
+def events_top3_per_user(sf_dir: str) -> ray.data.Dataset:
+    """Top-3 events per user by (value DESC, ts ASC) through the
+    distributed grouped-top-k operator (the 'best N rows per key'
+    curation primitive) — SQL-checkable via ROW_NUMBER."""
+    from .topk import topk_per_group
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"]
+    )
+    top = topk_per_group(ev, key_col="user_id", order_col="value", k=3)
+
+    def conv(t: pa.Table) -> pa.Table:
+        sec = pc.divide(pc.cast(t.column("ts"), pa.int64()), 1_000_000)
+        cents = pc.cast(
+            pc.round(
+                pc.multiply(t.column("value"), 100.0),
+                round_mode="half_towards_infinity",
+            ),
+            pa.int64(),
+        )
+        return pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "sec": pc.cast(sec, pa.int64()),
+                "value_cents": cents,
+            }
+        )
+
+    return top.map_batches(conv, batch_format="pyarrow")
+
+
 def events_tumbling(sf_dir: str) -> ray.data.Dataset:
     """Tumbling 1-hour window aggregate over the events stream table
     (count + value sum per user per window; SQL-checkable)."""
@@ -852,6 +883,17 @@ ORACLE_SQL: dict[str, str] = {
         FROM events CROSS JOIN generate_series(0, 3) AS g(i)
         GROUP BY 1, 2
     """,
+    "events_top3_per_user": """
+        SELECT user_id, sec, value_cents FROM (
+            SELECT user_id,
+                   CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+                   CAST(ROUND(value * 100) AS BIGINT) AS value_cents,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY user_id ORDER BY value DESC, ts ASC
+                   ) AS rn
+            FROM events) AS t
+        WHERE rn <= 3
+    """,
     "vocab_top50": r"""
         SELECT tok AS token, COUNT(*) AS cnt
         FROM (SELECT unnest(regexp_extract_all(lower(text), '\w+')) AS tok
@@ -963,4 +1005,5 @@ QUERIES = {
     "vocab_top50": vocab_top50,
     "train_val_test_split": train_val_test_split,
     "token_percentiles": token_percentiles,
+    "events_top3_per_user": events_top3_per_user,
 }

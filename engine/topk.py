@@ -1,0 +1,118 @@
+"""Grouped top-k — "keep the best k rows per key", the training-data
+curation primitive (best N documents per domain / language / dedup
+cluster) that Ray Data has no native operator for.
+
+Design (fully distributed, no per-group Python):
+
+1. per-batch COMBINER: each batch keeps at most k rows per key it
+   contains (vectorized lexsort + run-position mask) — bounds the volume
+   entering the sort at k × batches per key, independent of group skew.
+2. global ``sort(key, order DESC)`` — Ray range-partitions; rows of one
+   key are contiguous, possibly spanning block boundaries.
+3. per-block rank mask: a row survives if its within-key rank < k. Ranks
+   restart at 0 per key inside a block; the only correction needed is the
+   first key run of each block, whose rank offset is the count of rows of
+   that key in earlier blocks — the driver accumulates that from tiny
+   per-block (first_key, first_run_len, last_key, last_run_len) metadata
+   tasks, never rows (same pattern as the vertex-dictionary offsets).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data
+
+
+def _run_ranks(keys: np.ndarray) -> np.ndarray:
+    """Position of each row within its contiguous same-key run."""
+    if len(keys) == 0:
+        return np.zeros(0, dtype=np.int64)
+    new_run = np.concatenate(([True], keys[1:] != keys[:-1]))
+    idx = np.arange(len(keys), dtype=np.int64)
+    run_start = np.maximum.accumulate(np.where(new_run, idx, 0))
+    return idx - run_start
+
+
+def topk_per_group(
+    ds: ray.data.Dataset,
+    key_col: str,
+    order_col: str,
+    k: int = 3,
+    descending: bool = True,
+) -> ray.data.Dataset:
+    """Top-``k`` rows per ``key_col`` by ``order_col`` (ties broken by the
+    remaining columns' sorted order within the global sort — deterministic
+    for any fully-ordering column set). Returns all original columns."""
+    other = [c for c in ds.schema().names if c not in (key_col, order_col)]
+    sort_cols = [key_col, order_col] + other
+    sort_desc = [False, descending] + [False] * len(other)
+
+    def partial(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return t
+        keys = t.column(key_col).to_numpy(zero_copy_only=False)
+        order = t.column(order_col).to_numpy(zero_copy_only=False)
+        o = -order if descending else order
+        # same full tie-break as the global sort, least-significant first —
+        # a boundary tie pruned by a weaker order would corrupt the result
+        tie = [
+            t.column(c).to_numpy(zero_copy_only=False) for c in reversed(other)
+        ]
+        perm = np.lexsort(tuple(tie) + (o, keys))
+        ranks = _run_ranks(keys[perm])
+        keep = perm[ranks < k]
+        keep.sort()  # preserve input order of survivors
+        return t.take(pa.array(keep))
+
+    pruned = ds.map_batches(partial, batch_format="pyarrow")
+    s = pruned.sort(sort_cols, descending=sort_desc).materialize()
+
+    refs = []
+    for rb in s.iter_internal_ref_bundles():
+        for blk, meta in rb.blocks:
+            if meta.num_rows:
+                refs.append(blk)
+    if not refs:
+        return s
+
+    @ray.remote
+    def block_meta(tbl: pa.Table):
+        keys = tbl.column(key_col).to_numpy(zero_copy_only=False)
+        run_starts = np.flatnonzero(
+            np.concatenate(([True], keys[1:] != keys[:-1]))
+        )
+        nrows = len(keys)
+        first_len = int(run_starts[1]) if len(run_starts) > 1 else nrows
+        last_len = nrows - int(run_starts[-1])
+        return keys[0], first_len, keys[-1], last_len, nrows
+
+    metas = ray.get([block_meta.remote(r) for r in refs])
+    # driver: rank offset of each block's FIRST key = rows of that key in
+    # earlier blocks (contiguous after the sort). (cur_key, cur_count)
+    # tracks the trailing run of the last block seen, chaining across
+    # single-key blocks.
+    offsets = []
+    cur_key, cur_count = None, 0
+    for first_key, first_len, last_key, last_len, nrows in metas:
+        off = cur_count if first_key == cur_key else 0
+        offsets.append(off)
+        if first_len == nrows:  # single-key block: the run keeps growing
+            cur_key, cur_count = last_key, off + nrows
+        else:
+            cur_key, cur_count = last_key, last_len
+
+    @ray.remote
+    def rank_filter(tbl: pa.Table, first_offset: int) -> pa.Table:
+        keys = tbl.column(key_col).to_numpy(zero_copy_only=False)
+        ranks = _run_ranks(keys)
+        if first_offset and len(keys):
+            first_run = keys == keys[0]
+            # only the leading contiguous run of the first key
+            lead = np.logical_and.accumulate(first_run)
+            ranks = ranks + np.where(lead, first_offset, 0)
+        return tbl.filter(pa.array(ranks < k))
+
+    out_refs = [rank_filter.remote(r, int(o)) for r, o in zip(refs, offsets)]
+    return ray.data.from_arrow_refs(out_refs)

@@ -1,0 +1,63 @@
+"""Grouped top-k: distributed two-stage operator vs a pandas oracle."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from engine.topk import topk_per_group
+
+
+def _oracle(df: pd.DataFrame, key, order, k, ascending_tie):
+    out = []
+    for _, g in df.groupby(key):
+        g = g.sort_values([order] + ascending_tie, ascending=[False] + [True] * len(ascending_tie))
+        out.append(g.head(k))
+    return (
+        pd.concat(out)
+        .sort_values(list(df.columns))
+        .reset_index(drop=True)
+    )
+
+
+def _check(df: pd.DataFrame, k: int, num_partitions: int):
+    ds = ray.data.from_pandas(df).repartition(num_partitions)
+    got = (
+        topk_per_group(ds, key_col="key", order_col="val", k=k)
+        .to_pandas()
+        .sort_values(list(df.columns))
+        .reset_index(drop=True)
+    )
+    want = _oracle(df, "key", "val", k, [c for c in df.columns if c not in ("key", "val")])
+    pd.testing.assert_frame_equal(got, want[got.columns.tolist()], check_dtype=False)
+
+
+def test_topk_basic_and_skew():
+    rng = np.random.default_rng(5)
+    n = 5000
+    df = pd.DataFrame(
+        {
+            # heavy skew: key 0 holds ~half the rows (boundary-spanning runs)
+            "key": np.where(rng.random(n) < 0.5, 0, rng.integers(0, 50, n)),
+            "val": rng.integers(0, 1000, n),
+            "tag": rng.integers(0, 10_000, n),
+        }
+    )
+    _check(df, k=3, num_partitions=7)
+
+
+def test_topk_ties_at_boundary():
+    # many exact val ties per key: the tie-break (remaining column) decides
+    df = pd.DataFrame(
+        {
+            "key": np.repeat(np.arange(10), 20),
+            "val": np.tile([5, 5, 5, 5, 1], 40),
+            "tag": np.arange(200),
+        }
+    )
+    _check(df, k=2, num_partitions=5)
+
+
+def test_topk_groups_smaller_than_k():
+    df = pd.DataFrame({"key": [1, 2, 2, 3], "val": [9, 1, 2, 7], "tag": [0, 1, 2, 3]})
+    _check(df, k=5, num_partitions=3)
