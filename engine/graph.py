@@ -70,6 +70,58 @@ def encode_edges(
     return edges.map_batches(enc, batch_format="pyarrow")
 
 
+def _sorted_distinct_refs(
+    ds: ray.data.Dataset, col: str
+) -> tuple[list, list]:
+    """Sort-based distributed DISTINCT on one column: global
+    range-partitioned sort → per-block ``np.unique`` → cross-boundary
+    duplicate runs dropped by comparing against the previous block's last
+    value (per-block metadata only, never rows on the driver). Used
+    instead of ``groupby().aggregate`` because Ray 2.49's hash aggregate
+    is ~100× slower than its sort on this shape (51 s vs 0.2 s for 12.5M
+    rows at 32 cpus). Returns (block refs, per-block row counts)."""
+    s = ds.sort(col).materialize()
+    refs = []
+    for rb in s.iter_internal_ref_bundles():
+        for blk, meta in rb.blocks:
+            if not meta.num_rows:
+                continue  # sort emits empty (schemaless) boundary blocks
+            refs.append(blk)
+    if not refs:
+        return [], []
+
+    @ray.remote(num_returns=2)
+    def dedup_block(tbl: pa.Table):
+        # block arrived sorted: np.unique keeps order and drops dups
+        v = np.unique(tbl.column(col).to_numpy(zero_copy_only=False))
+        return pa.table({col: pa.array(v)}), (v[0], v[-1], len(v))
+
+    pairs = [dedup_block.remote(r) for r in refs]
+    metas = ray.get([m for _, m in pairs])
+
+    @ray.remote(num_returns=2)
+    def drop_leading(tbl: pa.Table, prev_last):
+        v = tbl.column(col).to_numpy(zero_copy_only=False)
+        k = int(np.searchsorted(v, prev_last, side="right"))
+        return pa.table({col: pa.array(v[k:])}), len(v) - k
+
+    final_refs, counts = [], []
+    for i, (tref, _) in enumerate(pairs):
+        if i == 0:
+            final_refs.append(tref)
+            counts.append(metas[0][2])
+        else:
+            # the nearest previous block's last value bounds every earlier
+            # value (blocks are range-partitioned), so one searchsorted
+            # drops the whole cross-boundary duplicate run however many
+            # blocks it spans
+            t2, c2 = drop_leading.remote(tref, metas[i - 1][1])
+            final_refs.append(t2)
+            counts.append(c2)
+    counts = [c if isinstance(c, int) else ray.get(c) for c in counts]
+    return final_refs, counts
+
+
 def vertices_dataset(
     edges: ray.data.Dataset,
 ) -> tuple[ray.data.Dataset, int]:
@@ -90,51 +142,12 @@ def vertices_dataset(
     Returns (vertices Dataset, n). Reference analog: the ``nodes_map``
     compaction, ref: src/Graph.cpp:60-91.
     """
-    sorted_ids = (
-        edges.map_batches(_batch_unique_ids, batch_format="pyarrow")
-        .sort("id")
-        .materialize()
-    )
-    refs = []
-    for rb in sorted_ids.iter_internal_ref_bundles():
-        for blk, meta in rb.blocks:
-            if not meta.num_rows:
-                continue  # sort emits empty (schemaless) boundary blocks
-            refs.append(blk)
-    if not refs:
+    partials = edges.map_batches(_batch_unique_ids, batch_format="pyarrow")
+    final_refs, counts = _sorted_distinct_refs(partials, "id")
+    if not final_refs:
         return ray.data.from_arrow(
             pa.table({"id": pa.array([]), "vid": pa.array([], type=pa.uint64())})
         ), 0
-
-    @ray.remote(num_returns=2)
-    def dedup_block(tbl: pa.Table):
-        # block arrived sorted: np.unique keeps order and drops dups
-        ids = np.unique(tbl.column("id").to_numpy(zero_copy_only=False))
-        return pa.table({"id": pa.array(ids)}), (ids[0], ids[-1], len(ids))
-
-    pairs = [dedup_block.remote(r) for r in refs]
-    metas = ray.get([m for _, m in pairs])
-
-    @ray.remote(num_returns=2)
-    def drop_leading(tbl: pa.Table, prev_last):
-        ids = tbl.column("id").to_numpy(zero_copy_only=False)
-        k = int(np.searchsorted(ids, prev_last, side="right"))
-        out = pa.table({"id": pa.array(ids[k:])})
-        return out, len(ids) - k
-
-    final_refs, counts = [], []
-    for i, (tref, _) in enumerate(pairs):
-        if i == 0:
-            final_refs.append(tref)
-            counts.append(metas[0][2])
-        else:
-            # the nearest previous block's last id bounds every earlier id
-            # (blocks are range-partitioned), so one searchsorted drops the
-            # whole cross-boundary duplicate run however many blocks it spans
-            t2, c2 = drop_leading.remote(tref, metas[i - 1][1])
-            final_refs.append(t2)
-            counts.append(c2)
-    counts = [c if isinstance(c, int) else ray.get(c) for c in counts]
     offsets = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
     n = int(offsets[-1])
 
@@ -410,8 +423,9 @@ def sink_vids(outdeg: np.ndarray) -> np.ndarray:
 
 def undirected_edges(edges: ray.data.Dataset) -> ray.data.Dataset:
     """Canonical undirected simple edge set: (a=min, b=max), self-loops
-    dropped, duplicates removed via a distributed groupby (no driver
-    materialization)."""
+    dropped, duplicates removed via the sort-based distributed distinct on
+    the packed (a << 32 | b) key (no driver materialization, no Ray
+    hash-aggregate — see ``_sorted_distinct_refs``)."""
 
     def canon(batch: pa.Table) -> pa.Table:
         s = batch.column("src").to_numpy(zero_copy_only=False)
@@ -422,18 +436,36 @@ def undirected_edges(edges: ray.data.Dataset) -> ray.data.Dataset:
         b = np.maximum(s, d)
         # per-batch dedup (combiner); packed key assumes dense vids < 2^32
         key = (a.astype(np.uint64) << np.uint64(32)) | b.astype(np.uint64)
-        uk = np.unique(key)
+        return pa.table({"k": pa.array(np.unique(key), type=pa.uint64())})
+
+    canoned = edges.map_batches(canon, batch_format="pyarrow")
+    refs, _counts = _sorted_distinct_refs(canoned, "k")
+    if not refs:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "a": pa.array([], type=pa.uint64()),
+                    "b": pa.array([], type=pa.uint64()),
+                }
+            )
+        )
+
+    @ray.remote
+    def unpack(tbl: pa.Table) -> pa.Table:
+        uk = tbl.column("k").to_numpy(zero_copy_only=False)
         return pa.table(
             {
-                "a": pa.array((uk >> np.uint64(32)).astype(np.uint64), type=pa.uint64()),
-                "b": pa.array((uk & np.uint64(0xFFFFFFFF)).astype(np.uint64), type=pa.uint64()),
+                "a": pa.array(
+                    (uk >> np.uint64(32)).astype(np.uint64), type=pa.uint64()
+                ),
+                "b": pa.array(
+                    (uk & np.uint64(0xFFFFFFFF)).astype(np.uint64),
+                    type=pa.uint64(),
+                ),
             }
         )
 
-    canoned = edges.map_batches(canon, batch_format="pyarrow")
-    # distributed distinct on the composite key
-    agg = canoned.groupby(["a", "b"]).aggregate(Sum("a", alias_name="_x"))
-    return agg.select_columns(["a", "b"])
+    return ray.data.from_arrow_refs([unpack.remote(r) for r in refs])
 
 
 def symmetrize(edges: ray.data.Dataset) -> ray.data.Dataset:
