@@ -87,19 +87,29 @@ class ShardActor:
         self.is_sink = ~nz
 
         # destination compaction, pre-sorted by (dst % P, dst) so per-target
-        # slices are contiguous
+        # slices are contiguous. ONE argsort of the packed key (instead of
+        # np.unique(return_inverse) + a second argsort): the finalize wave
+        # runs P actors concurrently and is memory-bandwidth-bound, so the
+        # extra sort + inverse-permutation passes dominated build time
         key = (dst % self.P) * np.int64(n_total + 1) + dst
-        uniq_key, inv = np.unique(key, return_inverse=True)
+        edge_order = np.argsort(key, kind="stable")
+        sk = key[edge_order]
+        new_run = (
+            np.concatenate(([True], sk[1:] != sk[:-1]))
+            if len(sk)
+            else np.zeros(0, dtype=bool)
+        )
+        starts = np.flatnonzero(new_run)
+        uniq_key = sk[starts]
         self.uniq_dst = (uniq_key % np.int64(n_total + 1)).astype(np.int64)
         uniq_shard = (uniq_key // np.int64(n_total + 1)).astype(np.int64)
         self.route_bounds = np.searchsorted(uniq_shard, np.arange(self.P + 1))
         # edge-level combine structure: edges reordered by compact dst idx
         # once, so every per-superstep combine is a single reduceat
-        edge_order = np.argsort(inv, kind="stable")
-        sorted_inv = inv[edge_order]
-        self.edge_starts = np.searchsorted(sorted_inv, np.arange(len(self.uniq_dst)))
+        self.edge_starts = starts
         self.edge_src_local = src_local[edge_order]
-        self.edge_dst_idx = sorted_inv  # per-edge compact dst index (sorted)
+        # per-edge compact dst index (sorted)
+        self.edge_dst_idx = np.cumsum(new_run) - 1
 
         self.rank = np.full(self.n_owned, 1.0 / n_total) if n_total else np.empty(0)
         self.label = np.arange(self.sid, n_total, self.P, dtype=np.int64)
