@@ -3,10 +3,11 @@
 Headline: PageRank edges/sec per superstep (the north-rule metric) over a
 deterministic prepleti-scaled link graph projected from
 ``$GRAFT_SF_DIR/lineitem.parquet`` (default sf0.1; GRAFT_TRIPLE_ROUNDS
-tripling rounds, default 4 → ~48.6M edges / ~9.7M vertices; --scaling
-uses 5 rounds → ~146M edges). Also times the other headline pipelines.
-``--scaling`` reruns the headline in fresh processes at 8 and 32 CPUs
-(taskset-pinned) and reports throughput + scaling efficiency.
+tripling rounds, default 4 → ~48.6M edges / ~2.7M vertices; --scaling
+uses rounds 5 AND 6 → 146M / 437M edges for the differential). Also
+times the other headline pipelines. ``--scaling`` reruns the headline in
+fresh processes at 8 and 32 CPUs (taskset-pinned) and reports
+throughput + scaling efficiency.
 
 Usage: python bench.py [--scaling] [--quick]
 Env:   GRAFT_SF_DIR (input dir), RAY_GRAFT_CPUS (num_cpus, default 32)
