@@ -367,7 +367,13 @@ def run_scaling() -> dict:
     # real N->4N nodes bandwidth scales with node count (eff_bw = 1 by
     # construction), so this is the predictor for the north-rule bar.
     eff_pr_norm = eff_bsp / eff_bw if eff_bw else 0.0
+    # validity: the triad probe doubles as a contamination detector — the
+    # 32-core aggregate bandwidth can never be BELOW the 8-core one on a
+    # quiet host, so a lower reading means external load hit one child's
+    # window and every ratio in this run is garbage (discard and rerun)
+    contaminated = out[32]["triad_gbps"] < out[8]["triad_gbps"]
     return {
+        "contaminated": contaminated,
         "metric": "scaling_efficiency_8_to_32_cores",
         "value": round(eff_mh, 3),
         "unit": "efficiency",
