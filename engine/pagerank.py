@@ -205,12 +205,19 @@ def pagerank(
     checkpoint_every: int = 1,
     prepared: "_PreparedGraph | None" = None,
     shuffle_aggregate: bool = False,
+    teleport: np.ndarray | None = None,
 ) -> PageRankResult:
     """Run PageRank over an edge Dataset (original ids, any dtype).
 
     Stop when ``iterations`` supersteps have run, or when the L1 residual
     drops below ``eps`` (whichever is given; both → first hit). Exactly one
     of the two must be set.
+
+    ``teleport``: optional dense personalization vector t (length n,
+    Σt = 1) — PERSONALIZED PageRank: random jumps and dangling mass
+    restart from t instead of uniformly, i.e.
+    ``rank_k(v) = ((1-d) + d·Σ_sink rank_{k-1}) · t(v) + d·Σ_in ...``;
+    ``rank_0 = t``. ``teleport=None`` is classic PageRank (t uniform).
 
     ``shuffle_aggregate=False`` skips the per-superstep
     ``groupby("dst")`` (valid because the dense apply merges the few
@@ -223,7 +230,9 @@ def pagerank(
 
     g = prepared or _PreparedGraph(edges, num_blocks=num_blocks)
     n = g.n
-    rank = np.full(n, 1.0 / n)
+    if teleport is not None and len(teleport) != n:
+        raise ValueError(f"teleport length {len(teleport)} != n {n}")
+    rank = np.full(n, 1.0 / n) if teleport is None else teleport.astype(float).copy()
 
     heavy_ref = None
     if salted:
@@ -249,7 +258,10 @@ def pagerank(
             break
         it += 1
         t0 = time.perf_counter()
-        sink_sum = ((1.0 - d) + d * rank[g.sinks].sum()) / n
+        # restart coefficient: (1-d) jump mass + d × dangling mass, spread
+        # over the teleport distribution (uniform 1/n for classic PR)
+        coef = (1.0 - d) + d * rank[g.sinks].sum()
+        sink_sum = coef / n
         rank_ref = ray.put(rank)
         contrib = _make_contrib_fn(rank_ref, heavy_ref)
         partials = g.adj.map_batches(contrib, batch_format="pyarrow")
@@ -266,7 +278,7 @@ def pagerank(
             # scatter-add below merges those duplicates, so the groupby
             # shuffle is redundant — one map stage per superstep
             masses = partials
-        new = np.full(n, sink_sum)
+        new = np.full(n, sink_sum) if teleport is None else coef * teleport
         for b in masses.iter_batches(batch_format="pyarrow", batch_size=1 << 20):
             dv = b.column("dst").to_numpy(zero_copy_only=False)
             mv = b.column("mass").to_numpy(zero_copy_only=False)

@@ -159,6 +159,27 @@ def pagerank10(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def ppr10(sf_dir: str) -> ray.data.Dataset:
+    """Personalized PageRank, 10 supersteps, teleport mass concentrated on
+    the smallest-id vertex (dense vid 0 under the sort-by-id dictionary) —
+    the link-graph similarity/recommendation primitive. Oracle-checked via
+    the unrolled-CTE SQL with a CASE teleport base."""
+    from .pagerank import pagerank
+
+    edges, ids, enc, n, outdeg = _graph_arrays(sf_dir)
+    t = np.zeros(n)
+    t[0] = 1.0
+    res = pagerank(enc, iterations=10, teleport=t)
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "vid": pa.array(ids.astype(np.int64), type=pa.int64()),
+                "rank": pa.array(np.round(res.ranks, ROUND)),
+            }
+        )
+    )
+
+
 def cc_labels(sf_dir: str) -> ray.data.Dataset:
     """Connected components of the bipartite graph, oracle-checked against
     unrolled min-label-propagation SQL (plus pytest vs union-find)."""
@@ -670,6 +691,50 @@ def _pagerank_unrolled_sql(iters: int, decimals: int = ROUND) -> str:
     )
 
 
+def _ppr_unrolled_sql(iters: int, decimals: int = ROUND) -> str:
+    """DuckDB oracle for personalized PageRank (teleport mass entirely on
+    the smallest-id vertex), unrolled like ``_pagerank_unrolled_sql`` but
+    with base ``coef · t(v)`` where coef = (1-d) + d·Σ_sink rank and
+    t = 1 at the seed, 0 elsewhere; rank_0 = t."""
+    d = "0.85"
+    parts = [
+        f"""e AS MATERIALIZED (SELECT DISTINCT l_orderkey AS src,
+                 l_partkey + {PART_OFFSET} AS dst FROM lineitem),
+        v AS MATERIALIZED (SELECT src AS vid FROM e UNION SELECT dst FROM e),
+        seed AS MATERIALIZED (SELECT MIN(vid) AS s FROM v),
+        deg AS MATERIALIZED (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src),
+        r0 AS MATERIALIZED (
+            SELECT vid,
+                   CASE WHEN vid = (SELECT s FROM seed)
+                        THEN 1.0 ELSE 0.0 END AS rank
+            FROM v)"""
+    ]
+    for k in range(1, iters + 1):
+        p = k - 1
+        parts.append(
+            f"""s{k} AS MATERIALIZED (
+                SELECT (1.0 - {d}) + {d} * COALESCE(
+                    (SELECT SUM(rank) FROM r{p}
+                     WHERE vid NOT IN (SELECT src FROM e)), 0.0) AS c),
+        m{k} AS MATERIALIZED (
+                SELECT e.dst AS vid, SUM(r.rank / deg.outdeg) AS m
+                FROM e JOIN r{p} r ON e.src = r.vid
+                JOIN deg ON e.src = deg.src
+                GROUP BY e.dst),
+        r{k} AS MATERIALIZED (
+                SELECT v.vid,
+                       CASE WHEN v.vid = (SELECT s FROM seed)
+                            THEN (SELECT c FROM s{k}) ELSE 0.0 END
+                       + {d} * COALESCE(m{k}.m, 0.0) AS rank
+                FROM v LEFT JOIN m{k} ON v.vid = m{k}.vid)"""
+        )
+    return (
+        "WITH "
+        + ",\n        ".join(parts)
+        + f"\n        SELECT vid, ROUND(rank, {decimals}) AS rank FROM r{iters}"
+    )
+
+
 def _cc_unrolled_sql(rounds: int) -> str:
     """DuckDB oracle for connected components: ``rounds`` unrolled
     min-label-propagation steps over the symmetrized edge set (label =
@@ -781,6 +846,7 @@ ORACLE_SQL: dict[str, str] = {
     "toprank_superstep": None,  # filled below (reuses pr_superstep1 SQL)
     "ranksum_superstep": None,
     "pagerank10": _pagerank_unrolled_sql(10),
+    "ppr10": _ppr_unrolled_sql(10),
     "cc_labels": _cc_unrolled_sql(14),
     "triangles_tripartite": f"""
         WITH e1 AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
@@ -981,6 +1047,7 @@ QUERIES = {
     "toprank_superstep": toprank_superstep,
     "ranksum_superstep": ranksum_superstep,
     "pagerank10": pagerank10,
+    "ppr10": ppr10,
     "cc_labels": cc_labels,
     "triangles_tripartite": triangles_tripartite,
     "sha256_documents": sha256_documents,

@@ -29,6 +29,37 @@ def test_pagerank_matches_reference_goldens(name):
     assert math.isclose(sum(got.values()), 1.0, abs_tol=1e-9)
 
 
+def test_personalized_pagerank_matches_numpy():
+    """PPR with teleport mass split over two seeds vs a dense numpy
+    reference on the cyclic 'small' fixture (exercises both the teleport
+    base and the dangling restart-to-seed path)."""
+    path = FIXTURES["small"]
+    edges = read_snap_edges_local(path)
+    ids = sorted({v for e in edges for v in e})
+    pos = {v: i for i, v in enumerate(ids)}
+    n = len(ids)
+    t = np.zeros(n)
+    t[pos[ids[0]]] = 0.7
+    t[pos[ids[3]]] = 0.3
+    # dense reference
+    outdeg = np.zeros(n)
+    for s, _ in edges:
+        outdeg[pos[s]] += 1
+    d = 0.85
+    rank = t.copy()
+    for _ in range(10):
+        contrib = np.zeros(n)
+        for s, dst in edges:
+            contrib[pos[dst]] += rank[pos[s]] / outdeg[pos[s]]
+        coef = (1 - d) + d * rank[outdeg == 0].sum()
+        rank = coef * t + d * contrib
+    res = pagerank(read_snap(path), iterations=10, teleport=t)
+    got = res.as_dict()
+    for i, v in enumerate(ids):
+        assert abs(got[v] - rank[i]) < 1e-12, v
+    assert math.isclose(sum(got.values()), 1.0, abs_tol=1e-9)
+
+
 def test_pagerank_l1_stop():
     path = FIXTURES["mini"]
     res = pagerank(read_snap(path), eps=1e-6)
