@@ -76,17 +76,46 @@ class IVFIndex:
         self.centroids = centroids  # (C, dim), L2-normalized
 
 
+def default_num_centroids(total_rows: int) -> int:
+    """√N centroid heuristic: per-bucket all-pairs work is O((N/C)²·C), so
+    C ≈ √N balances bucket size against centroid-assignment cost."""
+    return int(np.clip(np.sqrt(max(total_rows, 1)), 4, 4096))
+
+
 def _fit_centroids(
     ds: ray.data.Dataset,
-    num_centroids: int = 16,
+    num_centroids: int | None = None,
     sample_rows: int = 2048,
     id_col: str = "vec_id",
     col: str = "embedding",
 ) -> np.ndarray:
-    """Deterministic centroids: first ``sample_rows`` by id, farthest-point
-    seeding + 5 Lloyd steps on the sample (driver-side numpy on the small
-    sample only). Returns an (C, dim) L2-normalized matrix."""
-    sample = ds.sort(id_col).limit(sample_rows).take_all()
+    """Deterministic centroids from a HASH-FILTERED sample — one streaming
+    ``map_batches`` pass keeps rows whose multiplicative id hash ≡ 0
+    (mod N/sample_rows); no global sort just to read ~2k rows. Farthest-
+    point seeding + 5 Lloyd steps on the sample (driver-side numpy on the
+    small sample only). ``num_centroids=None`` → √N heuristic. Returns an
+    (C, dim) L2-normalized matrix."""
+    total = ds.count()
+    if num_centroids is None:
+        num_centroids = default_num_centroids(total)
+    stride = max(1, total // sample_rows)
+    if stride > 1:
+
+        def samp(batch: pa.Table) -> pa.Table:
+            ids = (
+                batch.column(id_col)
+                .to_numpy(zero_copy_only=False)
+                .astype(np.uint64)
+            )
+            h = (ids * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)
+            return batch.filter(pa.array(h % np.uint64(stride) == 0))
+
+        sample = ds.map_batches(samp, batch_format="pyarrow").take_all()
+    else:
+        sample = ds.take_all()
+    # deterministic regardless of block arrival order: sort by id, cap
+    sample.sort(key=lambda r: r[id_col])
+    sample = sample[: 2 * sample_rows]
     m = np.array([np.asarray(r[col], dtype=np.float64) for r in sample])
     m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
     c = [m[0]]
@@ -106,13 +135,13 @@ def _fit_centroids(
 
 def ivf_build(
     ds: ray.data.Dataset,
-    num_centroids: int = 16,
+    num_centroids: int | None = None,
     sample_rows: int = 2048,
     id_col: str = "vec_id",
     col: str = "embedding",
 ) -> IVFIndex:
-    """Fit centroids on a deterministic sample, then a distributed
-    nearest-centroid assignment pass."""
+    """Fit centroids on a deterministic sample (``None`` → √N heuristic),
+    then a distributed nearest-centroid assignment pass."""
     cent = _fit_centroids(ds, num_centroids, sample_rows, id_col, col)
     cent_ref = ray.put(cent)
 

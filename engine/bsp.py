@@ -558,11 +558,11 @@ def bsp_pagerank(
     from .pagerank import PageRankResult
 
     if dictionary == "auto":
-        dictionary = (
-            "service"
-            if edges.count() >= G.join_dict_edge_threshold()
-            else "broadcast"
-        )
+        if edges.count() >= G.join_dict_edge_threshold():
+            # numeric ids → hash-sharded service; string ids → Dataset join
+            dictionary = "service" if G.ids_are_numeric(edges) else "join"
+        else:
+            dictionary = "broadcast"
     if dictionary in ("join", "service"):
         verts, n = G.vertices_dataset(edges)
         encode = (

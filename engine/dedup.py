@@ -517,7 +517,7 @@ def embedding_near_dups(
 def embedding_near_dups_ivf(
     ds: ray.data.Dataset,
     threshold: float = 0.95,
-    num_centroids: int = 16,
+    num_centroids: int | None = None,
     assign_top: int = 2,
     id_col: str = "vec_id",
     col: str = "embedding",

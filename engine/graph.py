@@ -184,6 +184,18 @@ def join_dict_edge_threshold() -> int:
     return int(os.environ.get("GRAFT_JOIN_DICT_EDGES", 500_000_000))
 
 
+def ids_are_numeric(edges: ray.data.Dataset) -> bool:
+    """True if the edge src/dst columns hold integer ids. The hash-sharded
+    dictionary service routes by multiplicative hash of the numeric id
+    (``_id_shard``); string-id graphs must take the ``join`` path instead."""
+    schema = edges.schema()
+    types = dict(zip(schema.names, schema.types))
+    return all(
+        isinstance(types[c], pa.DataType) and pa.types.is_integer(types[c])
+        for c in ("src", "dst")
+    )
+
+
 def join_partitions_for(edges: ray.data.Dataset) -> int:
     """Hash-join partition count: scale with cluster CPUs but stay BELOW
     the CPU count (hash join spawns one aggregator actor per partition;
@@ -261,11 +273,27 @@ class _DictShard:
         return len(ids)
 
     def lookup(self, q: np.ndarray) -> np.ndarray:
-        if len(self.ids) == 0:
+        """Vectorized id → vid. Raises ``KeyError`` on any id absent from
+        the dictionary: ``encode_edges_service`` accepts a caller-supplied
+        ``vertices`` dataset, and a partial dictionary must fail loudly
+        instead of silently encoding a clamped (wrong) vid."""
+        if len(q) == 0:
             return np.empty(0, np.uint64)
+        if len(self.ids) == 0:
+            raise KeyError(
+                f"{len(q)} ids not in vertex dictionary (empty shard); "
+                f"first missing id: {q[0]!r}"
+            )
         idx = np.searchsorted(self.ids, q)
-        idx[idx >= len(self.ids)] = len(self.ids) - 1
-        return self.vids[idx]
+        clamped = np.minimum(idx, len(self.ids) - 1)
+        miss = self.ids[clamped] != q
+        if miss.any():
+            missing = q[miss]
+            raise KeyError(
+                f"{len(missing)} ids not in vertex dictionary; "
+                f"first missing id: {missing[0]!r}"
+            )
+        return self.vids[clamped]
 
 
 def _id_shard(a: np.ndarray, P: int) -> np.ndarray:

@@ -27,6 +27,7 @@ match the sequential reference to allclose 1e-6 at the same iteration count
 
 from __future__ import annotations
 
+import math
 import time
 from dataclasses import dataclass, field
 
@@ -111,11 +112,12 @@ class _PreparedGraph:
         dictionary: str = "auto",
     ):
         if dictionary == "auto":
-            dictionary = (
-                "service"
-                if edges.count() >= G.join_dict_edge_threshold()
-                else "broadcast"
-            )
+            if edges.count() >= G.join_dict_edge_threshold():
+                # the hash-sharded service routes by numeric-id hash; string
+                # ids must fall back to the pure-Dataset hash join
+                dictionary = "service" if G.ids_are_numeric(edges) else "join"
+            else:
+                dictionary = "broadcast"
         if dictionary in ("join", "service"):
             verts, _n = G.vertices_dataset(edges)
             encode = (
@@ -230,9 +232,17 @@ def pagerank(
 
     g = prepared or _PreparedGraph(edges, num_blocks=num_blocks)
     n = g.n
-    if teleport is not None and len(teleport) != n:
-        raise ValueError(f"teleport length {len(teleport)} != n {n}")
-    rank = np.full(n, 1.0 / n) if teleport is None else teleport.astype(float).copy()
+    if teleport is not None:
+        teleport = np.asarray(teleport, dtype=np.float64)
+        if len(teleport) != n:
+            raise ValueError(f"teleport length {len(teleport)} != n {n}")
+        if np.any(teleport < 0):
+            raise ValueError("teleport vector has negative entries")
+        if not math.isclose(float(teleport.sum()), 1.0, rel_tol=1e-9, abs_tol=1e-12):
+            raise ValueError(
+                f"teleport vector must sum to 1 (got {teleport.sum()!r})"
+            )
+    rank = np.full(n, 1.0 / n) if teleport is None else teleport.copy()
 
     heavy_ref = None
     if salted:

@@ -28,6 +28,7 @@ from .ingest import sha256_column
 PART_OFFSET = 10_000_000
 SUPP_OFFSET = 20_000_000
 ROUND = 9  # decimals for float compare columns
+_CC_ORACLE_ROUNDS = 14  # unroll depth of the cc_labels SQL oracle
 
 
 def _li(sf_dir: str, columns):
@@ -87,7 +88,7 @@ def sinks(sf_dir: str) -> ray.data.Dataset:
     anti = verts.join(
         srcs,
         join_type="left_anti",
-        num_partitions=4,
+        num_partitions=G.join_partitions_for(edges),
         on=("dst",),
         right_on=("src",),
     )
@@ -185,7 +186,15 @@ def cc_labels(sf_dir: str) -> ray.data.Dataset:
     unrolled min-label-propagation SQL (plus pytest vs union-find)."""
     from .components import connected_components_dataset
 
-    ds, _ = connected_components_dataset(edges_project(sf_dir))
+    ds, rounds = connected_components_dataset(edges_project(sf_dir))
+    # the SQL oracle unrolls exactly _CC_ORACLE_ROUNDS min-label rounds; a
+    # graph whose labelling radius exceeds that would FALSELY mismatch, so
+    # fail loudly here instead (raise the unroll depth if this ever trips)
+    if rounds > _CC_ORACLE_ROUNDS:
+        raise RuntimeError(
+            f"cc_labels converged in {rounds} rounds but the SQL oracle "
+            f"unrolls only {_CC_ORACLE_ROUNDS} — raise _CC_ORACLE_ROUNDS"
+        )
     return ds.rename_columns({"id": "vid"}).map_batches(
         lambda t: pa.table(
             {
@@ -439,11 +448,14 @@ def simhash_fingerprints(sf_dir: str) -> ray.data.Dataset:
     DuckDB's md5_number_lower(), so the fingerprint is reproducible in
     pure SQL (bit-vote unrolled over generate_series(0,63))."""
     from .dedup import SimHasher
+    from .util import default_concurrency
 
     ds = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
-    sh = ds.map_batches(SimHasher, batch_format="pyarrow", concurrency=2)
+    sh = ds.map_batches(
+        SimHasher, batch_format="pyarrow", concurrency=default_concurrency()
+    )
 
     # one row per doc: the 4 chunk rows all carry the same fingerprint —
     # slice chunk 0 instead of a groupby (Ray's hash aggregate runs
@@ -847,7 +859,7 @@ ORACLE_SQL: dict[str, str] = {
     "ranksum_superstep": None,
     "pagerank10": _pagerank_unrolled_sql(10),
     "ppr10": _ppr_unrolled_sql(10),
-    "cc_labels": _cc_unrolled_sql(14),
+    "cc_labels": _cc_unrolled_sql(14),  # depth guarded in cc_labels()
     "triangles_tripartite": f"""
         WITH e1 AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
              e2 AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),

@@ -49,18 +49,32 @@ def topk_per_group(
     sort_cols = [key_col, order_col] + other
     sort_desc = [False, descending] + [False] * len(other)
 
+    def _sort_key(col: np.ndarray, desc: bool = False) -> np.ndarray:
+        """Exact lexsort key for any comparable dtype. Plain negation only
+        for signed/float (unsigned would wrap mod 2^64 — an order value of
+        0 would outrank everything; strings would TypeError); everything
+        else goes through an exact per-batch rank transform (``np.unique``
+        inverse), which preserves the total order and keeps object arrays
+        out of ``np.lexsort``."""
+        if col.dtype.kind in "if":
+            return -col if desc else col
+        _, inv = np.unique(col, return_inverse=True)
+        inv = inv.astype(np.int64)
+        return -inv if desc else inv
+
     def partial(t: pa.Table) -> pa.Table:
         if len(t) == 0:
             return t
         keys = t.column(key_col).to_numpy(zero_copy_only=False)
         order = t.column(order_col).to_numpy(zero_copy_only=False)
-        o = -order if descending else order
+        o = _sort_key(order, descending)
         # same full tie-break as the global sort, least-significant first —
         # a boundary tie pruned by a weaker order would corrupt the result
         tie = [
-            t.column(c).to_numpy(zero_copy_only=False) for c in reversed(other)
+            _sort_key(t.column(c).to_numpy(zero_copy_only=False))
+            for c in reversed(other)
         ]
-        perm = np.lexsort(tuple(tie) + (o, keys))
+        perm = np.lexsort(tuple(tie) + (o, _sort_key(keys)))
         ranks = _run_ranks(keys[perm])
         keep = perm[ranks < k]
         keep.sort()  # preserve input order of survivors

@@ -49,10 +49,33 @@ def _oriented(edges: ray.data.Dataset):
     enc = G.encode_edges(edges, ids)
     und = G.undirected_edges(enc).materialize()
 
-    deg = np.zeros(n, dtype=np.int64)
-    for b in und.iter_batches(batch_format="pyarrow", batch_size=1 << 20):
-        np.add.at(deg, b.column("a").to_numpy(zero_copy_only=False).astype(np.int64), 1)
-        np.add.at(deg, b.column("b").to_numpy(zero_copy_only=False).astype(np.int64), 1)
+    # distributed degree count: per-batch (vertex, count) partials — one
+    # row per distinct vertex per batch — merged on the driver with one
+    # bincount per partial block (the engine/graph.py dense_out_degrees
+    # pattern); the driver never iterates edge rows
+    def _deg_partial(batch: pa.Table) -> pa.Table:
+        both = np.concatenate(
+            [
+                batch.column("a").to_numpy(zero_copy_only=False).astype(np.int64),
+                batch.column("b").to_numpy(zero_copy_only=False).astype(np.int64),
+            ]
+        )
+        uniq, cnt = np.unique(both, return_counts=True)
+        return pa.table(
+            {"v": pa.array(uniq), "cnt": pa.array(cnt.astype(np.int64))}
+        )
+
+    deg = np.zeros(n, dtype=np.float64)
+    partials = und.map_batches(
+        _deg_partial, batch_format="pyarrow", batch_size=None
+    )
+    for b in partials.iter_batches(batch_format="pyarrow", batch_size=1 << 20):
+        deg += np.bincount(
+            b.column("v").to_numpy(zero_copy_only=False),
+            weights=b.column("cnt").to_numpy(zero_copy_only=False),
+            minlength=n,
+        )
+    deg = deg.astype(np.int64)
     okey = deg * np.int64(n) + np.arange(n, dtype=np.int64)
     # extra slots so sentinel vids n..n+2 (join path) have a defined order
     okey = np.concatenate([okey, okey.max() + 1 + np.arange(3, dtype=np.int64)])

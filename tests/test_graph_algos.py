@@ -112,6 +112,45 @@ def test_encode_service_sparse_ids():
     assert n == 4 and got == want
 
 
+def test_encode_service_unknown_id_raises():
+    """A caller-supplied partial dictionary must fail loudly, not silently
+    clamp-encode unseen ids to a wrong vid."""
+    from engine import graph as G
+
+    edges = _ds([(1, 2), (2, 3), (3, 1)])
+    # partial dictionary: id 3 is missing
+    verts = ray.data.from_arrow(
+        pa.table(
+            {
+                "id": pa.array([1, 2], type=pa.uint64()),
+                "vid": pa.array([0, 1], type=pa.uint64()),
+            }
+        )
+    )
+    enc, _n = G.encode_edges_service(edges, vertices=verts, num_shards=2)
+    with pytest.raises(Exception, match="not in vertex dictionary"):
+        enc.take_all()
+
+
+def test_auto_dictionary_string_ids(monkeypatch):
+    """auto above the join-dict threshold must route STRING-id graphs to
+    the Dataset join (the hash service requires numeric ids)."""
+    from engine.pagerank import pagerank
+
+    monkeypatch.setenv("GRAFT_JOIN_DICT_EDGES", "1")
+    edges = ray.data.from_arrow(
+        pa.table(
+            {
+                "src": pa.array(["a", "b", "c", "a"], type=pa.string()),
+                "dst": pa.array(["b", "c", "a", "c"], type=pa.string()),
+            }
+        )
+    )
+    res = pagerank(edges, iterations=3)
+    assert sorted(res.ids.tolist()) == ["a", "b", "c"]
+    np.testing.assert_allclose(res.ranks.sum(), 1.0, atol=1e-9)
+
+
 def test_prepared_graph_service_dictionary():
     """PageRank through the dictionary-service build equals broadcast."""
     from engine.pagerank import _PreparedGraph, pagerank

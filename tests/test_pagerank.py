@@ -60,6 +60,23 @@ def test_personalized_pagerank_matches_numpy():
     assert math.isclose(sum(got.values()), 1.0, abs_tol=1e-9)
 
 
+def test_ppr_invalid_teleport_rejected():
+    """A teleport vector with negative entries or Σt ≠ 1 must raise, not
+    silently produce non-probability ranks."""
+    import pytest
+
+    path = FIXTURES["mini"]
+    edges = read_snap_edges_local(path)
+    n = len({v for e in edges for v in e})
+    bad_sum = np.full(n, 0.9 / n)
+    with pytest.raises(ValueError, match="sum to 1"):
+        pagerank(read_snap(path), iterations=1, teleport=bad_sum)
+    neg = np.full(n, 1.0 / n)
+    neg[0], neg[1] = -0.5, neg[1] + 0.5 + 1.0 / n
+    with pytest.raises(ValueError, match="negative"):
+        pagerank(read_snap(path), iterations=1, teleport=neg)
+
+
 def test_pagerank_l1_stop():
     path = FIXTURES["mini"]
     res = pagerank(read_snap(path), eps=1e-6)

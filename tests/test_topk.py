@@ -61,3 +61,42 @@ def test_topk_ties_at_boundary():
 def test_topk_groups_smaller_than_k():
     df = pd.DataFrame({"key": [1, 2, 2, 3], "val": [9, 1, 2, 7], "tag": [0, 1, 2, 3]})
     _check(df, k=5, num_partitions=3)
+
+
+def test_topk_unsigned_order_with_zero():
+    """uint64 order column containing 0: plain unary-minus negation would
+    wrap mod 2^64 (0 stays MINIMAL instead of becoming maximal) and the
+    combiner would prune genuine top-k rows."""
+    df = pd.DataFrame(
+        {
+            "key": np.repeat(np.arange(5), 8),
+            "val": np.tile(np.array([0, 7, 3, 9, 0, 5, 1, 8], dtype=np.uint64), 5),
+            "tag": np.arange(40),
+        }
+    )
+    df["val"] = df["val"].astype(np.uint64)
+    _check(df, k=2, num_partitions=4)
+    # explicitly: no zero survives (zeros are the WORST values here)
+    ds = ray.data.from_pandas(df).repartition(4)
+    got = topk_per_group(ds, key_col="key", order_col="val", k=2).to_pandas()
+    assert (got["val"].to_numpy().astype(np.int64) > 0).all()
+
+
+def test_topk_string_order_column():
+    """String order column: negation would TypeError; the rank transform
+    keeps the combiner exact."""
+    df = pd.DataFrame(
+        {
+            "key": [0, 0, 0, 1, 1, 1],
+            "val": ["b", "z", "a", "m", "c", "x"],
+            "tag": [0, 1, 2, 3, 4, 5],
+        }
+    )
+    ds = ray.data.from_pandas(df).repartition(3)
+    got = (
+        topk_per_group(ds, key_col="key", order_col="val", k=1)
+        .to_pandas()
+        .sort_values("key")
+        .reset_index(drop=True)
+    )
+    assert got["val"].tolist() == ["z", "x"]
