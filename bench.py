@@ -230,6 +230,14 @@ def run_bench(quick: bool = False) -> dict:
     t0 = time.perf_counter()
     g = _PreparedGraph(edges, global_sort=True)
     queries["pagerank_ds_prepare"] = round(time.perf_counter() - t0, 3)
+    # one warm-up superstep before timing: the first executions after the
+    # prepare's big sort contend with Ray's ASYNC cleanup of the shuffle
+    # intermediates (measured 2-4× slower early steps that decay over ~4
+    # supersteps); the warm-up wall is recorded so the cold cost stays
+    # visible rather than hidden
+    t0 = time.perf_counter()
+    pagerank(edges, iterations=1, prepared=g)
+    queries["pagerank_ds_warmup_1"] = round(time.perf_counter() - t0, 3)
     t0 = time.perf_counter()
     res = pagerank(edges, iterations=SUPERSTEPS, prepared=g)
     ds_wall = time.perf_counter() - t0

@@ -12,20 +12,22 @@ long-lived Ray actors, so nothing is O(V) on any single process:
   ``src % P`` and call ``ingest`` on the owning actors — the driver never
   sees an edge.
 - The exchange topology is STATIC and shipped once: each shard's combined
-  destination-id slices (sorted, contiguous per target shard) go to their
-  receivers at setup; receivers precompute a permutation + segment
-  boundaries. Per superstep only the VALUE arrays move, and every combine
-  is ``np.add/minimum.reduceat`` over precomputed segments — no hashing,
+  destination-id slices (sorted, contiguous per target shard) AND every
+  shard's per-target slice boundaries go to the receivers at setup;
+  receivers precompute a permutation + segment boundaries. Per superstep
+  only the VALUE arrays move, and every combine is
+  ``np.add/minimum.reduceat`` over precomputed segments — no hashing,
   no ``ufunc.at``, no re-serialized ids.
 - A superstep is exactly TWO actor waves: (1) emit — each actor combines
   its local contributions per destination with one ``reduceat`` and ships
-  one contiguous value array per destination shard; (2) apply — each actor
-  merges its incoming slices (vector ``ray.get``), applies
-  ``new = sink_sum + d·mass`` (ref update rule: src/Graph.cpp:142-155,
-  sink_sum per src/Graph.cpp:135-140) and returns its local L1 residual
-  AND its new dangling-rank sum, which feeds the next superstep's
-  sink_sum with no extra collective. Driver traffic: 2·P RPCs + P² tiny
-  ObjectRefs — never vertex data.
+  its combined value array as ONE object; (2) apply — each actor resolves
+  the P source arrays (zero-copy plasma on-node), slices its own window
+  via the static bounds, applies ``new = sink_sum + d·mass`` (ref update
+  rule: src/Graph.cpp:142-155, sink_sum per src/Graph.cpp:135-140) and
+  returns its local L1 residual AND its new dangling-rank sum, which
+  feeds the next superstep's sink_sum with no extra collective. Driver
+  traffic: 2·P RPCs + P tiny ObjectRefs per superstep — never vertex
+  data (see ``set_sources`` for the multi-node slice-grouping note).
 
 Connected components run on the same actors with min-label combines
 (north-rule N4). Checkpoint/resume writes one parquet per shard per
@@ -113,7 +115,6 @@ class ShardActor:
 
         self.rank = np.full(self.n_owned, 1.0 / n_total) if n_total else np.empty(0)
         self.label = np.arange(self.sid, n_total, self.P, dtype=np.int64)
-        self._incoming: list = []
         self._in_ready = False
         return {
             "shard": self.sid,
@@ -133,9 +134,25 @@ class ShardActor:
             out.append(ray.put(self.uniq_dst[lo:hi].copy()))
         return out
 
-    def set_sources(self, id_refs: list) -> None:
-        """Receive every source shard's static id slice for this target;
-        precompute the merge permutation + segment boundaries."""
+    def get_route_bounds(self) -> np.ndarray:
+        """This shard's static per-target slice boundaries into its
+        combined value array (P+1 ints, shipped once to every receiver)."""
+        return self.route_bounds
+
+    def set_sources(self, id_refs: list, src_bounds: list) -> None:
+        """Receive every source shard's static id slice for this target
+        plus every source's route_bounds; precompute the merge permutation
+        + segment boundaries. ``src_bounds`` lets ``apply_*`` slice its own
+        window out of each source's SINGLE combined value array — the
+        per-superstep exchange then needs one ``ray.put`` per SOURCE
+        (O(P) objects/refs total) instead of one per (source, target) pair
+        (O(P²)). Trade-off: every shard fetches every source's full
+        combined array; on one node that is a zero-copy plasma read, on a
+        P-node cluster it is a P× network amplification versus per-slice
+        objects — at that scale group the slices per target NODE (one
+        object per node, not per shard), which restores O(nodes) traffic
+        while keeping O(P) driver refs."""
+        self._src_bounds = [np.asarray(b) for b in src_bounds]
         slices = ray.get(list(id_refs))
         self._src_sizes = [len(s) for s in slices]
         if sum(self._src_sizes) == 0:
@@ -152,6 +169,16 @@ class ShardActor:
         self.in_target = uniq_loc
         self._in_ready = True
 
+    def _incoming_slices(self, refs: list) -> list:
+        """Resolve the P source value arrays (one vector ``ray.get``) and
+        slice this target's window out of each, source order."""
+        full = ray.get(list(refs))
+        t = self.sid
+        return [
+            np.asarray(a)[self._src_bounds[s][t] : self._src_bounds[s][t + 1]]
+            for s, a in enumerate(full)
+        ]
+
     # ---- PageRank -------------------------------------------------------
 
     def reset_ranks(self) -> None:
@@ -160,31 +187,24 @@ class ShardActor:
     def sink_rank_sum(self) -> float:
         return float(self.rank[self.is_sink].sum())
 
-    def emit_mass(self) -> list:
+    def emit_mass(self):
         """Combine local contributions per compact dst (one ``reduceat``
-        over the dst-sorted edge array), ship one contiguous slice per
-        destination shard."""
+        over the dst-sorted edge array); ship the WHOLE combined array as
+        ONE object — receivers slice their window via the static
+        route_bounds (see ``set_sources``)."""
         w = self.rank * self.inv_outdeg
         vals = w[self.edge_src_local]  # edges already in dst-sorted order
         if len(vals):
             mass = np.add.reduceat(vals, self.edge_starts)
         else:
             mass = np.empty(0, np.float64)
-        out = []
-        for t in range(self.P):
-            lo, hi = self.route_bounds[t], self.route_bounds[t + 1]
-            out.append(ray.put(mass[lo:hi]))
-        return out
-
-    def receive(self, refs: list) -> None:
-        """This shard's slice refs from every source shard, source order."""
-        self._incoming = refs
+        return ray.put(mass)
 
     def apply_rank(self, refs: list, sink_sum: float, d: float) -> tuple:
         """One wave: resolve incoming mass slices, apply the update, return
         (local L1, dangling-rank sum of the NEW ranks) — the latter feeds
         the next superstep's sink_sum without a separate collective."""
-        parts = [np.asarray(p) for p in ray.get(list(refs))]  # one vector get
+        parts = self._incoming_slices(refs)
         mass_local = np.zeros(self.n_owned)
         if parts and self.in_perm.size:
             concat = np.concatenate(parts)
@@ -197,20 +217,16 @@ class ShardActor:
 
     # ---- Connected components (min-label) -------------------------------
 
-    def emit_min_label(self) -> list:
+    def emit_min_label(self):
         vals = self.label[self.edge_src_local]  # already in dst-sorted order
         if len(vals):
             mins = np.minimum.reduceat(vals, self.edge_starts)
         else:
             mins = np.empty(0, np.int64)
-        out = []
-        for t in range(self.P):
-            lo, hi = self.route_bounds[t], self.route_bounds[t + 1]
-            out.append(ray.put(mins[lo:hi]))
-        return out
+        return ray.put(mins)  # one object; receivers slice via route_bounds
 
     def apply_min_label(self, refs: list) -> int:
-        parts = [np.asarray(p) for p in ray.get(list(refs))]
+        parts = self._incoming_slices(refs)
         new = self.label.copy()
         if parts and self.in_perm.size:
             concat = np.concatenate(parts)
@@ -222,10 +238,12 @@ class ShardActor:
 
     # ---- Label propagation (per-shard label-count combine) --------------
 
-    def emit_label_counts(self) -> list:
+    def emit_label_counts(self):
         """LPA emit: count (dst, label) pairs locally (the per-shard
-        combine), ship one (dst_ids, labels, counts) triple per target
-        shard — message volume is distinct (dst, label) pairs, not edges."""
+        combine), ship ONE (dst_ids, labels, counts, per-target positions)
+        object — message volume is distinct (dst, label) pairs, not edges.
+        Unlike PR/CC the slice positions depend on which pairs exist this
+        round, so they travel with the payload."""
         vals = self.label[self.edge_src_local]
         base = np.int64(self.n_total + 1)
         key = self.edge_dst_idx.astype(np.int64) * base + vals
@@ -234,18 +252,19 @@ class ShardActor:
         lbl = (uk % base).astype(np.int64)
         gdst = self.uniq_dst[dst_idx]
         pos = np.searchsorted(dst_idx, self.route_bounds)
-        out = []
-        for t in range(self.P):
-            lo, hi = pos[t], pos[t + 1]
-            out.append(ray.put((gdst[lo:hi], lbl[lo:hi], cnt[lo:hi].astype(np.int64))))
-        return out
+        return ray.put((gdst, lbl, cnt.astype(np.int64), pos))
 
     def apply_mode_label(self, refs: list) -> int:
         """LPA apply: merge incoming (dst, label, count) triples, take the
         most frequent label per owned vertex (tie → smallest label).
         Vertices with no incoming keep their label."""
-        parts = ray.get(list(refs))
-        parts = [p for p in parts if len(p[0])]
+        full = ray.get(list(refs))
+        t = self.sid
+        parts = []
+        for gd_a, lb_a, ct_a, pos in full:
+            lo, hi = pos[t], pos[t + 1]
+            if hi > lo:
+                parts.append((gd_a[lo:hi], lb_a[lo:hi], ct_a[lo:hi]))
         if not parts:
             return 0
         gd = np.concatenate([p[0] for p in parts])
@@ -346,19 +365,24 @@ class BSPGraph:
         )
         self.shard_stats = ray.get([a.finalize.remote(n) for a in self.actors])
         self.num_sinks = sum(s["sinks"] for s in self.shard_stats)
-        # ship the static exchange topology once
+        # ship the static exchange topology once (id slices + every
+        # source's route_bounds, so per-superstep value exchange is ONE
+        # object per source shard — O(P) driver refs, not O(P²))
         id_slices = ray.get([a.static_id_slices.remote() for a in self.actors])
+        bounds = ray.get([a.get_route_bounds.remote() for a in self.actors])
         ray.get(
             [
-                self.actors[t].set_sources.remote([id_slices[s][t] for s in range(P)])
+                self.actors[t].set_sources.remote(
+                    [id_slices[s][t] for s in range(P)], bounds
+                )
                 for t in range(P)
             ]
         )
 
     def _emit(self, emit_method: str) -> list:
-        """Emit wave; returns per-target lists of incoming refs."""
-        emitted = ray.get([getattr(a, emit_method).remote() for a in self.actors])
-        return [[emitted[s][t] for s in range(self.P)] for t in range(self.P)]
+        """Emit wave; returns the P per-source combined-value refs (every
+        target receives the same list and slices its own window)."""
+        return ray.get([getattr(a, emit_method).remote() for a in self.actors])
 
     def pagerank(
         self,
@@ -406,10 +430,7 @@ class BSPGraph:
             sink_sum = ((1.0 - d) + d * sink_total) / self.n
             incoming = self._emit("emit_mass")
             results = ray.get(
-                [
-                    a.apply_rank.remote(incoming[t], sink_sum, d)
-                    for t, a in enumerate(self.actors)
-                ]
+                [a.apply_rank.remote(incoming, sink_sum, d) for a in self.actors]
             )
             l1 = sum(r[0] for r in results)
             sink_total = sum(r[1] for r in results)
@@ -470,12 +491,7 @@ class BSPGraph:
             rounds += 1
             incoming = self._emit("emit_min_label")
             changed = sum(
-                ray.get(
-                    [
-                        a.apply_min_label.remote(incoming[t])
-                        for t, a in enumerate(self.actors)
-                    ]
-                )
+                ray.get([a.apply_min_label.remote(incoming) for a in self.actors])
             )
             if changed == 0:
                 break
@@ -492,10 +508,7 @@ class BSPGraph:
         for _ in range(iterations):
             incoming = self._emit("emit_label_counts")
             ray.get(
-                [
-                    a.apply_mode_label.remote(incoming[t])
-                    for t, a in enumerate(self.actors)
-                ]
+                [a.apply_mode_label.remote(incoming) for a in self.actors]
             )
         return self.state_dataset("label")
 

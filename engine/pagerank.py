@@ -142,30 +142,68 @@ class _PreparedGraph:
         nz = self.outdeg > 0
         inv[nz] = 1.0 / self.outdeg[nz]
         inv_ref = ray.put(inv)
+        self.global_sort = global_sort
         self.adj = _attach_inv_and_sort(enc, inv_ref, global_sort).materialize()
         self.num_edges = self.adj.count()
 
 
+def _combine_block(batch: pa.Table, rank: np.ndarray):
+    """Per-block combine: (dst, mass=Σ rank[src]/outdeg[src]) with dst
+    unique within the block (dst is block-sorted → boundary scan)."""
+    src = batch.column("src").to_numpy(zero_copy_only=False)
+    dst = batch.column("dst").to_numpy(zero_copy_only=False)
+    inv = batch.column("inv_outdeg").to_numpy(zero_copy_only=False)
+    mass = rank[src] * inv
+    if len(dst) == 0:
+        return src, dst, mass
+    bounds = np.flatnonzero(np.diff(dst)) + 1
+    starts = np.concatenate(([0], bounds))
+    return src, dst[starts], np.add.reduceat(mass, starts)
+
+
+def _make_segment_fn(rank_ref):
+    """Contribution task for the DISTRIBUTED apply: each (globally
+    dst-sorted) adjacency block combines its masses and emits ONE row — a
+    dense float64 mass segment covering the block's contiguous dst range.
+    The per-vertex scatter-add happens here, inside the task; the driver
+    only merges O(num_blocks) segments with vectorized `+=` (segments
+    overlap by at most one dst at block boundaries, and carrying raw mass
+    means overlaps simply accumulate)."""
+
+    schema = pa.schema(
+        [("lo", pa.int64()), ("seg", pa.large_list(pa.float64()))]
+    )
+
+    def contrib_seg(batch: pa.Table) -> pa.Table:
+        rank = ray.get(rank_ref)
+        _src, out_dst, out_mass = _combine_block(batch, rank)
+        if len(out_dst) == 0:
+            return pa.table(
+                {"lo": pa.array([], type=pa.int64()),
+                 "seg": pa.array([], type=pa.large_list(pa.float64()))},
+                schema=schema,
+            )
+        lo = int(out_dst[0])
+        seg = np.zeros(int(out_dst[-1]) - lo + 1)
+        seg[out_dst.astype(np.int64) - lo] = out_mass
+        return pa.table(
+            {"lo": pa.array([lo], type=pa.int64()),
+             "seg": pa.array([seg], type=pa.large_list(pa.float64()))},
+            schema=schema,
+        )
+
+    return contrib_seg
+
+
 def _make_contrib_fn(rank_ref, heavy_ref=None, num_salts: int = 8):
-    """Stateless contribution task. ``ray.get(rank_ref)`` is a zero-copy
-    plasma read per task (O(1), shared per node) — cheaper than spinning a
-    fresh actor pool every superstep."""
+    """Stateless contribution task (row output — the salted / full-shuffle
+    paths). ``ray.get(rank_ref)`` is a zero-copy plasma read per task
+    (O(1), shared per node) — cheaper than spinning a fresh actor pool
+    every superstep."""
 
     def contrib(batch: pa.Table) -> pa.Table:
         rank = ray.get(rank_ref)
-        src = batch.column("src").to_numpy(zero_copy_only=False)
-        dst = batch.column("dst").to_numpy(zero_copy_only=False)
-        inv = batch.column("inv_outdeg").to_numpy(zero_copy_only=False)
-        mass = rank[src] * inv
-        # dst is block-sorted: combine by boundary scan
-        if len(dst) == 0:
-            out_dst = dst
-            out_mass = mass
-        else:
-            bounds = np.flatnonzero(np.diff(dst)) + 1
-            starts = np.concatenate(([0], bounds))
-            out_dst = dst[starts]
-            out_mass = np.add.reduceat(mass, starts)
+        src, out_dst, out_mass = _combine_block(batch, rank)
         cols = {
             "dst": pa.array(out_dst.astype(np.uint64), type=pa.uint64()),
             "mass": pa.array(out_mass),
@@ -273,40 +311,70 @@ def pagerank(
         coef = (1.0 - d) + d * rank[g.sinks].sum()
         sink_sum = coef / n
         rank_ref = ray.put(rank)
-        contrib = _make_contrib_fn(rank_ref, heavy_ref)
-        partials = g.adj.map_batches(contrib, batch_format="pyarrow")
-        if salted:
-            phase1 = partials.groupby(["dst", "salt"]).aggregate(
-                Sum("mass", alias_name="mass")
-            )
-            masses = phase1.groupby("dst").aggregate(Sum("mass", alias_name="mass"))
-        elif shuffle_aggregate:
-            masses = partials.groupby("dst").aggregate(Sum("mass", alias_name="mass"))
-        else:
-            # adj is globally dst-sorted → per-block partials are already
-            # per-dst-unique except at block boundaries; the dense
-            # scatter-add below merges those duplicates, so the groupby
-            # shuffle is redundant — one map stage per superstep
-            masses = partials
         new = np.full(n, sink_sum) if teleport is None else coef * teleport
-        for b in masses.iter_batches(batch_format="pyarrow", batch_size=1 << 20):
-            dv = b.column("dst").to_numpy(zero_copy_only=False)
-            mv = b.column("mass").to_numpy(zero_copy_only=False)
-            if len(dv) == 0:
-                continue
-            # partials for the same dst can meet inside one batch whenever
-            # a sorted block is split mid-key, so plain fancy-index +=
-            # (last write wins) would drop rank mass; for sorted batches
-            # (the dst-sorted pipeline) combine duplicates with one
-            # reduceat, else fall back to the exact scatter-add
-            diffs = np.diff(dv.astype(np.int64))
-            if np.all(diffs > 0):
-                new[dv] += d * mv
-            elif np.all(diffs >= 0):
-                starts = np.concatenate(([0], np.flatnonzero(diffs) + 1))
-                new[dv[starts]] += d * np.add.reduceat(mv, starts)
+        if not salted and not shuffle_aggregate and g.global_sort:
+            # DISTRIBUTED apply (the default path): each dst-sorted block
+            # scatter-adds its combined masses into a dense segment inside
+            # the task; the driver merges O(num_blocks) segments with
+            # vectorized `+=` — it never iterates per-vertex mass rows.
+            # Segments overlap by ≤1 dst at block boundaries; raw-mass
+            # segments make overlaps accumulate correctly.
+            segs = g.adj.map_batches(
+                _make_segment_fn(rank_ref),
+                batch_format="pyarrow",
+                batch_size=None,  # one segment per block, not per 1024 rows
+                zero_copy_batch=True,
+            )
+            for b in segs.iter_batches(batch_format="pyarrow"):
+                lo_arr = b.column("lo").to_numpy(zero_copy_only=False)
+                seg_col = b.column("seg")
+                if isinstance(seg_col, pa.ChunkedArray):
+                    seg_col = seg_col.combine_chunks()
+                flat = seg_col.values.to_numpy(zero_copy_only=False)
+                offs = seg_col.offsets.to_numpy(zero_copy_only=False)
+                for i in range(len(lo_arr)):
+                    s, e = offs[i], offs[i + 1]
+                    lo = lo_arr[i]
+                    new[lo : lo + (e - s)] += d * flat[s:e]
+        else:
+            contrib = _make_contrib_fn(rank_ref, heavy_ref)
+            partials = g.adj.map_batches(
+                contrib, batch_format="pyarrow", batch_size=None
+            )
+            if salted:
+                phase1 = partials.groupby(["dst", "salt"]).aggregate(
+                    Sum("mass", alias_name="mass")
+                )
+                masses = phase1.groupby("dst").aggregate(
+                    Sum("mass", alias_name="mass")
+                )
+            elif shuffle_aggregate:
+                masses = partials.groupby("dst").aggregate(
+                    Sum("mass", alias_name="mass")
+                )
             else:
-                np.add.at(new, dv, d * mv)
+                # per-block-sorted (global_sort=False) fallback: partials
+                # are per-dst-unique within a block; the dense scatter-add
+                # below merges cross-block duplicates
+                masses = partials
+            for b in masses.iter_batches(batch_format="pyarrow", batch_size=1 << 20):
+                dv = b.column("dst").to_numpy(zero_copy_only=False)
+                mv = b.column("mass").to_numpy(zero_copy_only=False)
+                if len(dv) == 0:
+                    continue
+                # partials for the same dst can meet inside one batch when
+                # a sorted block is split mid-key, so plain fancy-index +=
+                # (last write wins) would drop rank mass; for sorted
+                # batches combine duplicates with one reduceat, else fall
+                # back to the exact scatter-add
+                diffs = np.diff(dv.astype(np.int64))
+                if np.all(diffs > 0):
+                    new[dv] += d * mv
+                elif np.all(diffs >= 0):
+                    starts = np.concatenate(([0], np.flatnonzero(diffs) + 1))
+                    new[dv[starts]] += d * np.add.reduceat(mv, starts)
+                else:
+                    np.add.at(new, dv, d * mv)
         l1 = float(np.abs(new - rank).sum())
         rank = new
         dt = time.perf_counter() - t0
