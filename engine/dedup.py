@@ -334,11 +334,21 @@ def minhash_lsh_dedup(
 
 
 class SimHasher:
-    """Actor-pool stage: doc batch → (doc_id, simhash uint64, chunk keys).
+    """Actor-pool stage: doc batch → (doc_id, simhash uint64, pair keys).
 
-    64-bit SimHash over word unigrams (crc32-stable token hashes); the 4
-    16-bit chunks are emitted as LSH keys — two docs within Hamming
-    distance 3 share at least one chunk (pigeonhole)."""
+    64-bit SimHash over word unigrams (md5-stable token hashes). LSH keys
+    are 2-of-6 CHUNK PAIRS: the fingerprint splits into 6 chunks
+    (11+11+11+11+10+10 bits) and each of the C(6,2)=15 pairs emits a
+    combined ≤22-bit key. Two docs within Hamming distance h differ in at
+    most h chunks, so for h ≤ 4 at least two chunks are untouched and the
+    docs share ≥1 pair key (pigeonhole) — guaranteed recall at h ≤ 4.
+    Versus single 16-bit chunks this widens the key space from 4·2^16 to
+    15·2^22 buckets, which keeps bucket sizes sub-``max_bucket`` at corpus
+    scale instead of silently saturating."""
+
+    CHUNK_OFFSETS = np.array([0, 11, 22, 33, 44, 54], dtype=np.uint64)
+    CHUNK_WIDTHS = np.array([11, 11, 11, 11, 10, 10], dtype=np.uint64)
+    PAIRS = [(i, j) for i in range(6) for j in range(i + 1, 6)]
 
     def __init__(self, text_col: str = "text", id_col: str = "doc_id"):
         self.word = re.compile(r"\w+")
@@ -371,22 +381,34 @@ class SimHasher:
         )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids = batch.column(self.id_col).to_pylist()
+        ids = np.asarray(
+            batch.column(self.id_col).to_numpy(zero_copy_only=False),
+            dtype=np.int64,
+        )
         texts = batch.column(self.text_col).to_pylist()
-        fps = [self.fingerprint(t) for t in texts]
-        out_id, out_chunk, out_key, out_fp = [], [], [], []
-        for i, fp in zip(ids, fps):
-            for c in range(4):
-                out_id.append(i)
-                out_chunk.append(c)
-                out_key.append((fp >> (16 * c)) & 0xFFFF)
-                out_fp.append(fp)
+        fps = np.array(
+            [self.fingerprint(t) for t in texts], dtype=np.uint64
+        ).reshape(len(texts))
+        masks = ((np.uint64(1) << self.CHUNK_WIDTHS) - np.uint64(1))
+        chunks = (fps[:, None] >> self.CHUNK_OFFSETS[None, :]) & masks[None, :]
+        keys = np.stack(
+            [
+                (chunks[:, i] << np.uint64(22)) | chunks[:, j]
+                for i, j in self.PAIRS
+            ],
+            axis=1,
+        )  # (n, 15)
+        npairs = len(self.PAIRS)
         return pa.table(
             {
-                "doc_id": pa.array(out_id, type=pa.int64()),
-                "chunk": pa.array(out_chunk, type=pa.int32()),
-                "chunk_key": pa.array(out_key, type=pa.int64()),
-                "simhash": pa.array(np.array(out_fp, dtype=np.uint64), type=pa.uint64()),
+                "doc_id": pa.array(np.repeat(ids, npairs), type=pa.int64()),
+                "chunk": pa.array(
+                    np.tile(np.arange(npairs, dtype=np.int32), len(ids))
+                ),
+                "chunk_key": pa.array(
+                    keys.reshape(-1).astype(np.int64), type=pa.int64()
+                ),
+                "simhash": pa.array(np.repeat(fps, npairs), type=pa.uint64()),
             }
         )
 
@@ -401,6 +423,9 @@ def _popcount64(x: np.ndarray) -> np.ndarray:
     return (x * np.uint64(0x0101010101010101)) >> np.uint64(56)
 
 
+SIMHASH_GUARANTEED_HAMMING = 4  # 2-of-6 chunk pairs: h ≤ 4 always bucketed
+
+
 def simhash_near_dups(
     ds: ray.data.Dataset,
     max_hamming: int = 3,
@@ -408,14 +433,22 @@ def simhash_near_dups(
     id_col: str = "doc_id",
     concurrency: int | tuple | None = None,
     max_bucket: int = 64,
-) -> list[tuple[int, int, int]]:
-    """Near-dup pairs (a, b, hamming) with distance ≤ max_hamming, via
-    16-bit-chunk LSH buckets + exact Hamming verify.
+) -> dict:
+    """Near-dup pairs with Hamming distance ≤ max_hamming, via 2-of-6
+    chunk-pair LSH buckets + exact Hamming verify. Returns
+    ``{"pairs": [(a, b, hamming)...], "dropped_buckets": int,
+    "dropped_doc_slots": int}`` — NO SILENT CAPS: a bucket larger than
+    ``max_bucket`` (degenerate boilerplate; exact dedup should collapse it
+    first) is skipped but COUNTED, so zero recall can never masquerade as
+    "no near-dups". Recall is guaranteed for
+    ``max_hamming ≤ SIMHASH_GUARANTEED_HAMMING`` (= 4) when no bucket is
+    dropped; larger radii are best-effort.
 
     The signature rows already carry the full fingerprint, so pairing needs
     no text join: each (chunk, chunk_key) bucket is paired inside
     ``groupby.map_groups`` with a vectorized XOR-popcount — no driver-side
-    signature dict. Only the final (small) pair list reaches the driver."""
+    signature dict. Only the final (small) pair list plus the dropped
+    counters reach the driver."""
     from .util import default_concurrency
 
     if concurrency is None:
@@ -431,9 +464,13 @@ def simhash_near_dups(
         empty = pd.DataFrame({"a": pd.Series(dtype="int64"),
                               "b": pd.Series(dtype="int64"),
                               "hamming": pd.Series(dtype="int64")})
-        if len(g) < 2 or len(g) > max_bucket:
+        if len(g) < 2:
             return empty
-        g = g.drop_duplicates("doc_id").sort_values("doc_id")
+        g = g.drop_duplicates("doc_id")
+        if len(g) > max_bucket:
+            # marker row: (-1, bucket size, -1) — the driver tallies these
+            return pd.DataFrame({"a": [-1], "b": [len(g)], "hamming": [-1]})
+        g = g.sort_values("doc_id")
         ids_ = g["doc_id"].to_numpy(dtype=np.int64)
         fps = g["simhash"].to_numpy(dtype=np.uint64)
         if len(ids_) < 2:
@@ -450,15 +487,24 @@ def simhash_near_dups(
         bucket_pairs, batch_format="pandas"
     )
     out = set()
+    dropped_buckets = 0
+    dropped_doc_slots = 0
     for b in pair_rows.iter_batches(batch_format="pyarrow"):
-        out.update(
-            zip(
-                b.column("a").to_pylist(),
-                b.column("b").to_pylist(),
-                b.column("hamming").to_pylist(),
-            )
-        )
-    return sorted(out)
+        for a_, b_, h in zip(
+            b.column("a").to_pylist(),
+            b.column("b").to_pylist(),
+            b.column("hamming").to_pylist(),
+        ):
+            if a_ == -1 and h == -1:
+                dropped_buckets += 1
+                dropped_doc_slots += b_
+            else:
+                out.add((a_, b_, h))
+    return {
+        "pairs": sorted(out),
+        "dropped_buckets": dropped_buckets,
+        "dropped_doc_slots": dropped_doc_slots,
+    }
 
 
 def embedding_near_dups(

@@ -1,13 +1,14 @@
 """Multimodal column plumbing: image/audio/video as opaque ``binary``
 columns with typed metadata, processed by actor-pool ``map_batches`` stages.
 
-The decode kernels themselves are STUBBED (this container ships no
-image/audio libraries): ``decode_backend="real"`` raises
-``NotImplementedError`` at the exact call site where PIL/libav would be
-invoked, while the default ``"fake"`` backend produces a deterministic
-decode derived from the payload's sha256 — so the Ray-side plumbing
-(schemas, batch sizing for large binary rows, actor signatures, output
-layout) is real and tested end-to-end.
+``decode_backend="real"`` performs a GENUINE decode for PNG images and
+PCM WAV audio via the pure-Python codecs in ``engine.codecs`` (zlib is
+stdlib; WAV is a struct parse) — features come from actual pixel/sample
+statistics, and ``Resize`` re-encodes real resized pixels. Video decode
+remains an honest ``NotImplementedError`` stub (no codec exists in this
+container), and the default ``"fake"`` backend keeps producing a
+deterministic pseudo-decode from the payload's sha256 for plumbing tests
+on arbitrary bytes.
 
 Large-binary guidance encoded here: small ``batch_size`` (payloads are
 wide rows), ``batch_format="pyarrow"`` throughout (binary columns do not
@@ -36,14 +37,31 @@ MEDIA_SCHEMA = pa.schema(
 )
 
 
-def synthetic_media_table(n: int = 64, seed: int = 42) -> pa.Table:
-    """Deterministic fake media corpus (binary payloads from a seeded RNG)."""
+def synthetic_media_table(
+    n: int = 64, seed: int = 42, real_payloads: bool = False
+) -> pa.Table:
+    """Deterministic media corpus. ``real_payloads=True`` encodes genuine
+    PNG images and PCM WAV clips (video rows keep random bytes — no
+    encoder exists here) so the "real" decode backend has true fixtures."""
+    from . import codecs
+
     rng = np.random.default_rng(seed)
     kinds = ["image", "audio", "video"]
     rows = {k.name: [] for k in MEDIA_SCHEMA}
     for i in range(n):
         kind = kinds[i % 3]
-        payload = rng.bytes(256 + int(rng.integers(0, 512)))
+        if real_payloads and kind == "image":
+            img = rng.integers(
+                0, 256, size=(int(rng.integers(8, 24)), int(rng.integers(8, 24)), 3)
+            ).astype(np.uint8)
+            payload = codecs.png_encode(img)
+        elif real_payloads and kind == "audio":
+            samples = rng.integers(
+                -(1 << 15), 1 << 15, size=int(rng.integers(200, 800))
+            ).astype(np.int16)
+            payload = codecs.wav_encode(samples, sample_rate=16_000)
+        else:
+            payload = rng.bytes(256 + int(rng.integers(0, 512)))
         rows["media_id"].append(i)
         rows["kind"].append(kind)
         rows["mime"].append(
@@ -76,14 +94,60 @@ class DecodeAndFeaturize:
         self.backend = decode_backend
         self.init_count = 1  # observable by tests: init ran once per actor
 
+    def _real_features(self, payload: bytes, kind: str) -> np.ndarray:
+        """Genuine decode → fixed-dim stats vector: leading shape/rate
+        fields, then mean/std, then a value histogram padded to ``dim``."""
+        from . import codecs
+
+        if kind == "image":
+            img = codecs.png_decode(payload)
+            vals = img.reshape(-1).astype(np.float64)
+            head = [
+                float(img.shape[0]),
+                float(img.shape[1]),
+                float(img.shape[2] if img.ndim == 3 else 1),
+                float(vals.mean()),
+                float(vals.std()),
+            ]
+            hist = np.histogram(vals, bins=max(self.dim - len(head), 1),
+                                range=(0, 255))[0]
+        elif kind == "audio":
+            samples, rate = codecs.wav_decode(payload)
+            vals = samples.reshape(-1).astype(np.float64)
+            head = [
+                float(len(vals)),
+                float(rate),
+                float(vals.mean()),
+                float(vals.std()),
+                float(np.sqrt(np.mean(vals**2))),
+            ]
+            hist = np.histogram(
+                vals, bins=max(self.dim - len(head), 1),
+                range=(-(1 << 15), 1 << 15),
+            )[0]
+        else:
+            # no pure-Python video codec exists — honest stub
+            raise NotImplementedError(
+                "real video decode backend unavailable in this environment"
+            )
+        feat = np.concatenate([head, hist / max(len(vals), 1)])
+        return feat[: self.dim] if len(feat) >= self.dim else np.concatenate(
+            [feat, np.zeros(self.dim - len(feat))]
+        )
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch.column("payload").to_pylist()
         if self.backend == "real":
-            # real decode would be: PIL.Image.open(io.BytesIO(p)) / libav
-            raise NotImplementedError(
-                "real image/audio decode backend unavailable in this environment"
+            kinds = batch.column("kind").to_pylist()
+            feats = (
+                np.stack(
+                    [self._real_features(p, k) for p, k in zip(payloads, kinds)]
+                )
+                if payloads
+                else np.zeros((0, self.dim))
             )
-        feats = np.stack([_fake_features(p, self.dim) for p in payloads]) if payloads else np.zeros((0, self.dim))
+        else:
+            feats = np.stack([_fake_features(p, self.dim) for p in payloads]) if payloads else np.zeros((0, self.dim))
         sizes = np.array([len(p) for p in payloads], dtype=np.int64)
         return pa.table(
             {
@@ -96,8 +160,11 @@ class DecodeAndFeaturize:
 
 
 class Resize:
-    """Actor-pool stage stub: image resize (plumbing only — emits target
-    dims and passes the payload through; a real backend replaces the body)."""
+    """Actor-pool stage: image resize. ``decode_backend="real"`` decodes
+    PNG payloads, nearest-neighbor-resizes the actual pixels and
+    re-encodes (non-image rows pass through untouched); the default
+    "fake" backend only rewrites the metadata dims (plumbing tests on
+    arbitrary bytes)."""
 
     def __init__(self, width: int = 224, height: int = 224,
                  decode_backend: str = "fake"):
@@ -105,9 +172,25 @@ class Resize:
         self.backend = decode_backend
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        if self.backend == "real":
-            raise NotImplementedError("real resize backend unavailable")
         n = len(batch)
+        if self.backend == "real":
+            from . import codecs
+
+            payloads = batch.column("payload").to_pylist()
+            kinds = batch.column("kind").to_pylist()
+            out_payloads = [
+                codecs.png_encode(
+                    codecs.nearest_resize(codecs.png_decode(p), self.w, self.h)
+                )
+                if k == "image"
+                else p
+                for p, k in zip(payloads, kinds)
+            ]
+            batch = batch.set_column(
+                batch.schema.get_field_index("payload"),
+                "payload",
+                pa.array(out_payloads, type=pa.binary()),
+            )
         return (
             batch.set_column(
                 batch.schema.get_field_index("meta_width"),

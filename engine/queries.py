@@ -443,6 +443,51 @@ def minhash_dedup(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def minhash_planted(sf_dir: str) -> ray.data.Dataset:
+    """Hard-checkable MinHash-LSH gate: a synthetic corpus derived
+    CLOSED-FORM from the documents table's doc_ids — doc_id group
+    ``doc_id // 4``, members with ``doc_id % 4 < 3`` share an identical
+    text unique to their group, member 3 gets a unique text — run through
+    the FULL minhash_lsh_dedup pipeline (signatures → banding → bucket
+    groupby → in-group exact verify → union-find). Identical texts have
+    Jaccard 1 ≥ threshold and distinct groups share no token, so the true
+    cluster table is known exactly: every present member with
+    ``doc_id % 4 < 3`` whose group has ≥2 such members, cluster = the
+    smallest present member id. This gives the approximate-dedup pipeline
+    a deterministic SQL oracle (the heuristic-corpus variant
+    ``minhash_dedup`` stays rows-only by design)."""
+    from .dedup import minhash_lsh_dedup
+
+    ids = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    )
+
+    def synth(batch: pa.Table) -> pa.Table:
+        did = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        texts = [
+            " ".join(f"g{d // 4}w{j}" for j in range(12))
+            if d % 4 < 3
+            else " ".join(f"u{d}w{j}" for j in range(12))
+            for d in did.tolist()
+        ]
+        return pa.table(
+            {"doc_id": pa.array(did), "text": pa.array(texts, type=pa.string())}
+        )
+
+    corpus = ids.map_batches(synth, batch_format="pyarrow")
+    res = minhash_lsh_dedup(corpus, threshold=0.8)
+    cl = res["clusters"]
+    out_ids = sorted(cl)
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(out_ids, type=pa.int64()),
+                "cluster": pa.array([cl[i] for i in out_ids], type=pa.int64()),
+            }
+        )
+    )
+
+
 def simhash_fingerprints(sf_dir: str) -> ray.data.Dataset:
     """64-bit SimHash per document, oracle-checked: token hashes are
     DuckDB's md5_number_lower(), so the fingerprint is reproducible in
@@ -950,6 +995,18 @@ ORACLE_SQL: dict[str, str] = {
         GROUP BY 1, 2
     """,
     "minhash_dedup": None,
+    "minhash_planted": """
+        -- closed-form truth for the planted-dup corpus built by
+        -- queries.minhash_planted: members doc_id % 4 < 3 of group
+        -- doc_id // 4 share identical text; cluster root = smallest
+        -- present member (union-find root); groups need >= 2 members
+        WITH m AS (SELECT doc_id, doc_id // 4 AS grp
+                   FROM documents WHERE doc_id % 4 < 3),
+             g AS (SELECT grp, MIN(doc_id) AS root, COUNT(*) AS c
+                   FROM m GROUP BY grp)
+        SELECT m.doc_id, g.root AS cluster
+        FROM m JOIN g USING (grp) WHERE g.c >= 2
+    """,
     "embedding_near_dup_ivf": None,
     "events_hopping": """
         SELECT user_id,
@@ -1072,6 +1129,7 @@ QUERIES = {
     "lpa_labels": lpa_labels,
     "lpa_labels_bsp": lpa_labels_bsp,
     "minhash_dedup": minhash_dedup,
+    "minhash_planted": minhash_planted,
     "simhash_fingerprints": simhash_fingerprints,
     "text_analysis": text_analysis,
     "pr_superstep1_salted": pr_superstep1_salted,

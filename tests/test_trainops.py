@@ -85,10 +85,54 @@ def test_jaccard_bounds():
 
 
 def test_simhash_near_dups(docs_ds):
-    pairs = dedup.simhash_near_dups(docs_ds, max_hamming=6)
+    res = dedup.simhash_near_dups(docs_ds, max_hamming=6)
+    pairs = res["pairs"]
     found = {(a, b) for a, b, _ in pairs}
     assert (1, 101) in found  # exact dup: hamming 0
     assert all(d == 0 for a, b, d in pairs if (a, b) == (1, 101))
+    assert res["dropped_buckets"] == 0
+
+
+def test_simhash_overflow_buckets_are_counted():
+    """Planted dups in a bucket larger than max_bucket must be either
+    found or COUNTED as dropped — never silently lost."""
+    texts = ["the same boilerplate text repeated everywhere"] * 80
+    texts += [f"unique doc {i} with its own words w{i}a w{i}b" for i in range(5)]
+    ids = list(range(len(texts)))
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(ids, type=pa.int64()),
+                  "text": pa.array(texts)})
+    ).repartition(4)
+    res = dedup.simhash_near_dups(ds, max_hamming=3, max_bucket=16)
+    found = {(a, b) for a, b, _ in res["pairs"]}
+    if (0, 1) not in found:
+        # the 80 identical docs share every pair-key bucket → all dropped
+        assert res["dropped_buckets"] > 0
+        assert res["dropped_doc_slots"] >= 80
+    # raising the cap recovers the planted pairs
+    res2 = dedup.simhash_near_dups(ds, max_hamming=3, max_bucket=128)
+    assert res2["dropped_buckets"] == 0
+    assert (0, 1) in {(a, b) for a, b, _ in res2["pairs"]}
+
+
+def test_simhash_pair_key_recall_at_h4():
+    """2-of-6 chunk pairs guarantee bucketing for Hamming ≤ 4: flip 4 bits
+    spread over 4 different chunks and the pair must still be found."""
+    sh = dedup.SimHasher()
+    base_text = "alpha beta gamma delta epsilon zeta eta theta"
+    fp = sh.fingerprint(base_text)
+    # flips in chunks 0,1,2,3 (bit offsets 0,11,22,33) → chunks 4,5 intact
+    flipped = fp ^ 0b1 ^ (1 << 11) ^ (1 << 22) ^ (1 << 33)
+    offs = sh.CHUNK_OFFSETS
+    masks = (np.uint64(1) << sh.CHUNK_WIDTHS) - np.uint64(1)
+    c1 = (np.uint64(fp) >> offs) & masks
+    c2 = (np.uint64(flipped) >> offs) & masks
+    shared = [
+        (i, j)
+        for i, j in sh.PAIRS
+        if c1[i] == c2[i] and c1[j] == c2[j]
+    ]
+    assert shared, "h=4 fingerprints must share at least one pair key"
 
 
 def test_embedding_near_dups():
@@ -213,10 +257,14 @@ def test_multimodal_plumbing():
     )
 
 
-def test_multimodal_real_backend_is_stubbed():
+def test_multimodal_real_backend_edges():
     cls = multimodal.DecodeAndFeaturize(decode_backend="real")
+    # video decode remains an honest stub (no codec in this container)
     with pytest.raises(NotImplementedError):
-        cls(multimodal.synthetic_media_table(n=2))
+        cls._real_features(b"anything", "video")
+    # non-PNG bytes fail loudly, never a silent fake decode
+    with pytest.raises(ValueError):
+        cls._real_features(b"not a png", "image")
 
 
 def test_frame_sample():
