@@ -4,10 +4,11 @@ Headline: PageRank edges/sec per superstep (the north-rule metric) over a
 deterministic prepleti-scaled link graph projected from
 ``$GRAFT_SF_DIR/lineitem.parquet`` (default sf0.1; GRAFT_TRIPLE_ROUNDS
 tripling rounds, default 4 → ~48.6M edges / ~2.7M vertices; --scaling
-uses rounds 5 AND 6 → 146M / 437M edges for the differential). Also
-times the other headline pipelines. ``--scaling`` reruns the headline in
-fresh processes at 8 and 32 CPUs (taskset-pinned) and reports
-throughput + scaling efficiency.
+measures the BSP superstep on rounds 6 → ~437M edges, with in-window
+triad probes bracketing the measurement). Also times the other headline
+pipelines. ``--scaling`` reruns the headline in fresh processes at 8
+and 32 CPUs (taskset-pinned) and reports throughput + scaling
+efficiency.
 
 Usage: python bench.py [--scaling] [--quick]
 Env:   GRAFT_SF_DIR (input dir), RAY_GRAFT_CPUS (num_cpus, default 32)
@@ -57,14 +58,53 @@ def _scaled_graph_edges(rounds: int | None = None):
     return ray.data.from_arrow(edges).repartition(max(NUM_CPUS, 8))
 
 
+def _triad_probe(num_actors: int) -> float:
+    """STREAM-triad-like memory-bandwidth probe: how much aggregate
+    bandwidth do the pinned cores actually get RIGHT NOW? The BSP
+    superstep is bandwidth-bound, so its core-scaling ceiling is this
+    curve, not the engine; the probe also doubles as a contamination
+    detector when run before AND after a measurement window. Returns
+    GB/s."""
+    import numpy as np
+    import ray
+
+    @ray.remote(num_cpus=1)
+    class Triad:
+        def __init__(self, m: int):
+            self.a = np.ones(m)
+            self.b = np.full(m, 2.0)
+            self.c = np.full(m, 0.5)
+            self.m = m
+
+        def warmup(self) -> None:
+            self.a += self.b * self.c
+
+        def run(self, iters: int) -> tuple:
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                self.a += self.b * self.c  # 3 * 8 bytes per element
+            t1 = time.perf_counter()
+            return t0, t1, 3 * 8 * self.m * iters
+
+    m, iters = 1 << 23, 20  # 64 MiB/array, 3 arrays/actor
+    actors = [Triad.remote(m) for _ in range(num_actors)]
+    ray.get([a.warmup.remote() for a in actors])  # alloc + page-touch
+    res = ray.get([a.run.remote(iters) for a in actors])
+    span = max(r[1] for r in res) - min(r[0] for r in res)
+    gbps = sum(r[2] for r in res) / span / 1e9
+    for a in actors:
+        ray.kill(a)
+    return round(gbps, 2)
+
+
 def run_scaling_child(op: str) -> dict:
     """One measurement per child process for isolation (run under taskset so
     the core count is physically restricted — ray.init(num_cpus=N) only
     limits scheduling slots, not the cores already-spawned actors use).
-    op="pr": differential BSP PageRank superstep throughput over two graph
-    sizes (see inline comment). op="mh": CPU-bound MinHash-signature pass
-    over a replicated documents table, also differential. op="bw": STREAM-
-    triad memory-bandwidth probe."""
+    op="pr": BSP PageRank superstep throughput on the LARGE scaled graph,
+    with an in-window triad probe before and after (see inline comment).
+    op="mh": CPU-bound MinHash-signature pass over a replicated documents
+    table, differential over two sizes. op="bw": standalone triad probe."""
     import ray
 
     ray.init(
@@ -90,40 +130,7 @@ def run_scaling_child(op: str) -> dict:
 
     out: dict = {"num_cpus": NUM_CPUS}
     if op == "bw":
-        # memory-bandwidth probe (STREAM-triad-like): how much aggregate
-        # bandwidth do P pinned cores actually get on this node? The BSP
-        # superstep is bandwidth-bound, so its core-scaling ceiling is THIS
-        # curve, not the engine — normalizing PageRank efficiency by this
-        # probe's efficiency isolates the engine's own scaling behavior
-        # (across real N->4N nodes bandwidth scales with nodes by
-        # construction).
-        import numpy as np
-
-        @ray.remote(num_cpus=1)
-        class Triad:
-            def __init__(self, m: int):
-                self.a = np.ones(m)
-                self.b = np.full(m, 2.0)
-                self.c = np.full(m, 0.5)
-                self.m = m
-
-            def warmup(self) -> None:
-                self.a += self.b * self.c
-
-            def run(self, iters: int) -> tuple:
-                t0 = time.perf_counter()
-                for _ in range(iters):
-                    self.a += self.b * self.c  # 3 * 8 bytes per element
-                t1 = time.perf_counter()
-                return t0, t1, 3 * 8 * self.m * iters
-
-        m, iters = 1 << 23, 20  # 64 MiB/array, 3 arrays/actor
-        actors = [Triad.remote(m) for _ in range(NUM_CPUS)]
-        ray.get([a.warmup.remote() for a in actors])  # alloc + page-touch
-        res = ray.get([a.run.remote(iters) for a in actors])
-        span = max(r[1] for r in res) - min(r[0] for r in res)
-        gbps = sum(r[2] for r in res) / span / 1e9
-        out["triad_gbps"] = round(gbps, 2)
+        out["triad_gbps"] = _triad_probe(NUM_CPUS)
         ray.shutdown()
         return out
     if op == "mh":
@@ -158,42 +165,36 @@ def run_scaling_child(op: str) -> dict:
         ray.shutdown()
         return out
 
-    # op == "pr": differential measurement over two graph sizes (tripling
-    # rounds R and R+1, 3x the edges). Per-superstep FIXED costs — rank
-    # broadcast, P^2 exchange refs, barrier sync — are independent of E and
-    # dominate step times at sandbox sizes (the pure edge traffic of a 146M-
-    # edge superstep is ~60 ms of memory bandwidth vs ~250 ms measured), so
-    # raw step-time ratios measure the overheads, not the engine. The
-    # two-size delta cancels them: eps = (E_big - E_small) / (t_big -
-    # t_small), the edge-throughput term that dominates at 100 TB. Shards
-    # scale with the child's core count (a 4N-node cluster runs 4N shards);
-    # fixing P instead oversubscribes the small side under the barrier.
+    # op == "pr": superstep throughput on the LARGE scaled graph (tripling
+    # rounds R+1, ~437M edges at sf0.1). The exchange rework cut the
+    # per-superstep fixed cost (O(P) refs, 2·P RPCs ≈ 5-10 ms) to <5% of a
+    # large-graph step, so the raw step-time ratio now measures the
+    # engine, not overheads — the earlier two-size differential's Δt
+    # (~0.15 s) had fallen INSIDE the host-noise floor and produced
+    # unstable ratios. The triad probe runs in the SAME child immediately
+    # before and after the superstep loop: a pre/post divergence means
+    # external load hit THIS measurement window (the cross-child probe
+    # can't see that), and the parent flags the run contaminated. Shards
+    # scale with the child's core count (a 4N-node cluster runs 4N
+    # shards).
     num_shards = int(os.environ.get("GRAFT_BSP_SHARDS", str(NUM_CPUS)))
     out["bsp_num_shards"] = num_shards
 
-    def run(rounds: int) -> tuple:
-        t0 = time.perf_counter()
-        edges = _scaled_graph_edges(rounds).materialize()
-        ids = G.vertex_ids(edges)
-        enc = G.encode_edges(edges, ids)
-        bsp = BSPGraph(enc, n=len(ids), num_shards=num_shards)
-        prep = time.perf_counter() - t0
-        _, _, metrics = bsp.pagerank(iterations=10)
-        med = statistics.median(m["wall_sec"] for m in metrics)
-        e, n = int(bsp.num_edges), int(bsp.n)
-        bsp.shutdown()
-        del edges, enc
-        return e, n, med, prep
-
-    e1, n1, t1, p1 = run(TRIPLE_ROUNDS)
-    e2, n2, t2, p2 = run(TRIPLE_ROUNDS + 1)
-    out["bsp_step_sec_small"] = round(t1, 3)
-    out["bsp_step_sec_large"] = round(t2, 3)
-    out["bsp_prepare_sec"] = round(p1 + p2, 3)
-    out["bsp_edges_per_sec"] = round((e2 - e1) / (t2 - t1))
-    out["num_edges"] = e2
-    out["num_edges_small"] = e1
-    out["num_vertices"] = n2
+    out["triad_gbps_pre"] = _triad_probe(NUM_CPUS)
+    t0 = time.perf_counter()
+    edges = _scaled_graph_edges(TRIPLE_ROUNDS + 1).materialize()
+    ids = G.vertex_ids(edges)
+    enc = G.encode_edges(edges, ids)
+    bsp = BSPGraph(enc, n=len(ids), num_shards=num_shards)
+    out["bsp_prepare_sec"] = round(time.perf_counter() - t0, 3)
+    _, _, metrics = bsp.pagerank(iterations=12)
+    med = statistics.median(m["wall_sec"] for m in metrics[2:])  # warm steps
+    out["bsp_step_sec"] = round(med, 3)
+    out["bsp_edges_per_sec"] = round(bsp.num_edges / med)
+    out["num_edges"] = int(bsp.num_edges)
+    out["num_vertices"] = int(bsp.n)
+    bsp.shutdown()
+    out["triad_gbps_post"] = _triad_probe(NUM_CPUS)
     ray.shutdown()
     return out
 
@@ -350,7 +351,7 @@ def run_scaling() -> dict:
 
     for ncpu in (8, 32):
         out[ncpu] = {}
-        for op in ("pr", "mh", "bw"):
+        for op in ("pr", "mh"):
             env = dict(
                 os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_TRIPLE_ROUNDS=rounds
             )
@@ -369,17 +370,23 @@ def run_scaling() -> dict:
             out[ncpu].update(json.loads(p.stdout.strip().splitlines()[-1]))
     eff_bsp = out[32]["bsp_edges_per_sec"] / (4 * out[8]["bsp_edges_per_sec"])
     eff_mh = out[32]["minhash_rows_per_sec"] / (4 * out[8]["minhash_rows_per_sec"])
-    eff_bw = out[32]["triad_gbps"] / (4 * out[8]["triad_gbps"])
+    tri8 = (out[8]["triad_gbps_pre"] + out[8]["triad_gbps_post"]) / 2
+    tri32 = (out[32]["triad_gbps_pre"] + out[32]["triad_gbps_post"]) / 2
+    eff_bw = tri32 / (4 * tri8)
     # bandwidth-normalized superstep efficiency: what fraction of the
     # scaling the MEMORY SYSTEM allows does the engine deliver? Across
     # real N->4N nodes bandwidth scales with node count (eff_bw = 1 by
     # construction), so this is the predictor for the north-rule bar.
     eff_pr_norm = eff_bsp / eff_bw if eff_bw else 0.0
-    # validity: the triad probe doubles as a contamination detector — the
-    # 32-core aggregate bandwidth can never be BELOW the 8-core one on a
-    # quiet host, so a lower reading means external load hit one child's
-    # window and every ratio in this run is garbage (discard and rerun)
-    contaminated = out[32]["triad_gbps"] < out[8]["triad_gbps"]
+    # validity: the triad probes bracket each pr child's OWN measurement
+    # window — a pre/post divergence means external load hit that window;
+    # and 32-core aggregate bandwidth can never be below 8-core on a
+    # quiet host. Either condition → discard and rerun.
+    def skew(o):
+        a, b = o["triad_gbps_pre"], o["triad_gbps_post"]
+        return abs(a - b) / max(a, b)
+
+    contaminated = tri32 < tri8 or skew(out[8]) > 0.25 or skew(out[32]) > 0.25
     return {
         "contaminated": contaminated,
         "metric": "scaling_efficiency_8_to_32_cores",
@@ -388,33 +395,38 @@ def run_scaling() -> dict:
         "note": (
             "cores pinned with taskset (ray.init(num_cpus) alone does not "
             "restrict physical cores). Headline efficiency is the CPU-bound "
-            "minhash stage. PageRank and minhash are both DIFFERENTIAL "
-            "measurements (two workload sizes, delta-throughput) so fixed "
-            "per-superstep/startup costs cancel. The superstep kernel is "
-            "memory-bandwidth-bound: the triad probe measures how the "
-            "node's own bandwidth scales 8->32 cores, and "
-            "pagerank_bw_normalized = eff_pagerank / eff_bandwidth "
-            "isolates the engine from that hardware ceiling (across real "
-            "N->4N NODES bandwidth scales with node count by construction)"
+            "minhash stage (differential over two workload sizes so fixed "
+            "startup costs cancel). PageRank is the RAW median superstep "
+            "time on the ~437M-edge graph — the exchange rework cut fixed "
+            "per-superstep costs below 5% of a step, and the earlier "
+            "two-size differential's delta had fallen inside the host-noise "
+            "floor. The superstep kernel is memory-bandwidth-bound: triad "
+            "probes run inside each pr child's window (pre+post, also the "
+            "contamination guard), and pagerank_bw_normalized = "
+            "eff_pagerank / eff_bandwidth isolates the engine from the "
+            "single-node bandwidth ceiling (across real N->4N NODES "
+            "bandwidth scales with node count by construction)"
         ),
         "bandwidth_probe": {
-            "triad_gbps_8": out[8]["triad_gbps"],
-            "triad_gbps_32": out[32]["triad_gbps"],
+            "triad_gbps_8": round(tri8, 2),
+            "triad_gbps_32": round(tri32, 2),
+            "pre_post_8": [out[8]["triad_gbps_pre"], out[8]["triad_gbps_post"]],
+            "pre_post_32": [
+                out[32]["triad_gbps_pre"],
+                out[32]["triad_gbps_post"],
+            ],
             "efficiency": round(eff_bw, 3),
         },
         "pagerank_bw_normalized_efficiency": round(eff_pr_norm, 3),
         "pagerank_bsp": {
             "edges_per_sec_8": out[8]["bsp_edges_per_sec"],
             "edges_per_sec_32": out[32]["bsp_edges_per_sec"],
-            "step_sec_small_8": out[8]["bsp_step_sec_small"],
-            "step_sec_large_8": out[8]["bsp_step_sec_large"],
-            "step_sec_small_32": out[32]["bsp_step_sec_small"],
-            "step_sec_large_32": out[32]["bsp_step_sec_large"],
+            "step_sec_8": out[8]["bsp_step_sec"],
+            "step_sec_32": out[32]["bsp_step_sec"],
             "num_shards_8": out[8]["bsp_num_shards"],
             "num_shards_32": out[32]["bsp_num_shards"],
             "efficiency": round(eff_bsp, 3),
         },
-        "num_edges_small": out[32]["num_edges_small"],
         "minhash_cpu_bound": {
             "rows_per_sec_8": out[8]["minhash_rows_per_sec"],
             "rows_per_sec_32": out[32]["minhash_rows_per_sec"],
@@ -422,7 +434,7 @@ def run_scaling() -> dict:
         },
         "num_edges": out[32]["num_edges"],
         "num_vertices": out[32]["num_vertices"],
-        "triple_rounds": int(rounds),
+        "triple_rounds": int(rounds) + 1,
         "sf": SF_DIR,
     }
 

@@ -114,6 +114,7 @@ class ShardActor:
         self.edge_dst_idx = np.cumsum(new_run) - 1
 
         self.rank = np.full(self.n_owned, 1.0 / n_total) if n_total else np.empty(0)
+        self.frozen = np.zeros(self.n_owned, dtype=bool)
         self.label = np.arange(self.sid, n_total, self.P, dtype=np.int64)
         self._in_ready = False
         return {
@@ -183,6 +184,7 @@ class ShardActor:
 
     def reset_ranks(self) -> None:
         self.rank = np.full(self.n_owned, 1.0 / self.n_total)
+        self.frozen = np.zeros(self.n_owned, dtype=bool)
 
     def sink_rank_sum(self) -> float:
         return float(self.rank[self.is_sink].sum())
@@ -200,10 +202,17 @@ class ShardActor:
             mass = np.empty(0, np.float64)
         return ray.put(mass)
 
-    def apply_rank(self, refs: list, sink_sum: float, d: float) -> tuple:
+    def apply_rank(
+        self, refs: list, sink_sum: float, d: float,
+        freeze_delta: float | None = None,
+    ) -> tuple:
         """One wave: resolve incoming mass slices, apply the update, return
-        (local L1, dangling-rank sum of the NEW ranks) — the latter feeds
-        the next superstep's sink_sum without a separate collective."""
+        (local L1, dangling-rank sum of the NEW ranks, active count) — the
+        dangling sum feeds the next superstep's sink_sum without a separate
+        collective. ``freeze_delta`` enables the reference-exact per-vertex
+        freeze (ref: src/Graph.cpp:160-169): a vertex moving < delta
+        commits and stops updating but keeps contributing its committed
+        rank; the driver stops when the global active count hits 0."""
         parts = self._incoming_slices(refs)
         mass_local = np.zeros(self.n_owned)
         if parts and self.in_perm.size:
@@ -211,9 +220,18 @@ class ShardActor:
             sums = np.add.reduceat(concat[self.in_perm], self.in_starts)
             mass_local[self.in_target] = sums
         new = sink_sum + d * mass_local
-        l1 = float(np.abs(new - self.rank).sum())
-        self.rank = new
-        return l1, float(new[self.is_sink].sum())
+        if freeze_delta is None:
+            l1 = float(np.abs(new - self.rank).sum())
+            self.rank = new
+            n_active = self.n_owned
+        else:
+            active = ~self.frozen
+            diff = np.abs(new - self.rank)
+            self.rank = np.where(active, new, self.rank)
+            self.frozen |= active & (diff < freeze_delta)
+            l1 = float(diff[active].sum())
+            n_active = int((~self.frozen).sum())
+        return l1, float(self.rank[self.is_sink].sum()), n_active
 
     # ---- Connected components (min-label) -------------------------------
 
@@ -391,10 +409,21 @@ class BSPGraph:
         d: float = DAMPING,
         checkpoint_dir: str | None = None,
         checkpoint_every: int = 1,
+        freeze_delta: float | None = None,
     ) -> tuple[ray.data.Dataset, int, list[dict]]:
-        """Returns (ranks Dataset (vid, rank), iterations, metrics)."""
-        if iterations is None and eps is None:
-            raise ValueError("set iterations and/or eps")
+        """Returns (ranks Dataset (vid, rank), iterations, metrics).
+
+        ``freeze_delta``: reference-exact per-vertex freeze stop (see
+        ``ShardActor.apply_rank``); the run stops when every vertex is
+        frozen, counting the final all-frozen sweep (ref:
+        src/Graph.cpp:133). Not combinable with checkpointing (the frozen
+        mask is not persisted)."""
+        if iterations is None and eps is None and freeze_delta is None:
+            raise ValueError("set iterations, eps and/or freeze_delta")
+        if freeze_delta is not None and checkpoint_dir is not None:
+            raise ValueError(
+                "freeze_delta is not combinable with checkpointing"
+            )
         start = 0
         if checkpoint_dir:
             from . import checkpoint as ckpt
@@ -422,18 +451,26 @@ class BSPGraph:
         metrics: list[dict] = []
         it = start
         sink_total = sum(ray.get([a.sink_rank_sum.remote() for a in self.actors]))
+        active_total = self.n
         while True:
             if iterations is not None and it >= iterations:
                 break
             it += 1
+            if freeze_delta is not None and active_total == 0:
+                # final all-frozen sweep counted (ref: src/Graph.cpp:133)
+                break
             t0 = time.perf_counter()
             sink_sum = ((1.0 - d) + d * sink_total) / self.n
             incoming = self._emit("emit_mass")
             results = ray.get(
-                [a.apply_rank.remote(incoming, sink_sum, d) for a in self.actors]
+                [
+                    a.apply_rank.remote(incoming, sink_sum, d, freeze_delta)
+                    for a in self.actors
+                ]
             )
             l1 = sum(r[0] for r in results)
             sink_total = sum(r[1] for r in results)
+            active_total = sum(r[2] for r in results)
             dt = time.perf_counter() - t0
             metrics.append(
                 {
@@ -559,6 +596,7 @@ def bsp_pagerank(
     d: float = DAMPING,
     checkpoint_dir: str | None = None,
     dictionary: str = "auto",
+    freeze_delta: float | None = None,
 ):
     """End-to-end PageRank on the shard-actor engine over original-id edges.
 
@@ -588,7 +626,8 @@ def bsp_pagerank(
         enc = G.encode_edges(edges, ids)
     g = BSPGraph(enc, n=len(ids), num_shards=num_shards)
     ds, iters, metrics = g.pagerank(
-        iterations=iterations, eps=eps, d=d, checkpoint_dir=checkpoint_dir
+        iterations=iterations, eps=eps, d=d, checkpoint_dir=checkpoint_dir,
+        freeze_delta=freeze_delta,
     )
     rank = np.empty(len(ids))
     for b in ds.iter_batches(batch_format="pyarrow", batch_size=1 << 20):

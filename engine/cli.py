@@ -3,7 +3,12 @@
     python -m engine.cli run --input <corpus_dir_or_snap_file> \
         --algo pagerank|cc|lpa|triangles \
         [--engine bsp|dataset] [--iterations K | --eps 1e-6] \
+        [--stop ref [--freeze-delta 1e-16]] \
         [--ckpt DIR] [--out DIR] [--shards P] [--top-k 10]
+
+``--stop ref`` runs the reference's exact per-vertex freeze rule
+(SURVEY.md §5.4) distributed; it reproduces the reference's iteration
+counts on the fixture goldens.
 
 On a real cluster the same command runs via
 ``ray job submit --working-dir . -- python -m engine.cli run ...``;
@@ -68,6 +73,7 @@ def cmd_run(args) -> int:
     report: dict = {"algo": args.algo, "input": args.input}
 
     if args.algo == "pagerank":
+        freeze = args.freeze_delta if args.stop == "ref" else None
         if args.engine == "bsp":
             from .bsp import bsp_pagerank
 
@@ -78,6 +84,7 @@ def cmd_run(args) -> int:
                 num_shards=args.shards,
                 checkpoint_dir=args.ckpt,
                 dictionary=args.dict,
+                freeze_delta=freeze,
             )
         else:
             from .pagerank import _PreparedGraph, pagerank
@@ -89,6 +96,7 @@ def cmd_run(args) -> int:
                 checkpoint_dir=args.ckpt,
                 salted=args.salted,
                 prepared=_PreparedGraph(edges, dictionary=args.dict),
+                freeze_delta=freeze,
             )
         report.update(
             iterations=res.iterations,
@@ -176,6 +184,12 @@ def main(argv=None) -> int:
     r.add_argument("--shards", type=int, default=8)
     r.add_argument("--top-k", type=int, default=10)
     r.add_argument("--salted", action="store_true")
+    r.add_argument("--stop", default="fixed", choices=["fixed", "ref"],
+                   help="'fixed': stop on --iterations/--eps (default "
+                        "eps=1e-6); 'ref': the reference's per-vertex "
+                        "freeze rule at --freeze-delta (reproduces the "
+                        "reference's iteration counts exactly)")
+    r.add_argument("--freeze-delta", type=float, default=1e-16)
     r.add_argument("--dict", default="auto",
                    choices=["auto", "broadcast", "join", "service"],
                    help="vertex dictionary: broadcast array, Dataset hash-"
@@ -186,7 +200,12 @@ def main(argv=None) -> int:
                    default=int(os.environ.get("RAY_GRAFT_CPUS", "8")))
     args = p.parse_args(argv)
     if args.cmd == "run":
-        if args.algo == "pagerank" and args.iterations is None and args.eps is None:
+        if (
+            args.algo == "pagerank"
+            and args.iterations is None
+            and args.eps is None
+            and args.stop != "ref"
+        ):
             args.eps = 1e-6
         return cmd_run(args)
     return 2

@@ -246,12 +246,22 @@ def pagerank(
     prepared: "_PreparedGraph | None" = None,
     shuffle_aggregate: bool = False,
     teleport: np.ndarray | None = None,
+    freeze_delta: float | None = None,
 ) -> PageRankResult:
     """Run PageRank over an edge Dataset (original ids, any dtype).
 
     Stop when ``iterations`` supersteps have run, or when the L1 residual
-    drops below ``eps`` (whichever is given; both → first hit). Exactly one
-    of the two must be set.
+    drops below ``eps`` (whichever is given; both → first hit). At least
+    one of the two must be set — unless ``freeze_delta`` is given.
+
+    ``freeze_delta``: REFERENCE-EXACT stop rule (ref: src/Graph.cpp:160-169
+    via the rank_new = 0.0 sentinel): a vertex whose update moves less than
+    ``freeze_delta`` commits that value and FREEZES — it stops updating but
+    keeps contributing its committed rank — and the run stops when every
+    vertex is frozen, with the final all-frozen sweep counted
+    (src/Graph.cpp:133). ``freeze_delta=1e-16`` reproduces the reference's
+    iteration counts exactly (FIXTURES.md goldens 25/29/44). Not
+    combinable with checkpointing (the frozen mask is not persisted).
 
     ``teleport``: optional dense personalization vector t (length n,
     Σt = 1) — PERSONALIZED PageRank: random jumps and dangling mass
@@ -264,8 +274,10 @@ def pagerank(
     block-boundary duplicate partials); keep it True to exercise the full
     shuffle path or when the result must stay distributed.
     """
-    if iterations is None and eps is None:
-        raise ValueError("set iterations and/or eps")
+    if iterations is None and eps is None and freeze_delta is None:
+        raise ValueError("set iterations, eps and/or freeze_delta")
+    if freeze_delta is not None and checkpoint_dir is not None:
+        raise ValueError("freeze_delta is not combinable with checkpointing")
     from . import checkpoint as ckpt
 
     g = prepared or _PreparedGraph(edges, num_blocks=num_blocks)
@@ -300,11 +312,17 @@ def pagerank(
             rank[saved["vid"]] = saved["rank"]
 
     metrics: list[dict] = []
+    frozen = (
+        np.zeros(n, dtype=bool) if freeze_delta is not None else None
+    )
     it = start_iter
     while True:
         if iterations is not None and it >= iterations:
             break
         it += 1
+        if frozen is not None and frozen.all():
+            # the final all-frozen sweep IS counted (ref: src/Graph.cpp:133)
+            break
         t0 = time.perf_counter()
         # restart coefficient: (1-d) jump mass + d × dangling mass, spread
         # over the teleport distribution (uniform 1/n for classic PR)
@@ -375,8 +393,19 @@ def pagerank(
                     new[dv[starts]] += d * np.add.reduceat(mv, starts)
                 else:
                     np.add.at(new, dv, d * mv)
-        l1 = float(np.abs(new - rank).sum())
-        rank = new
+        if frozen is None:
+            l1 = float(np.abs(new - rank).sum())
+            rank = new
+        else:
+            # ref semantics: active vertices commit the new value, then
+            # freeze when the move was < delta; frozen vertices keep their
+            # committed rank (they still contributed to `new` above via
+            # `rank`, which holds the committed values)
+            active = ~frozen
+            diff = np.abs(new - rank)
+            rank = np.where(active, new, rank)
+            frozen |= active & (diff < freeze_delta)
+            l1 = float(diff[active].sum())
         dt = time.perf_counter() - t0
         metrics.append(
             {
@@ -387,6 +416,11 @@ def pagerank(
                 "l1_residual": l1,
                 "dangling_mass": float(rank[g.sinks].sum()),
                 "num_vertices": n,
+                **(
+                    {"num_active": int((~frozen).sum())}
+                    if frozen is not None
+                    else {}
+                ),
             }
         )
         if checkpoint_dir and it % checkpoint_every == 0:

@@ -29,6 +29,41 @@ def test_pagerank_matches_reference_goldens(name):
     assert math.isclose(sum(got.values()), 1.0, abs_tol=1e-9)
 
 
+@pytest.mark.parametrize("name", list(FIXTURES))
+def test_freeze_stop_matches_reference(name):
+    """--stop ref distributed: the per-vertex freeze rule at 1e-16 must
+    reproduce the reference's exact iteration counts (goldens 25/29/44)
+    and ranks — in BOTH distributed engines, not just the sequential
+    oracle."""
+    from engine.bsp import bsp_pagerank
+
+    path = FIXTURES[name]
+    ref, iters = oracle.pagerank_ref(read_snap_edges_local(path))
+    assert iters == GOLDEN_ITERS[name]
+
+    res = pagerank(read_snap(path), freeze_delta=oracle.REF_DELTA)
+    assert res.iterations == iters, name
+    got = res.as_dict()
+    for v, want in ref.items():
+        assert abs(got[v] - want) < 1e-12, (name, v)
+
+    resb = bsp_pagerank(
+        read_snap(path), freeze_delta=oracle.REF_DELTA, num_shards=3
+    )
+    assert resb.iterations == iters, name
+    gotb = resb.as_dict()
+    for v, want in ref.items():
+        assert abs(gotb[v] - want) < 1e-12, (name, v)
+
+
+def test_freeze_with_checkpoint_rejected(tmp_path):
+    path = FIXTURES["mini"]
+    with pytest.raises(ValueError, match="not combinable"):
+        pagerank(
+            read_snap(path), freeze_delta=1e-16, checkpoint_dir=str(tmp_path)
+        )
+
+
 def test_personalized_pagerank_matches_numpy():
     """PPR with teleport mass split over two seeds vs a dense numpy
     reference on the cyclic 'small' fixture (exercises both the teleport
