@@ -174,19 +174,27 @@ def run_scaling_child(op: str) -> dict:
     # unstable ratios. The triad probe runs in the SAME child immediately
     # before and after the superstep loop: a pre/post divergence means
     # external load hit THIS measurement window (the cross-child probe
-    # can't see that), and the parent flags the run contaminated. Shards
-    # scale with the child's core count (a 4N-node cluster runs 4N
-    # shards).
-    num_shards = int(os.environ.get("GRAFT_BSP_SHARDS", str(NUM_CPUS)))
+    # can't see that), and the parent flags the run contaminated. The
+    # shard count is a FIXED decomposition (default 32 = one shard per
+    # core of the LARGE configuration) at BOTH core counts — the standard
+    # data-sized-partitioning model: scaling a cluster N→4N runs the SAME
+    # job (same shards, same message volume) on more hardware. Scaling
+    # shards WITH cores instead conflates the engine with 1D-partition
+    # communication-volume growth (Σ_shards min(E/P, V) rises ~2.7× from
+    # P=8 to P=32 on this graph).
+    num_shards = int(os.environ.get("GRAFT_BSP_SHARDS", "32"))
     out["bsp_num_shards"] = num_shards
 
-    out["triad_gbps_pre"] = _triad_probe(NUM_CPUS)
     t0 = time.perf_counter()
     edges = _scaled_graph_edges(TRIPLE_ROUNDS + 1).materialize()
     ids = G.vertex_ids(edges)
     enc = G.encode_edges(edges, ids)
     bsp = BSPGraph(enc, n=len(ids), num_shards=num_shards)
     out["bsp_prepare_sec"] = round(time.perf_counter() - t0, 3)
+    # probes bracket ONLY the superstep loop (~10 s), not the multi-minute
+    # build — the guarded window must be short or every run trips the flag
+    # on this host's bursty background load
+    out["triad_gbps_pre"] = _triad_probe(NUM_CPUS)
     _, _, metrics = bsp.pagerank(iterations=12)
     med = statistics.median(m["wall_sec"] for m in metrics[2:])  # warm steps
     out["bsp_step_sec"] = round(med, 3)

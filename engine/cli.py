@@ -110,7 +110,15 @@ def cmd_run(args) -> int:
         if args.out:
             import ray.data as rd
 
-            rd.from_arrow(res.as_table()).write_parquet(args.out)
+            tbl = rd.from_arrow(res.as_table())
+            if args.resumable:
+                from .sink import write_parquet_resumable
+
+                report["sink"] = write_parquet_resumable(
+                    tbl, args.out, key_col="id"
+                )
+            else:
+                tbl.write_parquet(args.out)
     elif args.algo == "cc":
         if args.engine == "bsp":
             from .bsp import bsp_connected_components_dataset
@@ -184,6 +192,10 @@ def main(argv=None) -> int:
     r.add_argument("--shards", type=int, default=8)
     r.add_argument("--top-k", type=int, default=10)
     r.add_argument("--salted", action="store_true")
+    r.add_argument("--resumable", action="store_true",
+                   help="write --out through the resumable bucketed sink "
+                        "(atomic bucket=K dirs; reruns skip finished "
+                        "buckets)")
     r.add_argument("--stop", default="fixed", choices=["fixed", "ref"],
                    help="'fixed': stop on --iterations/--eps (default "
                         "eps=1e-6); 'ref': the reference's per-vertex "

@@ -386,6 +386,67 @@ def embedding_near_dup_ivf(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def embedding_near_dup_ivf_full(sf_dir: str) -> ray.data.Dataset:
+    """IVF-bucketed near-dup with EXHAUSTIVE probing (assign_top ==
+    num_centroids): every vector lands in every bucket, so the bucketed
+    machinery must reproduce the brute-force pair set exactly — which
+    makes the whole IVF path (centroid fit → multi-probe assignment →
+    per-bucket matmul → pair dedup) hard-checkable against the same SQL
+    self-join oracle as ``embedding_near_dup``. The approximate default
+    (``embedding_near_dup_ivf``) stays rows-only by design."""
+    from .dedup import embedding_near_dups_ivf
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    pairs = embedding_near_dups_ivf(
+        ds, threshold=0.35, num_centroids=8, assign_top=8
+    )
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "a": pa.array([p[0] for p in pairs], type=pa.int64()),
+                "b": pa.array([p[1] for p in pairs], type=pa.int64()),
+                "cos_sim": pa.array(
+                    [round(p[2], 6) for p in pairs], type=pa.float64()
+                ),
+            }
+        )
+    )
+
+
+def simhash_near_dup_pairs(sf_dir: str) -> ray.data.Dataset:
+    """SimHash near-dup pairs (Hamming ≤ 3) over documents through the
+    full 2-of-6 chunk-pair LSH pipeline — hard-checkable because the
+    scheme GUARANTEES recall at h ≤ 4 (every qualifying pair shares a
+    bucket) and the in-bucket verify is exact, so the result must equal
+    the SQL fingerprint self-join (bit_count of xor). Raises if any
+    bucket was dropped (accounting is load-bearing: a dropped bucket
+    would make the ≡-SQL claim false)."""
+    from .dedup import simhash_near_dups
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    res = simhash_near_dups(ds, max_hamming=3)
+    if res["dropped_buckets"]:
+        raise RuntimeError(
+            f"{res['dropped_buckets']} LSH buckets over max_bucket — the "
+            "SQL-equivalence contract of this query does not hold; raise "
+            "max_bucket or exact-dedup the corpus first"
+        )
+    pairs = res["pairs"]
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "a": pa.array([p[0] for p in pairs], type=pa.int64()),
+                "b": pa.array([p[1] for p in pairs], type=pa.int64()),
+                "hamming": pa.array([p[2] for p in pairs], type=pa.int64()),
+            }
+        )
+    )
+
+
 def lpa_labels(sf_dir: str) -> ray.data.Dataset:
     """2 rounds of label propagation on the bipartite lineitem graph
     (rows-only; exactness by pytest vs the sequential oracle)."""
@@ -1099,6 +1160,15 @@ ORACLE_SQL: dict[str, str] = {
     """,
 }
 
+ORACLE_SQL["embedding_near_dup_ivf_full"] = ORACLE_SQL["embedding_near_dup"]
+_SH_FP = ORACLE_SQL["simhash_fingerprints"]
+ORACLE_SQL["simhash_near_dup_pairs"] = f"""
+    WITH base AS MATERIALIZED ({_SH_FP})
+    SELECT f1.doc_id AS a, f2.doc_id AS b,
+           CAST(bit_count(xor(f1.simhash, f2.simhash)) AS BIGINT) AS hamming
+    FROM base f1 JOIN base f2 ON f1.doc_id < f2.doc_id
+    WHERE bit_count(xor(f1.simhash, f2.simhash)) <= 3
+"""
 _PR1 = ORACLE_SQL["pr_superstep1"]
 ORACLE_SQL["toprank_superstep"] = (
     f"SELECT * FROM ({_PR1}) ORDER BY rank DESC, vid LIMIT 10"
@@ -1126,6 +1196,8 @@ QUERIES = {
     "ann_topk": ann_topk,
     "embedding_near_dup": embedding_near_dup,
     "embedding_near_dup_ivf": embedding_near_dup_ivf,
+    "embedding_near_dup_ivf_full": embedding_near_dup_ivf_full,
+    "simhash_near_dup_pairs": simhash_near_dup_pairs,
     "lpa_labels": lpa_labels,
     "lpa_labels_bsp": lpa_labels_bsp,
     "minhash_dedup": minhash_dedup,
