@@ -591,6 +591,43 @@ def text_analysis(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def text_quality(sf_dir: str) -> ray.data.Dataset:
+    """The SQL-expressible slice of the text-analysis stage, hard-checked:
+    word count (letters-only tokens), punctuation ratio, EN-stopword
+    ratio, and the composite quality score — all through the full
+    ``textstats.analyze`` actor-pool pipeline. The genuinely heuristic
+    columns (lang_id, BPE-ish token count — its regex needs lookahead,
+    which DuckDB's RE2 lacks) stay rows-only in ``text_analysis``."""
+    from .textstats import analyze
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    out = analyze(ds).select_columns(
+        ["doc_id", "n_words", "punct_ratio", "stopword_ratio", "quality"]
+    )
+
+    def rounder(t: pa.Table) -> pa.Table:
+        q = t.column("quality").to_numpy(zero_copy_only=False)
+        # integer micro-units via floor(x·1e6 + 0.5): a plain ROUND at 9
+        # decimals left the two sides one ulp apart at decimal boundaries
+        # (0.342 vs 0.34199999999999997) — the half-up floor is identical
+        # arithmetic in numpy and DuckDB
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "n_words": t.column("n_words"),
+                "punct_ratio": pc.round(t.column("punct_ratio"), ROUND),
+                "stopword_ratio": pc.round(t.column("stopword_ratio"), ROUND),
+                "quality_micro": pa.array(
+                    np.floor(q * 1e6 + 0.5).astype(np.int64)
+                ),
+            }
+        )
+
+    return out.map_batches(rounder, batch_format="pyarrow")
+
+
 def pr_superstep1_salted(sf_dir: str) -> ray.data.Dataset:
     """One superstep through the salted two-phase aggregation path
     (north-rule N9) — must equal pr_superstep1 exactly, and shares its SQL
@@ -1142,6 +1179,7 @@ ORACLE_SQL: dict[str, str] = {
         LEFT JOIN fp USING (doc_id)
     """,
     "text_analysis": None,
+    "text_quality": None,  # filled below (needs the stopword list)
     # BSP engine is pytest-bit-identical to the dataset engine, so the same
     # unrolled SQL is its oracle
     "pagerank10_bsp": _pagerank_unrolled_sql(10),
@@ -1160,6 +1198,49 @@ ORACLE_SQL: dict[str, str] = {
     """,
 }
 
+def _text_quality_sql() -> str:
+    """Mirror of textstats.TextAnalyzer for the SQL-expressible columns:
+    tokens = ``[^\\W\\d_]+`` on lowercased text (RE2-compatible; corpus is
+    ASCII so Python-unicode vs RE2-ASCII classes agree), punct =
+    ``[^\\w\\s]``, quality = the engine's exact clip-arithmetic (LEAST ==
+    np.clip here since every term is non-negative)."""
+    from .textstats import _STOPWORDS
+
+    stoplist = ", ".join(f"'{w}'" for w in sorted(_STOPWORDS["en"]))
+    return rf"""
+        WITH toks AS MATERIALIZED (
+            SELECT doc_id,
+                   unnest(regexp_extract_all(lower(text), '[^\W\d_]+')) AS tok
+            FROM documents),
+        w AS MATERIALIZED (
+            SELECT doc_id, COUNT(*) AS n_words,
+                   SUM(CASE WHEN tok IN ({stoplist}) THEN 1 ELSE 0 END)
+                       AS stop_cnt
+            FROM toks GROUP BY doc_id),
+        c AS MATERIALIZED (
+            SELECT doc_id,
+                   length(text) AS n_chars,
+                   len(regexp_extract_all(text, '[^\w\s]')) AS n_punct
+            FROM documents)
+        SELECT c.doc_id,
+               COALESCE(w.n_words, 0) AS n_words,
+               ROUND(c.n_punct / GREATEST(c.n_chars, 1), {ROUND})
+                   AS punct_ratio,
+               ROUND(COALESCE(w.stop_cnt, 0)
+                     / GREATEST(COALESCE(w.n_words, 0), 1), {ROUND})
+                   AS stopword_ratio,
+               CAST(FLOOR((
+                   LEAST(COALESCE(w.n_words, 0), 200) / 200.0 * 0.4
+                 + (1.0 - LEAST(c.n_punct / GREATEST(c.n_chars, 1), 0.5)
+                          * 2) * 0.3
+                 + LEAST(COALESCE(w.stop_cnt, 0)
+                         / GREATEST(COALESCE(w.n_words, 0), 1), 0.5)
+                   * 2 * 0.3) * 1000000 + 0.5) AS BIGINT) AS quality_micro
+        FROM c LEFT JOIN w USING (doc_id)
+    """
+
+
+ORACLE_SQL["text_quality"] = _text_quality_sql()
 ORACLE_SQL["embedding_near_dup_ivf_full"] = ORACLE_SQL["embedding_near_dup"]
 _SH_FP = ORACLE_SQL["simhash_fingerprints"]
 ORACLE_SQL["simhash_near_dup_pairs"] = f"""
@@ -1204,6 +1285,7 @@ QUERIES = {
     "minhash_planted": minhash_planted,
     "simhash_fingerprints": simhash_fingerprints,
     "text_analysis": text_analysis,
+    "text_quality": text_quality,
     "pr_superstep1_salted": pr_superstep1_salted,
     "pagerank10_bsp": pagerank10_bsp,
     "graph_stats": graph_stats,
