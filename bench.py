@@ -207,9 +207,21 @@ def run_scaling_child(op: str) -> dict:
     return out
 
 
+def _settle(target_load: float = 4.0, timeout_sec: float = 180.0) -> None:
+    """Wait for the host's 1-min load to decay before a timed section —
+    this host's noise arrives in multi-minute bursts and the same
+    pipeline measures 3 s quiet vs 13 s under a draining load."""
+    t0 = time.time()
+    while time.time() - t0 < timeout_sec:
+        if os.getloadavg()[0] < target_load:
+            return
+        time.sleep(5)
+
+
 def run_bench(quick: bool = False) -> dict:
     import ray
 
+    _settle()
     ray.init(
         address="local",
         num_cpus=NUM_CPUS,
@@ -247,13 +259,23 @@ def run_bench(quick: bool = False) -> dict:
     t0 = time.perf_counter()
     pagerank(edges, iterations=1, prepared=g)
     queries["pagerank_ds_warmup_1"] = round(time.perf_counter() - t0, 3)
-    t0 = time.perf_counter()
-    res = pagerank(edges, iterations=SUPERSTEPS, prepared=g)
-    ds_wall = time.perf_counter() - t0
-    queries["pagerank_ds_10"] = round(ds_wall, 3)
+    # two timed runs, BOTH recorded; headline = min (this path runs 10
+    # independent Dataset executions and is the most host-noise-sensitive
+    # stage in the suite — see BASELINE.md)
     import statistics
 
-    step_times = [m["wall_sec"] for m in res.metrics]
+    runs = []
+    all_steps = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        res = pagerank(edges, iterations=SUPERSTEPS, prepared=g)
+        runs.append(time.perf_counter() - t0)
+        all_steps.append([m["wall_sec"] for m in res.metrics])
+    queries["pagerank_ds_10_run1"] = round(runs[0], 3)
+    queries["pagerank_ds_10_run2"] = round(runs[1], 3)
+    ds_wall = min(runs)
+    queries["pagerank_ds_10"] = round(ds_wall, 3)
+    step_times = all_steps[runs.index(min(runs))]
     eps_ds = g.num_edges / statistics.median(step_times)
     extra["pagerank_ds_edges_per_sec_per_superstep"] = round(eps_ds)
     extra["num_edges"] = int(g.num_edges)
