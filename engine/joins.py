@@ -1,0 +1,344 @@
+"""Temporal joins Ray Data has no native operator for: as-of join and
+banded range join over keyed, timestamped tables (the feature-engineering
+primitives: "attach the most recent prior signal" / "attach everything
+within ±W").
+
+The reference has no joins at all (SURVEY.md §2.2); these are engine
+additions (SURVEY.md §2.5).
+
+As-of join design (fully distributed, no per-group Python, no per-key
+volume assumption — one key's rows may span any number of blocks):
+
+1. Tag both sides and union them into one unified-schema Dataset
+   (side 0 = right/reference stream, side 1 = left/probe stream; the
+   other side's payload columns are null).
+2. ONE global ``sort([key, on, side, tie])`` — the only shuffle. Right
+   rows sort before left rows at equal (key, on), which makes the match
+   inclusive (``r.on <= l.on``); ties between right rows are ordered by
+   ``tie`` ascending so the LAST one (max tie value) wins
+   deterministically.
+3. Per-block vectorized forward-fill: for every row, the index of the
+   latest right row at-or-before it within its key run (one
+   ``np.maximum.accumulate`` over segment-offset-encoded indices).
+4. Cross-block carry: a left row at the head of a block whose match lies
+   in an earlier block gets it from per-block metadata chained on the
+   driver — (first_key, last_key, last right row of the trailing key
+   run), one tiny tuple per block, never rows (the same pattern as
+   engine/topk.py block-rank offsets).
+
+Range join design: band both sides into width-``window`` buckets of the
+``on`` axis; replicate each RIGHT row into its bucket ±1 so every
+qualifying pair co-locates in the left row's bucket exactly once (no
+dedup pass needed); ``groupby([key, bucket]).map_groups`` emits pairs via
+two vectorized searchsorteds. Partitioning assumption: one (key, window)
+bucket's rows fit one group — i.e. bounded per-key event rate per window,
+the standard banded-join premise.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+
+_SIDE = "__side"
+_TIE = "__tie"
+_BUCKET = "__bucket"
+
+
+def _unify(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    key_col: str,
+    on_col: str,
+    left_cols: list[str],
+    right_cols: list[str],
+    suffix: str,
+    tie_col: str | None,
+) -> tuple[ray.data.Dataset, list[str], list[str], pa.Schema]:
+    """Side-tagged union with one unified schema: key, on, side, tie,
+    left payload (original names), right payload (suffixed)."""
+    lschema = left.schema()
+    rschema = right.schema()
+    ltypes = {n: t for n, t in zip(lschema.names, lschema.types)}
+    rtypes = {n: t for n, t in zip(rschema.names, rschema.types)}
+    lpay = [c for c in left_cols if c not in (key_col, on_col)]
+    rpay = [c for c in right_cols if c not in (key_col, on_col)]
+    rpay_out = [c + suffix for c in rpay]
+
+    def tag_left(t: pa.Table) -> pa.Table:
+        n = len(t)
+        cols = {
+            key_col: t.column(key_col),
+            on_col: t.column(on_col),
+            _SIDE: pa.array(np.ones(n, dtype=np.int8)),
+            _TIE: pa.array(np.zeros(n, dtype=np.int64)),
+        }
+        for c in lpay:
+            cols[c] = t.column(c)
+        for c, co in zip(rpay, rpay_out):
+            cols[co] = pa.nulls(n, type=rtypes[c])
+        return pa.table(cols)
+
+    def tag_right(t: pa.Table) -> pa.Table:
+        n = len(t)
+        if tie_col is not None:
+            tie = pc.cast(t.column(tie_col), pa.int64())
+        else:
+            tie = pa.array(np.zeros(n, dtype=np.int64))
+        cols = {
+            key_col: t.column(key_col),
+            on_col: t.column(on_col),
+            _SIDE: pa.array(np.zeros(n, dtype=np.int8)),
+            _TIE: tie,
+        }
+        for c in lpay:
+            cols[c] = pa.nulls(n, type=ltypes[c])
+        for c, co in zip(rpay, rpay_out):
+            cols[co] = t.column(c)
+        return pa.table(cols)
+
+    uni = left.map_batches(tag_left, batch_format="pyarrow").union(
+        right.map_batches(tag_right, batch_format="pyarrow")
+    )
+    out_schema = pa.schema(
+        [
+            (key_col, ltypes[key_col]),
+            (on_col, ltypes[on_col]),
+            (on_col + suffix, rtypes[on_col]),
+        ]
+        + [(c, ltypes[c]) for c in lpay]
+        + [(co, rtypes[c]) for c, co in zip(rpay, rpay_out)]
+    )
+    return uni, lpay, rpay_out, out_schema
+
+
+def _ffill_right_idx(key: np.ndarray, side: np.ndarray) -> np.ndarray:
+    """Per row: index of the latest side-0 row at-or-before it within its
+    contiguous key run, -1 if none. One maximum.accumulate: offsetting by
+    segment_id * (n + 2) makes every value of run k dominate every value
+    of run k-1, so the running max never leaks across runs."""
+    n = len(key)
+    if n == 0:
+        return np.zeros(0, dtype=np.int64)
+    new_run = np.concatenate(([True], key[1:] != key[:-1]))
+    seg = np.cumsum(new_run) - 1
+    big = np.int64(n + 2)
+    a = np.where(side == 0, np.arange(n, dtype=np.int64), np.int64(-1))
+    return np.maximum.accumulate(seg * big + a) - seg * big
+
+
+def asof_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    key_col: str,
+    on_col: str,
+    left_cols: list[str],
+    right_cols: list[str],
+    tie_col: str | None = None,
+    suffix: str = "_r",
+) -> ray.data.Dataset:
+    """Inner backward as-of join: each left row is matched to the single
+    right row with the same ``key_col`` and the largest ``on_col`` value
+    ``<=`` the left row's (ties between right rows broken by largest
+    ``tie_col``); unmatched left rows are dropped. Output columns:
+    ``key_col``, left ``on_col``, right ``on_col + suffix``, the
+    requested left payload columns (original names) and right payload
+    columns (suffixed). ``key_col`` must be a numeric/comparable Arrow
+    type; ``on_col`` any totally ordered type.
+    """
+    uni, lpay, rpay_out, out_schema = _unify(
+        left, right, key_col, on_col, left_cols, right_cols, suffix, tie_col
+    )
+    s = uni.sort([key_col, on_col, _SIDE, _TIE]).materialize()
+
+    refs = []
+    for rb in s.iter_internal_ref_bundles():
+        for blk, meta in rb.blocks:
+            if meta.num_rows:
+                refs.append(blk)
+    if not refs:
+        return ray.data.from_arrow(out_schema.empty_table())
+
+    carry_cols = [on_col] + rpay_out
+
+    @ray.remote
+    def block_meta(tbl: pa.Table):
+        key = tbl.column(key_col).to_numpy(zero_copy_only=False)
+        side = tbl.column(_SIDE).to_numpy(zero_copy_only=False)
+        in_last = key == key[-1]
+        idxs = np.flatnonzero(in_last & (side == 0))
+        row = None
+        if len(idxs):
+            i = int(idxs[-1])
+            row = {c: tbl.column(c)[i].as_py() for c in carry_cols}
+        return key[0], key[-1], row
+
+    metas = ray.get([block_meta.remote(r) for r in refs])
+
+    # chain the trailing right row across blocks: a key run may span any
+    # number of blocks, some of which contain no right rows of that key
+    carries: list[dict | None] = []
+    cur_key, cur_row = None, None
+    for fk, lk, row in metas:
+        carry = cur_row if cur_key is not None and fk == cur_key else None
+        carries.append(carry)
+        if row is not None:
+            cur_key, cur_row = lk, row
+        elif lk == fk:
+            cur_key, cur_row = lk, carry  # single-key block, run continues
+        else:
+            cur_key, cur_row = lk, None
+
+    @ray.remote
+    def emit(tbl: pa.Table, carry: dict | None) -> pa.Table:
+        key = tbl.column(key_col).to_numpy(zero_copy_only=False)
+        side = tbl.column(_SIDE).to_numpy(zero_copy_only=False)
+        ffill = _ffill_right_idx(key, side)
+        li = np.flatnonzero(side == 1)
+        match = ffill[li]
+        first_run = key[li] == key[0] if len(key) else np.zeros(0, bool)
+        lead = (match == -1) & first_run & (carry is not None)
+        keep = (match >= 0) | lead
+        li, match, lead = li[keep], match[keep], lead[keep]
+        lrows = pa.array(li)
+        ridx = pa.array(np.where(match >= 0, match, 0))
+        lead_pa = pa.array(lead)
+        cols = {
+            key_col: pc.take(tbl.column(key_col), lrows),
+            on_col: pc.take(tbl.column(on_col), lrows),
+        }
+        for src, out, from_right in (
+            [(on_col, on_col + suffix, True)]
+            + [(c, c, False) for c in lpay]
+            + [(c, c, True) for c in rpay_out]
+        ):
+            if from_right:
+                arr = pc.take(tbl.column(src), ridx)
+                if carry is not None:
+                    arr = pc.if_else(
+                        lead_pa, pa.scalar(carry[src], type=arr.type), arr
+                    )
+                cols[out] = arr
+            else:
+                cols[out] = pc.take(tbl.column(src), lrows)
+        return pa.table(cols, schema=out_schema)
+
+    out_refs = [emit.remote(r, c) for r, c in zip(refs, carries)]
+    return ray.data.from_arrow_refs(out_refs)
+
+
+def range_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    key_col: str,
+    on_col: str,
+    window: int,
+    left_cols: list[str],
+    right_cols: list[str],
+    suffix: str = "_r",
+) -> ray.data.Dataset:
+    """All (left, right) pairs with equal ``key_col`` and
+    ``|left.on - right.on| <= window`` (``on_col`` must be int64 — e.g.
+    epoch microseconds). Banded-bucket equi-join: each right row is
+    replicated into its ``on // window`` bucket ±1, so every qualifying
+    pair meets in the left row's bucket exactly once. Output columns as
+    in :func:`asof_join` (left payload unsuffixed, right suffixed)."""
+    lpay = [c for c in left_cols if c not in (key_col, on_col)]
+    rpay = [c for c in right_cols if c not in (key_col, on_col)]
+    rpay_out = [c + suffix for c in rpay]
+    w = np.int64(window)
+
+    rschema = right.schema()
+    rtypes = {n: t for n, t in zip(rschema.names, rschema.types)}
+    lschema = left.schema()
+    ltypes = {n: t for n, t in zip(lschema.names, lschema.types)}
+
+    def tag_left(t: pa.Table) -> pa.Table:
+        on = t.column(on_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        cols = {
+            key_col: t.column(key_col),
+            _BUCKET: pa.array(np.floor_divide(on, w)),
+            on_col: t.column(on_col),
+            _SIDE: pa.array(np.ones(len(t), dtype=np.int8)),
+        }
+        for c in lpay:
+            cols[c] = t.column(c)
+        for c in rpay:
+            cols["__r_" + c] = pa.nulls(len(t), type=rtypes[c])
+        return pa.table(cols)
+
+    def tag_right(t: pa.Table) -> pa.Table:
+        n = len(t)
+        on = t.column(on_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        b = np.floor_divide(on, w)
+        rep = np.repeat(np.arange(n), 3)
+        bucket = (b[:, None] + np.array([-1, 0, 1], dtype=np.int64)[None, :]).reshape(-1)
+        idx = pa.array(rep)
+        cols = {
+            key_col: pc.take(t.column(key_col), idx),
+            _BUCKET: pa.array(bucket),
+            on_col: pc.take(t.column(on_col), idx),
+            _SIDE: pa.array(np.zeros(3 * n, dtype=np.int8)),
+        }
+        for c in lpay:
+            cols[c] = pa.nulls(3 * n, type=ltypes[c])
+        for c in rpay:
+            cols["__r_" + c] = pc.take(t.column(c), idx)
+        return pa.table(cols)
+
+    uni = left.map_batches(tag_left, batch_format="pyarrow").union(
+        right.map_batches(tag_right, batch_format="pyarrow")
+    )
+
+    out_schema = pa.schema(
+        [
+            (key_col, ltypes[key_col]),
+            (on_col, ltypes[on_col]),
+            (on_col + suffix, rtypes[on_col]),
+        ]
+        + [(c, ltypes[c]) for c in lpay]
+        + [(co, rtypes[c]) for c, co in zip(rpay, rpay_out)]
+    )
+
+    def pairs(g: pa.Table) -> pa.Table:
+        side = g.column(_SIDE).to_numpy(zero_copy_only=False)
+        on = g.column(on_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        li = np.flatnonzero(side == 1)
+        ri = np.flatnonzero(side == 0)
+        if len(li) == 0 or len(ri) == 0:
+            return out_schema.empty_table()
+        order = np.argsort(on[ri], kind="stable")
+        ri = ri[order]
+        rt = on[ri]
+        lt = on[li]
+        lo = np.searchsorted(rt, lt - int(w), side="left")
+        hi = np.searchsorted(rt, lt + int(w), side="right")
+        counts = hi - lo
+        total = int(counts.sum())
+        if total == 0:
+            return out_schema.empty_table()
+        lrep = np.repeat(np.arange(len(li)), counts)
+        rpos = (
+            np.arange(total, dtype=np.int64)
+            - np.repeat(np.cumsum(counts) - counts, counts)
+            + np.repeat(lo, counts)
+        )
+        lrows = pa.array(li[lrep])
+        rrows = pa.array(ri[rpos])
+        cols = {
+            key_col: pc.take(g.column(key_col), lrows),
+            on_col: pc.take(g.column(on_col), lrows),
+            on_col + suffix: pc.take(g.column(on_col), rrows),
+        }
+        for c in lpay:
+            cols[c] = pc.take(g.column(c), lrows)
+        for c, co in zip(rpay, rpay_out):
+            cols[co] = pc.take(g.column("__r_" + c), rrows)
+        return pa.table(cols, schema=out_schema)
+
+    return uni.groupby([key_col, _BUCKET]).map_groups(
+        pairs, batch_format="pyarrow"
+    )

@@ -958,6 +958,151 @@ def _lpa_unrolled_sql(rounds: int) -> str:
     )
 
 
+def _events_stream(sf_dir: str, etype: str) -> ray.data.Dataset:
+    """One event-type slice of the events table as a keyed, timestamped
+    stream: (event_id, user_id, ts_us int64 epoch-microseconds)."""
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type"],
+    )
+
+    def f(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t.column("event_type"), etype))
+        return pa.table(
+            {
+                "event_id": t.column("event_id"),
+                "user_id": t.column("user_id"),
+                "ts_us": pc.cast(t.column("ts"), pa.int64()),
+            }
+        )
+
+    return ev.map_batches(f, batch_format="pyarrow")
+
+
+def events_asof_join(sf_dir: str) -> ray.data.Dataset:
+    """Backward as-of join: each purchase event matched to the user's
+    most recent click at-or-before it (ties by largest click event_id)
+    through the sorted-block distributed as-of operator — SQL-checkable
+    via a ROW_NUMBER formulation (equivalently DuckDB's ASOF JOIN, which
+    leaves equal-timestamp winners unspecified; the ROW_NUMBER oracle
+    pins them)."""
+    from .joins import asof_join
+
+    return asof_join(
+        _events_stream(sf_dir, "purchase"),
+        _events_stream(sf_dir, "click"),
+        key_col="user_id",
+        on_col="ts_us",
+        left_cols=["user_id", "ts_us", "event_id"],
+        right_cols=["user_id", "ts_us", "event_id"],
+        tie_col="event_id",
+    )
+
+
+def events_range_join(sf_dir: str) -> ray.data.Dataset:
+    """Banded range join: all (purchase, click) pairs of the same user
+    within ±6 hours, via bucket-replicated co-grouping (right side
+    replicated to bucket ±1; every qualifying pair meets exactly once)."""
+    from .joins import range_join
+
+    return range_join(
+        _events_stream(sf_dir, "purchase"),
+        _events_stream(sf_dir, "click"),
+        key_col="user_id",
+        on_col="ts_us",
+        window=6 * 3600 * 1_000_000,
+        left_cols=["user_id", "ts_us", "event_id"],
+        right_cols=["user_id", "ts_us", "event_id"],
+    )
+
+
+def events_sample(sf_dir: str) -> ray.data.Dataset:
+    """Deterministic 10% Bernoulli sample of events: keep rows where
+    md5-low-64(str(event_id)) % 10 == 0 (== DuckDB md5_number_lower).
+    Reorder/repartition-stable — the resumable-sampling property a 100-TB
+    pipeline needs (no RNG state, no global pass); same hash family as
+    the train/val/test split (engine/textstats.train_split)."""
+    import hashlib
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "value"],
+    )
+
+    def f(t: pa.Table) -> pa.Table:
+        ids = t.column("event_id").to_pylist()
+        h = np.fromiter(
+            (
+                int.from_bytes(
+                    hashlib.md5(str(i).encode()).digest()[8:], "little"
+                )
+                % 10
+                for i in ids
+            ),
+            dtype=np.int64,
+            count=len(ids),
+        )
+        t = t.filter(pa.array(h == 0))
+        cents = pc.cast(
+            pc.round(
+                pc.multiply(t.column("value"), 100.0),
+                round_mode="half_towards_infinity",
+            ),
+            pa.int64(),
+        )
+        return pa.table(
+            {
+                "event_id": t.column("event_id"),
+                "user_id": t.column("user_id"),
+                "ts_us": pc.cast(t.column("ts"), pa.int64()),
+                "value_cents": cents,
+            }
+        )
+
+    return ev.map_batches(f, batch_format="pyarrow")
+
+
+def orders_without_lineitems(sf_dir: str) -> ray.data.Dataset:
+    """Distinct orderkeys in orders but in no lineitem row — the
+    distributed sort-based EXCEPT (engine/setops.py; one sort, no hash
+    aggregate, driver sees per-block metadata only)."""
+    from .setops import except_keys
+
+    ords = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey"]
+    ).map_batches(
+        lambda t: pa.table({"orderkey": t.column("o_orderkey")}),
+        batch_format="pyarrow",
+    )
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey"]
+    ).map_batches(
+        lambda t: pa.table({"orderkey": t.column("l_orderkey")}),
+        batch_format="pyarrow",
+    )
+    return except_keys(ords, li, "orderkey")
+
+
+def parts_with_lineitems(sf_dir: str) -> ray.data.Dataset:
+    """Distinct partkeys present in both part and lineitem — the
+    distributed sort-based INTERSECT (engine/setops.py)."""
+    from .setops import intersect_keys
+
+    parts = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey"]
+    ).map_batches(
+        lambda t: pa.table({"partkey": t.column("p_partkey")}),
+        batch_format="pyarrow",
+    )
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_partkey"]
+    ).map_batches(
+        lambda t: pa.table({"partkey": t.column("l_partkey")}),
+        batch_format="pyarrow",
+    )
+    return intersect_keys(parts, li, "partkey")
+
+
 ORACLE_SQL: dict[str, str] = {
     "edges_project": f"""
         SELECT DISTINCT l_orderkey AS src,
@@ -1250,6 +1395,53 @@ ORACLE_SQL["simhash_near_dup_pairs"] = f"""
     FROM base f1 JOIN base f2 ON f1.doc_id < f2.doc_id
     WHERE bit_count(xor(f1.simhash, f2.simhash)) <= 3
 """
+ORACLE_SQL["events_asof_join"] = """
+    WITH l AS MATERIALIZED (
+            SELECT event_id, user_id, epoch_us(ts) AS ts_us
+            FROM events WHERE event_type = 'purchase'),
+         r AS MATERIALIZED (
+            SELECT event_id, user_id, epoch_us(ts) AS ts_us
+            FROM events WHERE event_type = 'click'),
+         j AS (
+            SELECT l.user_id, l.ts_us, r.ts_us AS ts_us_r,
+                   l.event_id, r.event_id AS event_id_r,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY l.event_id
+                       ORDER BY r.ts_us DESC, r.event_id DESC) AS rn
+            FROM l JOIN r
+              ON l.user_id = r.user_id AND r.ts_us <= l.ts_us)
+    SELECT user_id, ts_us, ts_us_r, event_id, event_id_r
+    FROM j WHERE rn = 1
+"""
+ORACLE_SQL["events_range_join"] = """
+    WITH l AS MATERIALIZED (
+            SELECT event_id, user_id, epoch_us(ts) AS ts_us
+            FROM events WHERE event_type = 'purchase'),
+         r AS MATERIALIZED (
+            SELECT event_id, user_id, epoch_us(ts) AS ts_us
+            FROM events WHERE event_type = 'click')
+    SELECT l.user_id, l.ts_us, r.ts_us AS ts_us_r,
+           l.event_id, r.event_id AS event_id_r
+    FROM l JOIN r
+      ON l.user_id = r.user_id
+     AND abs(l.ts_us - r.ts_us) <= 21600000000
+"""
+ORACLE_SQL["events_sample"] = """
+    SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+           CAST(ROUND(value * 100) AS BIGINT) AS value_cents
+    FROM events
+    WHERE md5_number_lower(CAST(event_id AS VARCHAR)) % 10 = 0
+"""
+ORACLE_SQL["orders_without_lineitems"] = """
+    SELECT o_orderkey AS orderkey FROM orders
+    EXCEPT
+    SELECT l_orderkey FROM lineitem
+"""
+ORACLE_SQL["parts_with_lineitems"] = """
+    SELECT p_partkey AS partkey FROM part
+    INTERSECT
+    SELECT l_partkey FROM lineitem
+"""
 _PR1 = ORACLE_SQL["pr_superstep1"]
 ORACLE_SQL["toprank_superstep"] = (
     f"SELECT * FROM ({_PR1}) ORDER BY rank DESC, vid LIMIT 10"
@@ -1297,4 +1489,9 @@ QUERIES = {
     "train_val_test_split": train_val_test_split,
     "token_percentiles": token_percentiles,
     "events_top3_per_user": events_top3_per_user,
+    "events_asof_join": events_asof_join,
+    "events_range_join": events_range_join,
+    "events_sample": events_sample,
+    "orders_without_lineitems": orders_without_lineitems,
+    "parts_with_lineitems": parts_with_lineitems,
 }
