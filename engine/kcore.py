@@ -1,0 +1,101 @@
+"""k-core decomposition — iterative degree peeling on the undirected view
+of a distinct edge set (the link-graph "dense subgraph" primitive:
+repeatedly drop vertices of degree < k until every survivor has ≥ k
+surviving neighbors).
+
+Same engine shape as connected components (engine/components.py): each
+round is one distributed degree pass (per-batch ``np.unique`` partials,
+driver ``np.bincount`` accumulate — the sanctioned broadcast-state path,
+engine/graph.dense_out_degrees) plus one broadcast-mask edge filter
+(``ray.put`` of a bit-packed alive mask read once per task, never
+re-shipped per batch). State is O(V/8) bytes broadcast + O(E) streamed;
+the fully partitioned variant would hold per-shard degree slices in the
+BSP engine, but at V = 1e9 the packed mask is 125 MB — comfortably
+broadcastable, matching the repo's PageRank broadcast path.
+
+Assumes the input edge set is distinct and self-loop-free (both hold for
+the lineitem bipartite projection; a self-loop would count degree 2).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data
+
+from . import graph as G
+
+
+def _deg_partial(batch: pa.Table) -> pa.Table:
+    """Per-batch partial undirected-degree counts over both endpoints."""
+    src = batch.column("src").to_numpy(zero_copy_only=False)
+    dst = batch.column("dst").to_numpy(zero_copy_only=False)
+    uniq, cnt = np.unique(np.concatenate([src, dst]), return_counts=True)
+    return pa.table(
+        {
+            "vid": pa.array(uniq.astype(np.uint64), type=pa.uint64()),
+            "cnt": pa.array(cnt.astype(np.int64)),
+        }
+    )
+
+
+def _dense_degrees(edges: ray.data.Dataset, n: int) -> np.ndarray:
+    deg = np.zeros(n, dtype=np.float64)
+    partial = edges.map_batches(_deg_partial, batch_format="pyarrow")
+    for b in partial.iter_batches(batch_format="pyarrow", batch_size=1 << 20):
+        vid = b.column("vid").to_numpy(zero_copy_only=False).astype(np.int64)
+        cnt = b.column("cnt").to_numpy(zero_copy_only=False)
+        deg += np.bincount(vid, weights=cnt, minlength=n)
+    return deg.astype(np.int64)
+
+
+def _alive_filter(mask_ref, n: int):
+    def fn(batch: pa.Table) -> pa.Table:
+        bits = ray.get(mask_ref)
+        alive = np.unpackbits(bits, count=n).view(bool)
+        src = batch.column("src").to_numpy(zero_copy_only=False).astype(np.int64)
+        dst = batch.column("dst").to_numpy(zero_copy_only=False).astype(np.int64)
+        return batch.filter(pa.array(alive[src] & alive[dst]))
+
+    return fn
+
+
+def kcore(
+    edges: ray.data.Dataset, k: int, max_rounds: int = 10_000
+) -> tuple[np.ndarray, np.ndarray, int]:
+    """Peel the graph to its k-core. Returns (sorted original ids, boolean
+    alive mask over those ids, rounds). ``rounds`` counts every degree
+    pass including the final no-change one (so a stable input reports 1).
+    """
+    ids = G.vertex_ids(edges)
+    n = len(ids)
+    cur = G.encode_edges(edges, ids).materialize()
+    alive = np.ones(n, dtype=bool)
+    rounds = 0
+    while rounds < max_rounds:
+        rounds += 1
+        deg = _dense_degrees(cur, n)
+        new_alive = alive & (deg >= k)
+        if (new_alive == alive).all():
+            break
+        alive = new_alive
+        mask_ref = ray.put(np.packbits(alive))
+        cur = cur.map_batches(
+            _alive_filter(mask_ref, n), batch_format="pyarrow"
+        ).materialize()
+    return ids, alive, rounds
+
+
+def kcore_vertices_dataset(
+    edges: ray.data.Dataset, k: int, max_rounds: int = 10_000
+) -> tuple[ray.data.Dataset, int]:
+    """Original ids of the k-core vertices as a (vid int64) Dataset."""
+    ids, alive, rounds = kcore(edges, k, max_rounds)
+    surv = ids[alive].astype(np.int64)
+    return (
+        ray.data.from_arrow(
+            pa.table({"vid": pa.array(surv, type=pa.int64())})
+        ),
+        rounds,
+    )

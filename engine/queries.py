@@ -29,6 +29,7 @@ PART_OFFSET = 10_000_000
 SUPP_OFFSET = 20_000_000
 ROUND = 9  # decimals for float compare columns
 _CC_ORACLE_ROUNDS = 14  # unroll depth of the cc_labels SQL oracle
+_KCORE_ORACLE_ROUNDS = 8  # unroll depth of the kcore_3 SQL oracle
 
 
 def _li(sf_dir: str, columns):
@@ -1062,6 +1063,83 @@ def events_sample(sf_dir: str) -> ray.data.Dataset:
     return ev.map_batches(f, batch_format="pyarrow")
 
 
+def kcore_3(sf_dir: str) -> ray.data.Dataset:
+    """Vertices of the 3-core of the bipartite lineitem graph (iterative
+    degree peeling, engine/kcore.py) — oracle-checked against unrolled
+    peel-round SQL with the same convergence-depth guard as cc_labels."""
+    from .kcore import kcore_vertices_dataset
+
+    ds, rounds = kcore_vertices_dataset(edges_project(sf_dir), k=3)
+    # rounds counts the final no-change pass; effective peels = rounds - 1
+    if rounds - 1 > _KCORE_ORACLE_ROUNDS:
+        raise RuntimeError(
+            f"kcore_3 peeled {rounds - 1} rounds but the SQL oracle "
+            f"unrolls only {_KCORE_ORACLE_ROUNDS} — raise "
+            "_KCORE_ORACLE_ROUNDS"
+        )
+    return ds
+
+
+def _kcore_unrolled_sql(k: int, rounds: int) -> str:
+    """Unrolled peeling: d_r = vertices with undirected degree >= k in
+    e_{r-1}; e_r = edges of e_{r-1} with both endpoints in d_r. Stable
+    sets are fixpoints, so extra unrolled rounds are no-ops and the final
+    d_R is the k-core whenever the true peel depth <= R (guarded at query
+    time in kcore_3)."""
+    parts = [
+        f"""e0 AS MATERIALIZED (SELECT DISTINCT l_orderkey AS src,
+                 l_partkey + {PART_OFFSET} AS dst FROM lineitem)"""
+    ]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        parts.append(
+            f"""d{r} AS MATERIALIZED (
+                 SELECT vid FROM (SELECT src AS vid FROM e{p}
+                                  UNION ALL SELECT dst FROM e{p}) AS u
+                 GROUP BY vid HAVING COUNT(*) >= {k}),
+        e{r} AS MATERIALIZED (
+                 SELECT e.src, e.dst FROM e{p} e
+                 JOIN d{r} a ON e.src = a.vid
+                 JOIN d{r} b ON e.dst = b.vid)"""
+        )
+    return (
+        "WITH "
+        + ",\n        ".join(parts)
+        + f"\n        SELECT vid FROM d{rounds}"
+    )
+
+
+def hll_registers_parts(sf_dir: str) -> ray.data.Dataset:
+    """HyperLogLog register table (p=12) over lineitem.l_partkey — pure
+    integers, so the sketch state itself is hash-checkable against the
+    DuckDB md5_number_lower reproduction (engine/sketch.py)."""
+    from .sketch import hll_registers
+
+    li = _li(sf_dir, ["l_partkey"])
+    return hll_registers(li, "l_partkey", p=12)
+
+
+def approx_distinct_parts(sf_dir: str) -> ray.data.Dataset:
+    """HLL approximate distinct count of l_partkey (p=12, ~1.6% rel.
+    error): (est_micro = floor(estimate·1e6 + 0.5), nz nonzero
+    registers). The estimator keeps the register sum in exact integer
+    arithmetic so the SQL oracle computes the bit-identical float."""
+    from .sketch import approx_distinct
+
+    li = _li(sf_dir, ["l_partkey"])
+    est, nz = approx_distinct(li, "l_partkey", p=12)
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "est_micro": pa.array(
+                    [int(np.floor(est * 1e6 + 0.5))], type=pa.int64()
+                ),
+                "nz": pa.array([nz], type=pa.int64()),
+            }
+        )
+    )
+
+
 def orders_without_lineitems(sf_dir: str) -> ray.data.Dataset:
     """Distinct orderkeys in orders but in no lineitem row — the
     distributed sort-based EXCEPT (engine/setops.py; one sort, no hash
@@ -1432,6 +1510,38 @@ ORACLE_SQL["events_sample"] = """
     FROM events
     WHERE md5_number_lower(CAST(event_id AS VARCHAR)) % 10 = 0
 """
+ORACLE_SQL["kcore_3"] = _kcore_unrolled_sql(3, _KCORE_ORACLE_ROUNDS)
+ORACLE_SQL["hll_registers_parts"] = """
+    SELECT hv % 4096 AS idx,
+           MAX(52 - length(ltrim(bin((hv // 4096)::UBIGINT), '0')) + 1)
+               AS rho
+    FROM (SELECT md5_number_lower(CAST(l_partkey AS VARCHAR)) AS hv
+          FROM lineitem) AS h
+    GROUP BY idx
+"""
+ORACLE_SQL["approx_distinct_parts"] = """
+    WITH h AS MATERIALIZED (
+        SELECT md5_number_lower(CAST(l_partkey AS VARCHAR)) AS hv
+        FROM lineitem),
+    r AS MATERIALIZED (
+        SELECT hv % 4096 AS idx,
+               MAX(52 - length(ltrim(bin((hv // 4096)::UBIGINT), '0')) + 1)
+                   AS rho
+        FROM h GROUP BY idx),
+    s AS (SELECT COUNT(*) AS nz,
+                 SUM((1::UBIGINT << (53 - rho))::HUGEINT) AS sp FROM r),
+    e AS (SELECT nz,
+                 (0.7213 / (1 + 1.079 / 4096)) * 4096 * 4096 * POWER(2.0, 53)
+                 / CAST(sp + (4096 - nz)::HUGEINT
+                        * (1::UBIGINT << 53)::HUGEINT AS DOUBLE) AS raw
+          FROM s)
+    SELECT CAST(FLOOR((CASE WHEN raw <= 2.5 * 4096 AND nz < 4096
+                            THEN 4096 * ln(4096.0 / (4096 - nz))
+                            ELSE raw END) * 1000000 + 0.5) AS BIGINT)
+               AS est_micro,
+           CAST(nz AS BIGINT) AS nz
+    FROM e
+"""
 ORACLE_SQL["orders_without_lineitems"] = """
     SELECT o_orderkey AS orderkey FROM orders
     EXCEPT
@@ -1492,6 +1602,9 @@ QUERIES = {
     "events_asof_join": events_asof_join,
     "events_range_join": events_range_join,
     "events_sample": events_sample,
+    "kcore_3": kcore_3,
+    "hll_registers_parts": hll_registers_parts,
+    "approx_distinct_parts": approx_distinct_parts,
     "orders_without_lineitems": orders_without_lineitems,
     "parts_with_lineitems": parts_with_lineitems,
 }

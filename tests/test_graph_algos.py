@@ -248,3 +248,51 @@ def test_cc_random_graph():
     edges = [(int(a), int(b)) for a, b in e]
     got, _ = connected_components(_ds(edges))
     assert got == oracle.connected_components(edges)
+
+
+def test_kcore_path_graph_multi_round():
+    """A path graph peels from both ends, one layer per round — exercises
+    genuinely iterative convergence (the lineitem graph stabilizes in one
+    peel)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from engine.kcore import kcore
+
+    n = 20
+    edges = pd.DataFrame(
+        {"src": list(range(n - 1)), "dst": list(range(1, n))}
+    ).astype("int64")
+    ids, alive, rounds = kcore(rd.from_pandas(edges), k=2)
+    # 2-core of a path is empty, reached after ~n/2 peels
+    assert alive.sum() == 0
+    assert rounds >= 5
+
+
+def test_kcore_matches_numpy_peeling():
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from engine.kcore import kcore
+
+    rng = np.random.default_rng(5)
+    m = 400
+    edges = pd.DataFrame(
+        {"src": rng.integers(0, 60, m), "dst": rng.integers(60, 120, m)}
+    ).astype("int64")
+    edges = edges.drop_duplicates().reset_index(drop=True)
+
+    for k in (2, 3, 4):
+        cs, ct = edges.src.to_numpy().copy(), edges.dst.to_numpy().copy()
+        while True:
+            ids_, inv = np.unique(np.concatenate([cs, ct]), return_inverse=True)
+            deg = np.bincount(inv)
+            keep = ids_[deg >= k]
+            msk = np.isin(cs, keep) & np.isin(ct, keep)
+            if msk.all():
+                break
+            cs, ct = cs[msk], ct[msk]
+        want = set(np.unique(np.concatenate([cs, ct]))) if len(cs) else set()
+        ids, alive, _ = kcore(rd.from_pandas(edges), k=k)
+        assert set(ids[alive]) == want, k

@@ -326,3 +326,35 @@ def test_ivf_topk_recall():
     assert full["vec_id"].tolist() == brute["vec_id"].tolist()
     part = ivf_topk(idx, q, k=5, nprobe=3).to_pandas()
     assert 5 in part["vec_id"].tolist() and 77 in part["vec_id"].tolist()
+
+
+def test_hll_error_bound_and_order_invariance():
+    """HLL estimate within ~5% (3σ at p=12) of the exact distinct count,
+    and identical under repartitioning (register max-merge is
+    order-independent)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from engine.sketch import approx_distinct
+
+    rng = np.random.default_rng(17)
+    vals = rng.integers(0, 50_000, 120_000).astype("int64")
+    exact = len(np.unique(vals))
+    ds = rd.from_pandas(pd.DataFrame({"v": vals}))
+    est, nz = approx_distinct(ds, "v", p=12)
+    assert abs(est - exact) / exact < 0.05, (est, exact)
+    est2, nz2 = approx_distinct(ds.repartition(13), "v", p=12)
+    assert est2 == est and nz2 == nz
+
+
+def test_hll_linear_counting_branch_small():
+    import pandas as pd
+    import ray.data as rd
+
+    from engine.sketch import approx_distinct
+
+    ds = rd.from_pandas(pd.DataFrame({"v": list(range(100)) * 5}))
+    est, nz = approx_distinct(ds, "v", p=12)
+    # tiny cardinality -> linear counting branch, which is near-exact here
+    assert abs(est - 100) < 3, est
