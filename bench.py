@@ -113,6 +113,9 @@ def run_scaling_child(op: str) -> dict:
         include_dashboard=False,
         ignore_reinit_error=True,
         logging_level="ERROR",
+        # raylet warnings (e.g. worker-count notices) otherwise land on
+        # stdout AFTER the result line and break one-JSON-line consumers
+        log_to_driver=False,
     )
     from ray.data import DataContext
 
@@ -228,6 +231,9 @@ def run_bench(quick: bool = False) -> dict:
         include_dashboard=False,
         ignore_reinit_error=True,
         logging_level="ERROR",
+        # raylet warnings (e.g. worker-count notices) otherwise land on
+        # stdout AFTER the result line and break one-JSON-line consumers
+        log_to_driver=False,
     )
     from ray.data import DataContext
 
@@ -327,8 +333,11 @@ def run_bench(quick: bool = False) -> dict:
         # ---- driver-contract pipelines at this sf --------------------
         from engine.queries import (
             ann_topk,
+            approx_distinct_parts,
             dedup_exact,
             doc_stats,
+            events_asof_join,
+            kcore_3,
             triangles_tripartite,
         )
 
@@ -337,6 +346,9 @@ def run_bench(quick: bool = False) -> dict:
             ("doc_stats", doc_stats),
             ("ann_topk", ann_topk),
             ("triangles_tripartite", triangles_tripartite),
+            ("events_asof_join", events_asof_join),
+            ("kcore_3", kcore_3),
+            ("approx_distinct_parts", approx_distinct_parts),
         ]:
             t0 = time.perf_counter()
             out = fn(SF_DIR)
@@ -483,6 +495,9 @@ def run_tune() -> dict:
         include_dashboard=False,
         ignore_reinit_error=True,
         logging_level="ERROR",
+        # raylet warnings (e.g. worker-count notices) otherwise land on
+        # stdout AFTER the result line and break one-JSON-line consumers
+        log_to_driver=False,
     )
     from ray.data import DataContext
 

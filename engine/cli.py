@@ -1,7 +1,7 @@
 """CLI driver — the ``ray job submit`` entrypoint (north-rule N10).
 
     python -m engine.cli run --input <corpus_dir_or_snap_file> \
-        --algo pagerank|cc|lpa|triangles \
+        --algo pagerank|cc|lpa|triangles|kcore \
         [--engine bsp|dataset] [--iterations K | --eps 1e-6] \
         [--stop ref [--freeze-delta 1e-16]] \
         [--ckpt DIR] [--out DIR] [--shards P] [--top-k 10]
@@ -168,6 +168,14 @@ def cmd_run(args) -> int:
         from .triangles import triangle_count
 
         report.update(n_triangles=triangle_count(edges))
+    elif args.algo == "kcore":
+        from .kcore import kcore_vertices_dataset
+
+        k = args.k
+        ds, rounds = kcore_vertices_dataset(edges, k=k)
+        report.update(k=k, rounds=rounds, core_vertices=int(ds.count()))
+        if args.out:
+            ds.write_parquet(args.out)
     else:
         print(f"unknown algo {args.algo}", file=sys.stderr)
         return 2
@@ -183,7 +191,7 @@ def main(argv=None) -> int:
     r = sub.add_parser("run", help="run a graph algorithm over an input")
     r.add_argument("--input", required=True)
     r.add_argument("--algo", default="pagerank",
-                   choices=["pagerank", "cc", "lpa", "triangles"])
+                   choices=["pagerank", "cc", "lpa", "triangles", "kcore"])
     r.add_argument("--engine", default="bsp", choices=["bsp", "dataset"])
     r.add_argument("--iterations", type=int, default=None)
     r.add_argument("--eps", type=float, default=None)
@@ -191,6 +199,8 @@ def main(argv=None) -> int:
     r.add_argument("--out", default=None)
     r.add_argument("--shards", type=int, default=8)
     r.add_argument("--top-k", type=int, default=10)
+    r.add_argument("--k", type=int, default=3,
+                   help="core order for --algo kcore")
     r.add_argument("--salted", action="store_true")
     r.add_argument("--resumable", action="store_true",
                    help="write --out through the resumable bucketed sink "
