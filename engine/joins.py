@@ -342,3 +342,112 @@ def range_join(
     return uni.groupby([key_col, _BUCKET]).map_groups(
         pairs, batch_format="pyarrow"
     )
+
+
+def broadcast_join(
+    left: ray.data.Dataset,
+    right_small: ray.data.Dataset,
+    on: str,
+    right_cols: list[str],
+    join_type: str = "inner",
+) -> ray.data.Dataset:
+    """Equi-join against a SMALL dimension table without any shuffle: the
+    right side is materialized once into the object store (``ray.put``)
+    and every map task hash-joins its Arrow batch against it in C++
+    (``pyarrow.Table.join``) — the canonical broadcast-join pattern the
+    100-TB guidance mandates for small sides (ship the table once, not
+    per batch; the big side streams). Right side must fit comfortably in
+    a worker's heap (guard: 50M rows)."""
+    import pyarrow as _pa
+
+    cols = [on] + [c for c in right_cols if c != on]
+    rt = _pa.concat_tables(
+        right_small.select_columns(cols).iter_batches(
+            batch_format="pyarrow", batch_size=1 << 20
+        )
+    )
+    if rt.num_rows > 50_000_000:
+        raise ValueError(
+            f"broadcast side has {rt.num_rows} rows — use a shuffle join"
+        )
+    ref = ray.put(rt.combine_chunks())
+
+    def f(batch: pa.Table) -> pa.Table:
+        small = ray.get(ref)
+        return batch.join(small, keys=on, join_type=join_type)
+
+    return left.map_batches(f, batch_format="pyarrow")
+
+
+def lag_per_key(
+    ds: ray.data.Dataset,
+    key_col: str,
+    order_col: str,
+    value_col: str,
+    out_col: str = "lag",
+    tie_col: str | None = None,
+) -> ray.data.Dataset:
+    """Distributed LAG window function: each row gets the previous row's
+    ``value_col`` within its ``key_col`` partition ordered by
+    ``order_col`` (ties by ``tie_col``); the first row of each key is
+    DROPPED (inner-lag semantics — no null sentinel to reconcile across
+    engines). One global sort; the cross-block predecessor is the
+    previous non-empty block's last row, shipped as one tiny per-block
+    tuple via the driver (no accumulation chain needed — the predecessor
+    of a block head is always the previous block's tail)."""
+    sort_cols = [key_col, order_col] + ([tie_col] if tie_col else [])
+    # normalize block format: a pandas-blocked input (e.g. from_pandas)
+    # would otherwise surface pandas blocks from the sort
+    arrow = ds.map_batches(lambda t: t, batch_format="pyarrow")
+    s = arrow.sort(sort_cols).materialize()
+    refs = []
+    for rb in s.iter_internal_ref_bundles():
+        for blk, meta in rb.blocks:
+            if meta.num_rows:
+                refs.append(blk)
+    sch = ds.schema()
+    vtype = dict(zip(sch.names, sch.types))[value_col]
+    out_fields = [(n, t) for n, t in zip(sch.names, sch.types)] + [
+        (out_col, vtype)
+    ]
+    out_schema = pa.schema(out_fields)
+    if not refs:
+        return ray.data.from_arrow(out_schema.empty_table())
+
+    @ray.remote
+    def tail_meta(tbl: pa.Table):
+        i = len(tbl) - 1
+        return (
+            tbl.column(key_col)[i].as_py(),
+            tbl.column(value_col)[i].as_py(),
+        )
+
+    tails = ray.get([tail_meta.remote(r) for r in refs])
+    carries = [None] + tails[:-1]
+
+    @ray.remote
+    def emit(tbl: pa.Table, carry) -> pa.Table:
+        key = tbl.column(key_col).to_numpy(zero_copy_only=False)
+        n = len(key)
+        same = np.concatenate(([False], key[1:] == key[:-1]))
+        prev_idx = np.arange(n, dtype=np.int64) - 1
+        head_from_carry = (
+            carry is not None and n > 0 and key[0] == carry[0]
+        )
+        keep = same.copy()
+        if head_from_carry:
+            keep[0] = True
+        lag_vals = pc.take(
+            tbl.column(value_col),
+            pa.array(np.where(prev_idx >= 0, prev_idx, 0)),
+        )
+        if head_from_carry:
+            first = pa.array([True] + [False] * (n - 1))
+            lag_vals = pc.if_else(
+                first, pa.scalar(carry[1], type=lag_vals.type), lag_vals
+            )
+        out = tbl.append_column(out_col, lag_vals)
+        return out.filter(pa.array(keep)).cast(out_schema)
+
+    out_refs = [emit.remote(r, c) for r, c in zip(refs, carries)]
+    return ray.data.from_arrow_refs(out_refs)

@@ -1109,6 +1109,58 @@ def _kcore_unrolled_sql(k: int, rounds: int) -> str:
     )
 
 
+def orders_enriched(sf_dir: str) -> ray.data.Dataset:
+    """Orders joined to customer attributes through the broadcast hash
+    join (small side shipped once via ray.put, per-batch C++ hash join —
+    no shuffle of the big side)."""
+    from .joins import broadcast_join
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    )
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_nationkey", "c_mktsegment"],
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "o_custkey": t.column("c_custkey"),
+                "c_nationkey": t.column("c_nationkey"),
+                "c_mktsegment": t.column("c_mktsegment"),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return broadcast_join(
+        orders, cust, on="o_custkey",
+        right_cols=["c_nationkey", "c_mktsegment"],
+    )
+
+
+def events_lag(sf_dir: str) -> ray.data.Dataset:
+    """Distributed LAG window function: each event paired with the user's
+    previous event timestamp (order ts, ties by event_id; first event per
+    user dropped — inner-lag). SQL-checkable via LAG ... OVER."""
+    from .joins import lag_per_key
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id"]
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "event_id": t.column("event_id"),
+                "user_id": t.column("user_id"),
+                "ts_us": pc.cast(t.column("ts"), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return lag_per_key(
+        ev, key_col="user_id", order_col="ts_us", value_col="ts_us",
+        out_col="prev_ts_us", tie_col="event_id",
+    )
+
+
 def hll_registers_parts(sf_dir: str) -> ray.data.Dataset:
     """HyperLogLog register table (p=12) over lineitem.l_partkey — pure
     integers, so the sketch state itself is hash-checkable against the
@@ -1511,6 +1563,19 @@ ORACLE_SQL["events_sample"] = """
     WHERE md5_number_lower(CAST(event_id AS VARCHAR)) % 10 = 0
 """
 ORACLE_SQL["kcore_3"] = _kcore_unrolled_sql(3, _KCORE_ORACLE_ROUNDS)
+ORACLE_SQL["orders_enriched"] = """
+    SELECT o_orderkey, o_custkey, c_nationkey, c_mktsegment
+    FROM orders JOIN customer ON o_custkey = c_custkey
+"""
+ORACLE_SQL["events_lag"] = """
+    SELECT event_id, user_id, ts_us, prev_ts_us FROM (
+        SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+               LAG(epoch_us(ts)) OVER (
+                   PARTITION BY user_id
+                   ORDER BY epoch_us(ts), event_id) AS prev_ts_us
+        FROM events) AS t
+    WHERE prev_ts_us IS NOT NULL
+"""
 ORACLE_SQL["hll_registers_parts"] = """
     SELECT hv % 4096 AS idx,
            MAX(52 - length(ltrim(bin((hv // 4096)::UBIGINT), '0')) + 1)
@@ -1603,6 +1668,8 @@ QUERIES = {
     "events_range_join": events_range_join,
     "events_sample": events_sample,
     "kcore_3": kcore_3,
+    "orders_enriched": orders_enriched,
+    "events_lag": events_lag,
     "hll_registers_parts": hll_registers_parts,
     "approx_distinct_parts": approx_distinct_parts,
     "orders_without_lineitems": orders_without_lineitems,

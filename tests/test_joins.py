@@ -228,3 +228,55 @@ def test_setops_duplicate_heavy_single_key(tiny_blocks):
     assert list(intersect_keys(a, rd.from_pandas(B), "k").to_pandas().k) == [42]
     other = rd.from_pandas(pd.DataFrame({"k": np.array([7], dtype="int64")}))
     assert list(except_keys(a, other, "k").to_pandas().k) == [42]
+
+
+def test_broadcast_join_inner():
+    import pandas as pd
+    import ray.data as rd
+
+    from engine.joins import broadcast_join
+
+    L = pd.DataFrame({"k": [1, 2, 3, 2, 9], "x": [10, 20, 30, 40, 50]}).astype("int64")
+    R = pd.DataFrame({"k": [1, 2, 3], "name": ["a", "b", "c"]})
+    R["k"] = R["k"].astype("int64")
+    out = (
+        broadcast_join(rd.from_pandas(L), rd.from_pandas(R), "k", ["name"])
+        .to_pandas()
+        .sort_values(["k", "x"])
+        .reset_index(drop=True)
+    )
+    # k=9 has no match and is dropped (inner)
+    assert len(out) == 4
+    assert list(out.name) == ["a", "b", "b", "c"]
+
+
+def test_lag_per_key_matches_pandas(tiny_blocks):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from engine.joins import lag_per_key
+
+    rng = np.random.default_rng(23)
+    n = 6000
+    df = pd.DataFrame(
+        {
+            "k": rng.integers(0, 7, n),  # few keys -> runs span many blocks
+            "t": rng.integers(0, 1_000_000, n),
+            "eid": np.arange(n),
+        }
+    ).astype("int64")
+    out = lag_per_key(
+        rd.from_pandas(df).repartition(16),
+        key_col="k",
+        order_col="t",
+        value_col="t",
+        out_col="prev_t",
+        tie_col="eid",
+    ).to_pandas()
+    ref = df.sort_values(["k", "t", "eid"]).copy()
+    ref["prev_t"] = ref.groupby("k")["t"].shift(1)
+    ref = ref.dropna(subset=["prev_t"]).astype({"prev_t": "int64"})
+    a = out.sort_values(["k", "t", "eid"]).reset_index(drop=True)
+    b = ref.sort_values(["k", "t", "eid"]).reset_index(drop=True)[a.columns]
+    pd.testing.assert_frame_equal(a, b)
