@@ -67,6 +67,11 @@ def _unify(
     lpay = [c for c in left_cols if c not in (key_col, on_col)]
     rpay = [c for c in right_cols if c not in (key_col, on_col)]
     rpay_out = [c + suffix for c in rpay]
+    clash = set(rpay_out) & set(lpay + [key_col, on_col])
+    if clash:
+        raise ValueError(
+            f"suffixed right columns collide with left columns: {clash}"
+        )
 
     def tag_left(t: pa.Table) -> pa.Table:
         n = len(t)
@@ -246,9 +251,16 @@ def range_join(
     replicated into its ``on // window`` bucket ±1, so every qualifying
     pair meets in the left row's bucket exactly once. Output columns as
     in :func:`asof_join` (left payload unsuffixed, right suffixed)."""
+    if window <= 0:
+        raise ValueError(f"window must be positive, got {window}")
     lpay = [c for c in left_cols if c not in (key_col, on_col)]
     rpay = [c for c in right_cols if c not in (key_col, on_col)]
     rpay_out = [c + suffix for c in rpay]
+    clash = set(rpay_out) & set(lpay + [key_col, on_col])
+    if clash:
+        raise ValueError(
+            f"suffixed right columns collide with left columns: {clash}"
+        )
     w = np.int64(window)
 
     rschema = right.schema()

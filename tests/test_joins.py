@@ -280,3 +280,19 @@ def test_lag_per_key_matches_pandas(tiny_blocks):
     a = out.sort_values(["k", "t", "eid"]).reset_index(drop=True)
     b = ref.sort_values(["k", "t", "eid"]).reset_index(drop=True)[a.columns]
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_join_input_validation():
+    import pandas as pd
+    import ray.data as rd
+
+    from engine.joins import asof_join, range_join
+
+    L = pd.DataFrame({"k": [1], "t": [1], "x_r": [1]}).astype("int64")
+    R = pd.DataFrame({"k": [1], "t": [1], "x": [1]}).astype("int64")
+    with pytest.raises(ValueError, match="collide"):
+        asof_join(rd.from_pandas(L), rd.from_pandas(R), "k", "t",
+                  ["k", "t", "x_r"], ["k", "t", "x"])
+    with pytest.raises(ValueError, match="positive"):
+        range_join(rd.from_pandas(L), rd.from_pandas(R), "k", "t", 0,
+                   ["k", "t"], ["k", "t"])
