@@ -296,11 +296,16 @@ def run_bench(quick: bool = False) -> dict:
         all_steps.append([m["wall_sec"] for m in res.metrics])
     triad_post = _triad_probe(8)
     # same contamination rule as --scaling: pre/post probe divergence
-    # means external load hit the headline window — interpret the value
-    # accordingly (host noise arrives in multi-minute bursts, BASELINE.md)
+    # means external load hit the headline window. ALSO flag a
+    # persistently THROTTLED window: this host's 8-actor triad measures
+    # ~30 GB/s clean but has been observed pinned at 2-3 GB/s for whole
+    # runs (stable-low, so the skew test alone passes while every
+    # bandwidth-bound number is ~10x off)
     skew = abs(triad_pre - triad_post) / max(triad_pre, triad_post)
     extra["headline_triad_gbps"] = [triad_pre, triad_post]
-    extra["headline_contaminated"] = bool(skew > 0.25)
+    extra["headline_contaminated"] = bool(
+        skew > 0.25 or max(triad_pre, triad_post) < 8.0
+    )
     for i, r in enumerate(runs):
         queries[f"pagerank_ds_10_run{i + 1}"] = round(r, 3)
     ds_wall = min(runs)
