@@ -66,9 +66,21 @@ def _scaled_graph_edges(rounds: int | None = None):
     ds = ray.data.from_arrow(edges).repartition(max(NUM_CPUS, 8))
     try:
         ds = ds.materialize()
-        ds.write_parquet(cache)
-        with open(f"{cache}/_DONE", "w") as f:
+        # crash-safe cache write: write into a tmp dir and rename into
+        # place atomically. Writing straight into `cache` is corrupting —
+        # a run that dies between write_parquet and _DONE leaves parquet
+        # files behind, the next run APPENDS a second full set (Ray's
+        # write_parquet does not truncate) and then writes _DONE, and
+        # every later cached read returns a duplicated-edge graph.
+        import shutil
+
+        tmp = f"{cache}.tmp.{os.getpid()}"
+        shutil.rmtree(tmp, ignore_errors=True)
+        ds.write_parquet(tmp)
+        with open(f"{tmp}/_DONE", "w") as f:
             f.write("ok")
+        shutil.rmtree(cache, ignore_errors=True)
+        os.rename(tmp, cache)
     except Exception:
         pass  # cache is best-effort; the in-memory dataset is authoritative
     return ds

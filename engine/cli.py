@@ -132,8 +132,12 @@ def cmd_run(args) -> int:
 
             ds, rounds = connected_components_dataset(edges)
             label_col = "label"
+        from . import graph as G
+
+        # sort-based distinct count, not ds.unique (Ray's hash aggregate
+        # is ~100× slower than its sort at >=10M labels)
         report.update(
-            rounds=rounds, num_components=len(ds.unique(label_col))
+            rounds=rounds, num_components=G.distinct_count(ds, label_col)
         )
         if args.out:
             ds.write_parquet(args.out)
@@ -160,8 +164,10 @@ def cmd_run(args) -> int:
         else:
             from .labelprop import label_propagation_dataset
 
+            from . import graph as G
+
             ds = label_propagation_dataset(edges, iterations=iters)
-            report.update(num_communities=len(ds.unique("label")))
+            report.update(num_communities=G.distinct_count(ds, "label"))
             if args.out:
                 ds.write_parquet(args.out)
     elif args.algo == "triangles":
@@ -172,7 +178,10 @@ def cmd_run(args) -> int:
         from .kcore import kcore_vertices_dataset
 
         k = args.k
-        ds, rounds = kcore_vertices_dataset(edges, k=k)
+        # raw inputs (SNAP files especially) can carry duplicate edges,
+        # both directions, or self-loops — all of which silently inflate
+        # degrees; canonicalize to the undirected simple graph first
+        ds, rounds = kcore_vertices_dataset(edges, k=k, dedupe=True)
         report.update(k=k, rounds=rounds, core_vertices=int(ds.count()))
         if args.out:
             ds.write_parquet(args.out)

@@ -67,7 +67,10 @@ def _unify(
     lpay = [c for c in left_cols if c not in (key_col, on_col)]
     rpay = [c for c in right_cols if c not in (key_col, on_col)]
     rpay_out = [c + suffix for c in rpay]
-    clash = set(rpay_out) & set(lpay + [key_col, on_col])
+    # the output also carries the generated right on-column (on_col+suffix)
+    # — include it in the clash set or a left payload named e.g. "ts_us_r"
+    # silently produces a duplicate field in out_schema
+    clash = set(rpay_out + [on_col + suffix]) & set(lpay + [key_col, on_col])
     if clash:
         raise ValueError(
             f"suffixed right columns collide with left columns: {clash}"
@@ -256,7 +259,8 @@ def range_join(
     lpay = [c for c in left_cols if c not in (key_col, on_col)]
     rpay = [c for c in right_cols if c not in (key_col, on_col)]
     rpay_out = [c + suffix for c in rpay]
-    clash = set(rpay_out) & set(lpay + [key_col, on_col])
+    # on_col+suffix is part of the output schema too — see _unify
+    clash = set(rpay_out + [on_col + suffix]) & set(lpay + [key_col, on_col])
     if clash:
         raise ValueError(
             f"suffixed right columns collide with left columns: {clash}"
@@ -369,9 +373,19 @@ def broadcast_join(
     (``pyarrow.Table.join``) — the canonical broadcast-join pattern the
     100-TB guidance mandates for small sides (ship the table once, not
     per batch; the big side streams). Right side must fit comfortably in
-    a worker's heap (guard: 50M rows)."""
+    a worker's heap (guard: 50M rows).
+
+    ``join_type`` is restricted to the batch-local-correct set: the join
+    runs once per LEFT batch, so right-outer/full-outer would emit each
+    unmatched right row once per batch instead of once overall."""
     import pyarrow as _pa
 
+    batch_local_safe = {"inner", "left outer", "left semi", "left anti"}
+    if join_type not in batch_local_safe:
+        raise ValueError(
+            f"join_type {join_type!r} is not batch-local-correct for a "
+            f"broadcast join (allowed: {sorted(batch_local_safe)})"
+        )
     cols = [on] + [c for c in right_cols if c != on]
     rt = _pa.concat_tables(
         right_small.select_columns(cols).iter_batches(

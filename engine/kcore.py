@@ -61,16 +61,36 @@ def _alive_filter(mask_ref, n: int):
     return fn
 
 
+def _canonical_undirected(enc: ray.data.Dataset, n: int) -> ray.data.Dataset:
+    """Dedupe an encoded edge set into the canonical undirected simple
+    graph (min, max) with self-loops dropped — for inputs (e.g. raw SNAP
+    files) that may carry duplicates / both directions / self-loops, which
+    would silently inflate degrees."""
+    if n >= 1 << 32:
+        raise ValueError("dedupe packs vids into 32 bits; graph too large")
+    und = G.undirected_edges(enc)
+    return und.map_batches(
+        lambda t: pa.table({"src": t.column("a"), "dst": t.column("b")}),
+        batch_format="pyarrow",
+    )
+
+
 def kcore(
-    edges: ray.data.Dataset, k: int, max_rounds: int = 10_000
+    edges: ray.data.Dataset, k: int, max_rounds: int = 10_000,
+    dedupe: bool = False,
 ) -> tuple[np.ndarray, np.ndarray, int]:
     """Peel the graph to its k-core. Returns (sorted original ids, boolean
     alive mask over those ids, rounds). ``rounds`` counts every degree
     pass including the final no-change one (so a stable input reports 1).
+    ``dedupe=True`` canonicalizes the input first (see the module
+    precondition — raw SNAP inputs need it).
     """
     ids = G.vertex_ids(edges)
     n = len(ids)
-    cur = G.encode_edges(edges, ids).materialize()
+    cur = G.encode_edges(edges, ids)
+    if dedupe:
+        cur = _canonical_undirected(cur, n)
+    cur = cur.materialize()
     alive = np.ones(n, dtype=bool)
     rounds = 0
     while rounds < max_rounds:
@@ -88,10 +108,11 @@ def kcore(
 
 
 def kcore_vertices_dataset(
-    edges: ray.data.Dataset, k: int, max_rounds: int = 10_000
+    edges: ray.data.Dataset, k: int, max_rounds: int = 10_000,
+    dedupe: bool = False,
 ) -> tuple[ray.data.Dataset, int]:
     """Original ids of the k-core vertices as a (vid int64) Dataset."""
-    ids, alive, rounds = kcore(edges, k, max_rounds)
+    ids, alive, rounds = kcore(edges, k, max_rounds, dedupe=dedupe)
     surv = ids[alive].astype(np.int64)
     return (
         ray.data.from_arrow(

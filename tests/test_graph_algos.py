@@ -296,3 +296,43 @@ def test_kcore_matches_numpy_peeling():
         want = set(np.unique(np.concatenate([cs, ct]))) if len(cs) else set()
         ids, alive, _ = kcore(rd.from_pandas(edges), k=k)
         assert set(ids[alive]) == want, k
+
+
+def test_kcore_dedupe_handles_dirty_input():
+    """Duplicate edges, both-direction copies and self-loops must not
+    inflate degrees when dedupe=True (the CLI SNAP path)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from engine.kcore import kcore
+
+    # triangle 0-1-2: every vertex has undirected degree 2
+    clean = pd.DataFrame(
+        {"src": [0, 1, 2], "dst": [1, 2, 0]}
+    ).astype("int64")
+    dirty = pd.DataFrame(
+        {
+            "src": [0, 1, 2, 1, 2, 0, 0, 1, 1],
+            "dst": [1, 2, 0, 0, 1, 2, 0, 1, 2],  # reversed + self-loops + dup
+        }
+    ).astype("int64")
+    ids_c, alive_c, _ = kcore(rd.from_pandas(clean), k=2)
+    ids_d, alive_d, _ = kcore(rd.from_pandas(dirty), k=2, dedupe=True)
+    assert set(ids_c[alive_c]) == {0, 1, 2}
+    assert set(ids_d[alive_d]) == {0, 1, 2}
+    # without dedupe the dirty input would keep a fake 3-core alive
+    _, alive_clean3, _ = kcore(rd.from_pandas(clean), k=3)
+    assert alive_clean3.sum() == 0
+    _, alive_d3, _ = kcore(rd.from_pandas(dirty), k=3, dedupe=True)
+    assert alive_d3.sum() == 0
+
+
+def test_distinct_count_sort_based():
+    import pandas as pd
+    import ray.data as rd
+
+    from engine.graph import distinct_count
+
+    df = pd.DataFrame({"label": np.repeat(np.arange(37), 13)}).astype("int64")
+    ds = rd.from_pandas(df.sample(frac=1, random_state=1)).repartition(8)
+    assert distinct_count(ds, "label") == 37

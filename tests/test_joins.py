@@ -296,3 +296,38 @@ def test_join_input_validation():
     with pytest.raises(ValueError, match="positive"):
         range_join(rd.from_pandas(L), rd.from_pandas(R), "k", "t", 0,
                    ["k", "t"], ["k", "t"])
+
+
+def test_join_on_col_suffix_clash_rejected():
+    """A LEFT payload column named like the generated right on-column
+    (on_col + suffix) must raise, not produce a duplicate schema field."""
+    import pandas as pd
+    import ray.data as rd
+
+    from engine.joins import asof_join, range_join
+
+    L = pd.DataFrame({"k": [1], "t": [1], "t_r": [7]}).astype("int64")
+    R = pd.DataFrame({"k": [1], "t": [1], "x": [1]}).astype("int64")
+    with pytest.raises(ValueError, match="collide"):
+        asof_join(rd.from_pandas(L), rd.from_pandas(R), "k", "t",
+                  ["k", "t", "t_r"], ["k", "t", "x"])
+    with pytest.raises(ValueError, match="collide"):
+        range_join(rd.from_pandas(L), rd.from_pandas(R), "k", "t", 5,
+                   ["k", "t", "t_r"], ["k", "t", "x"])
+
+
+def test_broadcast_join_rejects_batch_local_unsafe_join_types():
+    """right/full outer would emit unmatched right rows once per LEFT
+    batch — only the batch-local-correct set is allowed."""
+    import pandas as pd
+    import ray.data as rd
+
+    from engine.joins import broadcast_join
+
+    L = rd.from_pandas(pd.DataFrame({"k": [1]}).astype("int64"))
+    R = rd.from_pandas(pd.DataFrame({"k": [1], "v": [2]}).astype("int64"))
+    for jt in ("right outer", "full outer"):
+        with pytest.raises(ValueError, match="batch-local"):
+            broadcast_join(L, R, "k", ["v"], join_type=jt)
+    # the safe set still works
+    assert broadcast_join(L, R, "k", ["v"], join_type="left semi").count() == 1
