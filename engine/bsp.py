@@ -20,14 +20,19 @@ long-lived Ray actors, so nothing is O(V) on any single process:
   no ``ufunc.at``, no re-serialized ids.
 - A superstep is exactly TWO actor waves: (1) emit — each actor combines
   its local contributions per destination with one ``reduceat`` and ships
-  its combined value array as ONE object; (2) apply — each actor resolves
-  the P source arrays (zero-copy plasma on-node), slices its own window
-  via the static bounds, applies ``new = sink_sum + d·mass`` (ref update
-  rule: src/Graph.cpp:142-155, sink_sum per src/Graph.cpp:135-140) and
-  returns its local L1 residual AND its new dangling-rank sum, which
-  feeds the next superstep's sink_sum with no extra collective. Driver
-  traffic: 2·P RPCs + P tiny ObjectRefs per superstep — never vertex
-  data (see ``set_sources`` for the multi-node slice-grouping note).
+  one value object per target NODE GROUP (G=1, the single-node default:
+  the whole combined array as ONE object); (2) apply — each actor
+  resolves the P source objects for its own group (zero-copy plasma
+  on-node), slices its own window via the static bounds, applies
+  ``new = sink_sum + d·mass`` (ref update rule: src/Graph.cpp:142-155,
+  sink_sum per src/Graph.cpp:135-140) and returns its local L1 residual
+  AND its new dangling-rank sum, which feeds the next superstep's
+  sink_sum with no extra collective. Driver traffic: 2·P RPCs + P·G tiny
+  ObjectRefs per superstep — never vertex data. On a G-node cluster
+  (shards placement-grouped per node, ``num_node_groups=G``) cross-node
+  bytes are exactly the values destined to each node — O(nodes) traffic,
+  the distributed analog of the reference's per-iteration host↔device
+  transfer discipline (src/Graph4CL.cpp:161-189).
 
 Connected components run on the same actors with min-label combines
 (north-rule N4). Checkpoint/resume writes one parquet per shard per
@@ -140,20 +145,39 @@ class ShardActor:
         combined value array (P+1 ints, shipped once to every receiver)."""
         return self.route_bounds
 
-    def set_sources(self, id_refs: list, src_bounds: list) -> None:
+    def set_sources(
+        self, id_refs: list, src_bounds: list, group_of: np.ndarray | None = None
+    ) -> None:
         """Receive every source shard's static id slice for this target
         plus every source's route_bounds; precompute the merge permutation
         + segment boundaries. ``src_bounds`` lets ``apply_*`` slice its own
-        window out of each source's SINGLE combined value array — the
-        per-superstep exchange then needs one ``ray.put`` per SOURCE
-        (O(P) objects/refs total) instead of one per (source, target) pair
-        (O(P²)). Trade-off: every shard fetches every source's full
-        combined array; on one node that is a zero-copy plasma read, on a
-        P-node cluster it is a P× network amplification versus per-slice
-        objects — at that scale group the slices per target NODE (one
-        object per node, not per shard), which restores O(nodes) traffic
-        while keeping O(P) driver refs."""
+        window out of each source's combined value array — the
+        per-superstep exchange needs one ``ray.put`` per (source,
+        node-group) (O(P·G) objects total, G = number of node groups)
+        instead of one per (source, target) pair (O(P²)).
+
+        ``group_of`` (len P, nondecreasing, contiguous runs) maps each
+        TARGET shard to its node group. With G=1 (single node, the
+        default) each source ships its WHOLE combined array as one object
+        — a zero-copy plasma read for every co-located receiver. On a
+        G-node cluster each source ships one object per target NODE
+        holding only that node's slices, so cross-node traffic is the
+        data actually destined there (O(nodes) total), not P× the
+        combined array. This is the distributed analog of the reference's
+        per-iteration host↔device transfer discipline
+        (ref: src/Graph4CL.cpp:161-189)."""
+        P = self.P
+        if group_of is None:
+            group_of = np.zeros(P, dtype=np.int64)
+        self._group_of = np.asarray(group_of, dtype=np.int64)
+        self._my_group = int(self._group_of[self.sid])
+        # first target shard of my group (groups are contiguous runs)
+        g_lo = int(np.searchsorted(self._group_of, self._my_group, side="left"))
+        self._my_group_lo = g_lo  # my index within the group = sid - g_lo
+        # each source's group-object for my group starts at its
+        # route_bounds[g_lo]; target windows inside it are group-local
         self._src_bounds = [np.asarray(b) for b in src_bounds]
+        self._src_group_base = [int(b[g_lo]) for b in self._src_bounds]
         slices = ray.get(list(id_refs))
         self._src_sizes = [len(s) for s in slices]
         if sum(self._src_sizes) == 0:
@@ -171,14 +195,36 @@ class ShardActor:
         self._in_ready = True
 
     def _incoming_slices(self, refs: list) -> list:
-        """Resolve the P source value arrays (one vector ``ray.get``) and
-        slice this target's window out of each, source order."""
+        """Resolve the P per-source group objects for THIS shard's node
+        group (one vector ``ray.get``) and slice this target's window out
+        of each, source order. Windows are group-local: the group object
+        from source s starts at its route_bounds[first shard of my group]."""
         full = ray.get(list(refs))
         t = self.sid
         return [
-            np.asarray(a)[self._src_bounds[s][t] : self._src_bounds[s][t + 1]]
+            np.asarray(a)[
+                self._src_bounds[s][t] - self._src_group_base[s]
+                : self._src_bounds[s][t + 1] - self._src_group_base[s]
+            ]
             for s, a in enumerate(full)
         ]
+
+    def _group_slices(self, combined: np.ndarray) -> list:
+        """Split a combined per-target value array into one object per
+        node group (G refs; G=1 ships the whole array — the single-node
+        degenerate path). Group g covers contiguous target shards
+        [searchsorted(g, left), searchsorted(g, right))."""
+        G = int(self._group_of[-1]) + 1
+        if G == 1:
+            return [ray.put(combined)]
+        out = []
+        for g in range(G):
+            lo = int(np.searchsorted(self._group_of, g, side="left"))
+            hi = int(np.searchsorted(self._group_of, g, side="right"))
+            out.append(
+                ray.put(combined[self.route_bounds[lo] : self.route_bounds[hi]])
+            )
+        return out
 
     # ---- PageRank -------------------------------------------------------
 
@@ -191,16 +237,17 @@ class ShardActor:
 
     def emit_mass(self):
         """Combine local contributions per compact dst (one ``reduceat``
-        over the dst-sorted edge array); ship the WHOLE combined array as
-        ONE object — receivers slice their window via the static
-        route_bounds (see ``set_sources``)."""
+        over the dst-sorted edge array); ship one object per node group
+        (the whole combined array as ONE object when G=1) — receivers
+        slice their window via the static route_bounds (see
+        ``set_sources``)."""
         w = self.rank * self.inv_outdeg
         vals = w[self.edge_src_local]  # edges already in dst-sorted order
         if len(vals):
             mass = np.add.reduceat(vals, self.edge_starts)
         else:
             mass = np.empty(0, np.float64)
-        return ray.put(mass)
+        return self._group_slices(mass)
 
     def apply_rank(
         self, refs: list, sink_sum: float, d: float,
@@ -241,7 +288,8 @@ class ShardActor:
             mins = np.minimum.reduceat(vals, self.edge_starts)
         else:
             mins = np.empty(0, np.int64)
-        return ray.put(mins)  # one object; receivers slice via route_bounds
+        # one object per node group; receivers slice via route_bounds
+        return self._group_slices(mins)
 
     def apply_min_label(self, refs: list) -> int:
         parts = self._incoming_slices(refs)
@@ -269,15 +317,29 @@ class ShardActor:
         dst_idx = (uk // base).astype(np.int64)
         lbl = (uk % base).astype(np.int64)
         gdst = self.uniq_dst[dst_idx]
+        cnt = cnt.astype(np.int64)
         pos = np.searchsorted(dst_idx, self.route_bounds)
-        return ray.put((gdst, lbl, cnt.astype(np.int64), pos))
+        G = int(self._group_of[-1]) + 1
+        if G == 1:
+            return [ray.put((gdst, lbl, cnt, pos))]
+        out = []
+        for g in range(G):
+            lo = int(np.searchsorted(self._group_of, g, side="left"))
+            hi = int(np.searchsorted(self._group_of, g, side="right"))
+            a, b = pos[lo], pos[hi]
+            out.append(
+                ray.put((gdst[a:b], lbl[a:b], cnt[a:b], pos[lo : hi + 1] - a))
+            )
+        return out
 
     def apply_mode_label(self, refs: list) -> int:
         """LPA apply: merge incoming (dst, label, count) triples, take the
         most frequent label per owned vertex (tie → smallest label).
         Vertices with no incoming keep their label."""
         full = ray.get(list(refs))
-        t = self.sid
+        # positions in a group object are group-local: index by my rank
+        # within the group (== sid for G=1, where _my_group_lo is 0)
+        t = self.sid - self._my_group_lo
         parts = []
         for gd_a, lb_a, ct_a, pos in full:
             lo, hi = pos[t], pos[t + 1]
@@ -352,9 +414,31 @@ class BSPGraph:
         n: int,
         num_shards: int = 8,
         symmetric_copy: bool = False,
+        num_node_groups: int | None = None,
     ):
         """``edges_encoded``: Dataset (src, dst) with dense vids in [0, n).
-        ``symmetric_copy``: also ingest reversed edges (for CC messages)."""
+        ``symmetric_copy``: also ingest reversed edges (for CC messages).
+        ``num_node_groups``: exchange grouping — shards are split into G
+        contiguous groups (on a real cluster: one group per NODE, shards
+        placement-grouped per node) and each shard ships one value object
+        per TARGET GROUP per superstep, so cross-group traffic is exactly
+        the data destined there (O(nodes)), not G× the combined array.
+        G=1 (default, or env GRAFT_NODE_GROUPS) degenerates to the
+        single-object single-node path. Results are bit-identical for any
+        G (same combine order; grouping only re-slices the shipped
+        arrays)."""
+        if num_node_groups is None:
+            num_node_groups = int(os.environ.get("GRAFT_NODE_GROUPS", "1"))
+        if not 1 <= num_node_groups <= num_shards:
+            raise ValueError(
+                f"num_node_groups must be in [1, {num_shards}], "
+                f"got {num_node_groups}"
+            )
+        self.G = num_node_groups
+        # contiguous group runs; group_of[s] = node group of shard s
+        self.group_of = (
+            np.arange(num_shards, dtype=np.int64) * num_node_groups
+        ) // num_shards
         self.P = num_shards
         self.n = n
         self.actors = [ShardActor.remote(s, num_shards) for s in range(num_shards)]
@@ -391,16 +475,51 @@ class BSPGraph:
         ray.get(
             [
                 self.actors[t].set_sources.remote(
-                    [id_slices[s][t] for s in range(P)], bounds
+                    [id_slices[s][t] for s in range(P)], bounds, self.group_of
                 )
                 for t in range(P)
             ]
         )
 
     def _emit(self, emit_method: str) -> list:
-        """Emit wave; returns the P per-source combined-value refs (every
-        target receives the same list and slices its own window)."""
+        """Emit wave; returns, per source shard, its G per-group value
+        refs. ``_incoming_for`` selects each target's group column."""
         return ray.get([getattr(a, emit_method).remote() for a in self.actors])
+
+    def _incoming_for(self, emits: list, t: int) -> list:
+        """The P refs target shard ``t`` must read: every source's object
+        for t's node group (one ref per source; with G=1 every target
+        reads the same single object per source — zero-copy on one node)."""
+        g = int(self.group_of[t])
+        return [emits[s][g] for s in range(self.P)]
+
+    def exchange_stats(self) -> dict:
+        """Static per-superstep exchange volume (bytes of float64 values)
+        under the current grouping vs the ungrouped P×-amplification
+        baseline: 'grouped_cross_bytes' counts only objects crossing a
+        group boundary under one-group-per-node placement;
+        'ungrouped_cross_bytes' is each source's full combined array
+        fetched by every OTHER group (the pre-grouping design)."""
+        bounds = ray.get([a.get_route_bounds.remote() for a in self.actors])
+        grouped = ungrouped = total = 0
+        for s in range(self.P):
+            b = np.asarray(bounds[s])
+            full = int(b[-1]) * 8
+            total += full
+            ungrouped += full * (self.G - 1)
+            for g in range(self.G):
+                lo = int(np.searchsorted(self.group_of, g, side="left"))
+                hi = int(np.searchsorted(self.group_of, g, side="right"))
+                sz = int(b[hi] - b[lo]) * 8
+                if g != int(self.group_of[s]):
+                    grouped += sz
+        return {
+            "num_shards": self.P,
+            "num_node_groups": self.G,
+            "combined_value_bytes_total": total,
+            "grouped_cross_bytes": grouped,
+            "ungrouped_cross_bytes": ungrouped,
+        }
 
     def pagerank(
         self,
@@ -461,11 +580,13 @@ class BSPGraph:
                 break
             t0 = time.perf_counter()
             sink_sum = ((1.0 - d) + d * sink_total) / self.n
-            incoming = self._emit("emit_mass")
+            emits = self._emit("emit_mass")
             results = ray.get(
                 [
-                    a.apply_rank.remote(incoming, sink_sum, d, freeze_delta)
-                    for a in self.actors
+                    a.apply_rank.remote(
+                        self._incoming_for(emits, t), sink_sum, d, freeze_delta
+                    )
+                    for t, a in enumerate(self.actors)
                 ]
             )
             l1 = sum(r[0] for r in results)
@@ -526,9 +647,14 @@ class BSPGraph:
         rounds = 0
         while rounds < max_iters:
             rounds += 1
-            incoming = self._emit("emit_min_label")
+            emits = self._emit("emit_min_label")
             changed = sum(
-                ray.get([a.apply_min_label.remote(incoming) for a in self.actors])
+                ray.get(
+                    [
+                        a.apply_min_label.remote(self._incoming_for(emits, t))
+                        for t, a in enumerate(self.actors)
+                    ]
+                )
             )
             if changed == 0:
                 break
@@ -543,9 +669,12 @@ class BSPGraph:
         if self.n * (self.n + 1) >= 2**62:
             raise ValueError("packed (dst,label) key overflow guard")
         for _ in range(iterations):
-            incoming = self._emit("emit_label_counts")
+            emits = self._emit("emit_label_counts")
             ray.get(
-                [a.apply_mode_label.remote(incoming) for a in self.actors]
+                [
+                    a.apply_mode_label.remote(self._incoming_for(emits, t))
+                    for t, a in enumerate(self.actors)
+                ]
             )
         return self.state_dataset("label")
 

@@ -125,3 +125,82 @@ def test_bsp_cc_two_components():
     )
     got, _ = bsp_connected_components(ray.data.from_arrow(tbl), num_shards=2)
     assert got == {100: 5, 5: 5, 7: 5, 200: 200, 300: 200}
+
+
+def _random_edges_ds(seed=11, n_v=80, m=500):
+    import pandas as pd
+    import ray.data as rd
+
+    rng = np.random.default_rng(seed)
+    df = pd.DataFrame(
+        {"src": rng.integers(0, n_v, m), "dst": rng.integers(0, n_v, m)}
+    ).astype("int64")
+    return rd.from_pandas(df)
+
+
+def test_node_grouped_exchange_bit_identical():
+    """The node-grouped exchange must produce BIT-IDENTICAL results for
+    any grouping (G only re-slices the shipped value arrays; combine
+    order is unchanged): PageRank ranks, CC labels, LPA labels."""
+    import ray.data as rd
+
+    from engine import graph as G
+    from engine.bsp import BSPGraph
+
+    edges = _random_edges_ds().materialize()
+    ids = G.vertex_ids(edges)
+    enc = G.encode_edges(edges, ids).materialize()
+    sym = G.symmetrize(enc).materialize()
+
+    base_ranks = base_cc = base_lpa = None
+    for g in (1, 2, 3, 6):
+        bsp = BSPGraph(enc, n=len(ids), num_shards=6, num_node_groups=g)
+        ds, _, _ = bsp.pagerank(iterations=8)
+        ranks = ds.sort("vid").to_pandas()["rank"].to_numpy()
+        stats = bsp.exchange_stats()
+        assert stats["grouped_cross_bytes"] <= stats["ungrouped_cross_bytes"]
+        if g == 1:
+            assert stats["grouped_cross_bytes"] == 0
+        bsp.shutdown()
+
+        bsp_cc = BSPGraph(
+            enc, n=len(ids), num_shards=6, symmetric_copy=True,
+            num_node_groups=g,
+        )
+        cc, _ = bsp_cc.connected_components()
+        cc_l = cc.sort("vid").to_pandas()["label"].to_numpy()
+        bsp_cc.shutdown()
+
+        bsp_lpa = BSPGraph(sym, n=len(ids), num_shards=6, num_node_groups=g)
+        lpa = bsp_lpa.label_propagation(iterations=4)
+        lpa_l = lpa.sort("vid").to_pandas()["label"].to_numpy()
+        bsp_lpa.shutdown()
+
+        if base_ranks is None:
+            base_ranks, base_cc, base_lpa = ranks, cc_l, lpa_l
+        else:
+            assert (ranks == base_ranks).all(), g  # bit-identical
+            assert (cc_l == base_cc).all(), g
+            assert (lpa_l == base_lpa).all(), g
+
+
+def test_node_grouped_exchange_cross_bytes_scale_with_groups():
+    """Cross-group traffic under grouping must be bounded by the data
+    destined off-group — strictly below the ungrouped G-times-fetch
+    baseline on a graph with any locality."""
+    from engine import graph as G
+    from engine.bsp import BSPGraph
+
+    edges = _random_edges_ds(seed=7, n_v=200, m=3000).materialize()
+    ids = G.vertex_ids(edges)
+    enc = G.encode_edges(edges, ids)
+    bsp = BSPGraph(enc, n=len(ids), num_shards=8, num_node_groups=4)
+    s = bsp.exchange_stats()
+    bsp.shutdown()
+    assert s["num_node_groups"] == 4
+    # grouped ships each source's off-group slices once; ungrouped ships
+    # the FULL combined array to every other group
+    assert 0 < s["grouped_cross_bytes"] < s["ungrouped_cross_bytes"]
+    # per-source: off-group slices sum to <= full array; with 4 groups the
+    # ungrouped baseline is 3x full, so grouped <= ungrouped / 3
+    assert s["grouped_cross_bytes"] * 3 <= s["ungrouped_cross_bytes"]
