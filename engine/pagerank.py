@@ -195,6 +195,61 @@ def _make_segment_fn(rank_ref):
     return contrib_seg
 
 
+@ray.remote(num_returns=3)
+def _apply_segments(
+    old_rank: np.ndarray,
+    frozen: np.ndarray | None,
+    sinks: np.ndarray,
+    teleport: np.ndarray | None,
+    n: int,
+    coef: float,
+    d: float,
+    freeze_delta: float | None,
+    seg_refs: list,
+):
+    """The distributed APPLY step, off the driver: merge the per-block
+    dense mass segments into the new rank vector and return it as this
+    task's own object-store return value. The driver passes the previous
+    rank/frozen ObjectRefs as top-level args (resolved zero-copy here),
+    keeps only the returned refs, and ``ray.get``s the small stats dict —
+    it never holds, ships, or iterates an O(V) array per superstep.
+
+    Merge order is block order (``seg_refs`` come from
+    ``Dataset.to_arrow_refs``), identical to the former driver-side
+    ``iter_batches`` merge — results are bit-identical."""
+    sink_sum = coef / n
+    new = np.full(n, sink_sum) if teleport is None else coef * teleport
+    for b in ray.get(list(seg_refs)):
+        if b.num_rows == 0 or "lo" not in b.schema.names:
+            continue  # the global sort emits empty (schemaless) blocks
+        lo_arr = b.column("lo").to_numpy(zero_copy_only=False)
+        seg_col = b.column("seg")
+        if isinstance(seg_col, pa.ChunkedArray):
+            seg_col = seg_col.combine_chunks()
+        flat = seg_col.values.to_numpy(zero_copy_only=False)
+        offs = seg_col.offsets.to_numpy(zero_copy_only=False)
+        for i in range(len(lo_arr)):
+            s, e = offs[i], offs[i + 1]
+            lo = lo_arr[i]
+            new[lo : lo + (e - s)] += d * flat[s:e]
+    if freeze_delta is None:
+        l1 = float(np.abs(new - old_rank).sum())
+        rank, new_frozen, n_active = new, None, n
+    else:
+        active = ~frozen
+        diff = np.abs(new - old_rank)
+        rank = np.where(active, new, old_rank)
+        new_frozen = frozen | (active & (diff < freeze_delta))
+        l1 = float(diff[active].sum())
+        n_active = int((~new_frozen).sum())
+    stats = {
+        "l1": l1,
+        "dangling": float(rank[sinks].sum()),
+        "num_active": n_active,
+    }
+    return rank, new_frozen, stats
+
+
 def _make_contrib_fn(rank_ref, heavy_ref=None, num_salts: int = 8):
     """Stateless contribution task (row output — the salted / full-shuffle
     paths). ``ray.get(rank_ref)`` is a zero-copy plasma read per task
@@ -316,45 +371,57 @@ def pagerank(
         np.zeros(n, dtype=bool) if freeze_delta is not None else None
     )
     it = start_iter
+    # DISTRIBUTED apply (the default path): each dst-sorted block
+    # scatter-adds its combined masses into a dense segment inside its
+    # map task; ONE _apply_segments task merges the O(num_blocks)
+    # segments and returns the new rank vector as its own object-store
+    # return. The driver chains ObjectRefs and reads back a small stats
+    # dict — per superstep it neither re-``ray.put``s the O(V) rank
+    # vector nor pulls O(V) segments (its former two O(V) roles); O(V)
+    # touches the driver only at checkpoints and the final result.
+    distributed_apply = not salted and not shuffle_aggregate and g.global_sort
+    if distributed_apply:
+        sinks_ref = ray.put(g.sinks)
+        teleport_ref = ray.put(teleport) if teleport is not None else None
+        rank_ref = ray.put(rank)
+        frozen_ref = ray.put(frozen) if frozen is not None else None
+        sink_rank_sum = float(rank[g.sinks].sum())
+        active_total = n
     while True:
         if iterations is not None and it >= iterations:
             break
         it += 1
-        if frozen is not None and frozen.all():
-            # the final all-frozen sweep IS counted (ref: src/Graph.cpp:133)
-            break
+        if frozen is not None:
+            all_frozen = (
+                active_total == 0 if distributed_apply else bool(frozen.all())
+            )
+            if all_frozen:
+                # the final all-frozen sweep IS counted (ref: src/Graph.cpp:133)
+                break
         t0 = time.perf_counter()
-        # restart coefficient: (1-d) jump mass + d × dangling mass, spread
-        # over the teleport distribution (uniform 1/n for classic PR)
-        coef = (1.0 - d) + d * rank[g.sinks].sum()
-        sink_sum = coef / n
-        rank_ref = ray.put(rank)
-        new = np.full(n, sink_sum) if teleport is None else coef * teleport
-        if not salted and not shuffle_aggregate and g.global_sort:
-            # DISTRIBUTED apply (the default path): each dst-sorted block
-            # scatter-adds its combined masses into a dense segment inside
-            # the task; the driver merges O(num_blocks) segments with
-            # vectorized `+=` — it never iterates per-vertex mass rows.
-            # Segments overlap by ≤1 dst at block boundaries; raw-mass
-            # segments make overlaps accumulate correctly.
-            segs = g.adj.map_batches(
+        if distributed_apply:
+            # restart coefficient: (1-d) jump mass + d × dangling mass,
+            # spread over the teleport distribution (uniform 1/n classic)
+            coef = (1.0 - d) + d * sink_rank_sum
+            seg_refs = g.adj.map_batches(
                 _make_segment_fn(rank_ref),
                 batch_format="pyarrow",
                 batch_size=None,  # one segment per block, not per 1024 rows
                 zero_copy_batch=True,
+            ).to_arrow_refs()
+            rank_ref, frozen_ref, stats_ref = _apply_segments.remote(
+                rank_ref, frozen_ref, sinks_ref, teleport_ref,
+                n, coef, d, freeze_delta, seg_refs,
             )
-            for b in segs.iter_batches(batch_format="pyarrow"):
-                lo_arr = b.column("lo").to_numpy(zero_copy_only=False)
-                seg_col = b.column("seg")
-                if isinstance(seg_col, pa.ChunkedArray):
-                    seg_col = seg_col.combine_chunks()
-                flat = seg_col.values.to_numpy(zero_copy_only=False)
-                offs = seg_col.offsets.to_numpy(zero_copy_only=False)
-                for i in range(len(lo_arr)):
-                    s, e = offs[i], offs[i + 1]
-                    lo = lo_arr[i]
-                    new[lo : lo + (e - s)] += d * flat[s:e]
+            stats = ray.get(stats_ref)
+            l1 = stats["l1"]
+            sink_rank_sum = stats["dangling"]
+            active_total = stats["num_active"]
         else:
+            coef = (1.0 - d) + d * rank[g.sinks].sum()
+            sink_sum = coef / n
+            rank_ref = ray.put(rank)
+            new = np.full(n, sink_sum) if teleport is None else coef * teleport
             contrib = _make_contrib_fn(rank_ref, heavy_ref)
             partials = g.adj.map_batches(
                 contrib, batch_format="pyarrow", batch_size=None
@@ -393,19 +460,21 @@ def pagerank(
                     new[dv[starts]] += d * np.add.reduceat(mv, starts)
                 else:
                     np.add.at(new, dv, d * mv)
-        if frozen is None:
-            l1 = float(np.abs(new - rank).sum())
-            rank = new
-        else:
-            # ref semantics: active vertices commit the new value, then
-            # freeze when the move was < delta; frozen vertices keep their
-            # committed rank (they still contributed to `new` above via
-            # `rank`, which holds the committed values)
-            active = ~frozen
-            diff = np.abs(new - rank)
-            rank = np.where(active, new, rank)
-            frozen |= active & (diff < freeze_delta)
-            l1 = float(diff[active].sum())
+            if frozen is None:
+                l1 = float(np.abs(new - rank).sum())
+                rank = new
+            else:
+                # ref semantics: active vertices commit the new value,
+                # then freeze when the move was < delta; frozen vertices
+                # keep their committed rank (they still contributed to
+                # `new` above via `rank`, which holds committed values)
+                active = ~frozen
+                diff = np.abs(new - rank)
+                rank = np.where(active, new, rank)
+                frozen |= active & (diff < freeze_delta)
+                l1 = float(diff[active].sum())
+            sink_rank_sum = float(rank[g.sinks].sum())
+            active_total = int((~frozen).sum()) if frozen is not None else n
         dt = time.perf_counter() - t0
         metrics.append(
             {
@@ -414,20 +483,25 @@ def pagerank(
                 "edges": g.num_edges,
                 "edges_per_sec": g.num_edges / dt if dt > 0 else float("inf"),
                 "l1_residual": l1,
-                "dangling_mass": float(rank[g.sinks].sum()),
+                "dangling_mass": sink_rank_sum,
                 "num_vertices": n,
                 **(
-                    {"num_active": int((~frozen).sum())}
+                    {"num_active": active_total}
                     if frozen is not None
                     else {}
                 ),
             }
         )
         if checkpoint_dir and it % checkpoint_every == 0:
+            if distributed_apply:
+                # O(V) pull only when persisting (disk write is O(V) anyway)
+                rank = ray.get(rank_ref)
             ckpt.save_iteration(checkpoint_dir, it, rank, metrics[-1])
         if eps is not None and l1 < eps:
             break
 
+    if distributed_apply:
+        rank = ray.get(rank_ref)
     return PageRankResult(ids=g.ids, ranks=rank, iterations=it, metrics=metrics)
 
 
