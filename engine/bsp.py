@@ -371,6 +371,47 @@ class ShardActor:
         self.label = new
         return changed
 
+    # ---- k-core peeling (north-rule dense-subgraph primitive) -----------
+
+    def kcore_begin(self, k: int) -> None:
+        """Init distributed peeling. Requires symmetric ingest (each
+        undirected edge present in BOTH directions), so a vertex's
+        undirected degree == its out-degree on this shard."""
+        self.kc_k = int(k)
+        self.kc_deg = self.outdeg.astype(np.float64).copy()
+        self.kc_alive = np.ones(self.n_owned, dtype=bool)
+
+    def kcore_emit(self):
+        """One peel wave, emit half: kill owned vertices whose surviving
+        degree dropped below k; ship per-destination decrement counts over
+        the STATIC combine structure (one reduceat + the group slicing of
+        emit_mass — per-round cost is O(E/P + distinct-dst/P) regardless
+        of how many rounds have run; no edge rewrite, no driver degrees).
+        Returns (group refs, number newly dead)."""
+        newly = self.kc_alive & (self.kc_deg < self.kc_k)
+        self.kc_alive &= ~newly
+        vals = newly[self.edge_src_local].astype(np.float64)
+        if len(vals):
+            dec = np.add.reduceat(vals, self.edge_starts)
+        else:
+            dec = np.empty(0, np.float64)
+        return self._group_slices(dec), int(newly.sum())
+
+    def kcore_apply(self, refs: list) -> None:
+        """Apply half: subtract incoming decrements from owned degrees
+        (decrements addressed to already-dead vertices are harmless)."""
+        parts = self._incoming_slices(refs)
+        if parts and self.in_perm.size:
+            concat = np.concatenate(parts)
+            sums = np.add.reduceat(concat[self.in_perm], self.in_starts)
+            self.kc_deg[self.in_target] -= sums
+
+    def kcore_alive_vids(self) -> pa.Table:
+        vid = np.arange(self.sid, self.n_total, self.P, dtype=np.uint64)
+        return pa.table(
+            {"vid": pa.array(vid[self.kc_alive], type=pa.uint64())}
+        )
+
     # ---- state I/O ------------------------------------------------------
 
     def get_state(self, what: str = "rank") -> pa.Table:
@@ -659,6 +700,34 @@ class BSPGraph:
             if changed == 0:
                 break
         return self.state_dataset("label"), rounds
+
+    def kcore(
+        self, k: int, max_rounds: int = 10_000
+    ) -> tuple[ray.data.Dataset, int]:
+        """Distributed k-core peeling on the shard actors: a round is two
+        actor waves (kill + decrement-exchange) over the static combine
+        topology — no per-round edge rewrite, no O(V) driver state; round
+        cost is independent of rounds-so-far. Requires symmetric_copy=True
+        over a distinct self-loop-free edge set. ``rounds`` counts every
+        peel pass including the final no-death one (stable input → 1),
+        matching ``engine.kcore.kcore``. Returns (alive-vids Dataset,
+        rounds)."""
+        ray.get([a.kcore_begin.remote(k) for a in self.actors])
+        rounds = 0
+        while rounds < max_rounds:
+            rounds += 1
+            res = ray.get([a.kcore_emit.remote() for a in self.actors])
+            emits = [r[0] for r in res]
+            if sum(r[1] for r in res) == 0:
+                break
+            ray.get(
+                [
+                    a.kcore_apply.remote(self._incoming_for(emits, t))
+                    for t, a in enumerate(self.actors)
+                ]
+            )
+        tables = ray.get([a.kcore_alive_vids.remote() for a in self.actors])
+        return ray.data.from_arrow(tables), rounds
 
     def label_propagation(self, iterations: int = 5) -> ray.data.Dataset:
         """Synchronous LPA (north-rule N5) on the shard actors: per-shard

@@ -107,11 +107,59 @@ def kcore(
     return ids, alive, rounds
 
 
-def kcore_vertices_dataset(
-    edges: ray.data.Dataset, k: int, max_rounds: int = 10_000,
+def kcore_bsp(
+    edges: ray.data.Dataset,
+    k: int,
+    num_shards: int | None = None,
+    max_rounds: int = 10_000,
     dedupe: bool = False,
 ) -> tuple[ray.data.Dataset, int]:
-    """Original ids of the k-core vertices as a (vid int64) Dataset."""
+    """Distributed k-core on the BSP shard actors (the scale path): the
+    actors hold degree slices + alive masks, a peel round is two actor
+    waves over the static exchange topology — no per-round O(E) edge
+    rewrite, no O(V) driver bincount, round cost independent of
+    rounds-so-far (contrast :func:`kcore`, which re-materializes the
+    filtered edge set every round). Same survivor set (the k-core is
+    unique) and the same round-count semantics. Returns (original-id
+    (vid int64) Dataset, rounds)."""
+    from .bsp import BSPGraph
+    from .util import default_concurrency
+
+    ids = G.vertex_ids(edges)
+    n = len(ids)
+    enc = G.encode_edges(edges, ids)
+    if dedupe:
+        enc = _canonical_undirected(enc, n)
+    g = BSPGraph(
+        enc,
+        n=n,
+        num_shards=num_shards or default_concurrency(),
+        symmetric_copy=True,
+    )
+    alive_ds, rounds = g.kcore(k, max_rounds=max_rounds)
+    ids_ref = ray.put(ids)
+
+    def decode(t: pa.Table) -> pa.Table:
+        d = ray.get(ids_ref)
+        vid = t.column("vid").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {"vid": pa.array(d[vid].astype(np.int64), type=pa.int64())}
+        )
+
+    out = alive_ds.map_batches(decode, batch_format="pyarrow").materialize()
+    g.shutdown()
+    return out, rounds
+
+
+def kcore_vertices_dataset(
+    edges: ray.data.Dataset, k: int, max_rounds: int = 10_000,
+    dedupe: bool = False, engine: str = "bsp",
+) -> tuple[ray.data.Dataset, int]:
+    """Original ids of the k-core vertices as a (vid int64) Dataset.
+    ``engine="bsp"`` (default) peels on the shard actors;
+    ``engine="dataset"`` uses the broadcast-mask Dataset peel."""
+    if engine == "bsp":
+        return kcore_bsp(edges, k, max_rounds=max_rounds, dedupe=dedupe)
     ids, alive, rounds = kcore(edges, k, max_rounds, dedupe=dedupe)
     surv = ids[alive].astype(np.int64)
     return (

@@ -336,3 +336,47 @@ def test_distinct_count_sort_based():
     df = pd.DataFrame({"label": np.repeat(np.arange(37), 13)}).astype("int64")
     ds = rd.from_pandas(df.sample(frac=1, random_state=1)).repartition(8)
     assert distinct_count(ds, "label") == 37
+
+
+def test_kcore_bsp_matches_dataset_engine():
+    """Distributed shard-actor peeling must produce the same (unique)
+    k-core as the broadcast-mask Dataset peel, with the same round-count
+    semantics."""
+    import pandas as pd
+    import ray.data as rd
+
+    from engine.kcore import kcore, kcore_bsp
+
+    rng = np.random.default_rng(9)
+    m = 500
+    edges = (
+        pd.DataFrame(
+            {"src": rng.integers(0, 70, m), "dst": rng.integers(70, 140, m)}
+        )
+        .astype("int64")
+        .drop_duplicates()
+    )
+    for k in (2, 3):
+        ids, alive, rounds_ds = kcore(rd.from_pandas(edges), k=k)
+        want = set(ids[alive].astype(np.int64))
+        got_ds, rounds_bsp = kcore_bsp(rd.from_pandas(edges), k=k, num_shards=3)
+        got = set(got_ds.to_pandas()["vid"])
+        assert got == want, k
+        assert rounds_bsp == rounds_ds, k
+
+
+def test_kcore_bsp_path_graph_multi_round():
+    """Path graph peels one layer per round from both ends — exercises
+    genuinely iterative distributed peeling."""
+    import pandas as pd
+    import ray.data as rd
+
+    from engine.kcore import kcore_bsp
+
+    n = 20
+    edges = pd.DataFrame(
+        {"src": list(range(n - 1)), "dst": list(range(1, n))}
+    ).astype("int64")
+    ds, rounds = kcore_bsp(rd.from_pandas(edges), k=2, num_shards=3)
+    assert ds.count() == 0
+    assert rounds >= 5
