@@ -198,3 +198,120 @@ def wav_decode(data: bytes) -> tuple[np.ndarray, int]:
     if channels > 1:
         samples = samples.reshape(-1, channels)
     return samples, rate
+
+
+# ---- AVI (uncompressed 24-bit BI_RGB, 'DIB ' handler) ---------------------
+#
+# Video gets the same treatment as PNG/WAV: a genuinely-parsed container
+# with an asserted scope. Uncompressed AVI is pure struct — RIFF chunks,
+# BITMAPINFOHEADER, bottom-up BGR scanlines padded to 4 bytes — so the
+# "real" video backend can decode actual pixels without any codec library.
+# Scope: one 'vids' stream, biBitCount=24, biCompression=0 (BI_RGB).
+
+
+def avi_encode(frames: np.ndarray, fps: int = 10) -> bytes:
+    """uint8 frames (N, H, W, 3) RGB → uncompressed AVI bytes."""
+    frames = np.asarray(frames, dtype=np.uint8)
+    if frames.ndim != 4 or frames.shape[3] != 3:
+        raise ValueError(f"expected (N, H, W, 3) RGB frames, got {frames.shape}")
+    n, h, w, _ = frames.shape
+    stride = (w * 3 + 3) & ~3  # rows padded to 4 bytes
+    frame_bytes = stride * h
+
+    def lst(tag: bytes, payload: bytes) -> bytes:
+        return b"LIST" + struct.pack("<I", 4 + len(payload)) + tag + payload
+
+    def chk(tag: bytes, payload: bytes) -> bytes:
+        out = tag + struct.pack("<I", len(payload)) + payload
+        return out + (b"\x00" if len(payload) & 1 else b"")
+
+    avih = struct.pack(
+        "<IIIIIIIIII4I",
+        1_000_000 // max(fps, 1),  # dwMicroSecPerFrame
+        frame_bytes * fps,         # dwMaxBytesPerSec
+        0,                         # dwPaddingGranularity
+        0x10,                      # AVIF_HASINDEX off; 0x10 = was-capture-file
+        n, 0, 1, frame_bytes, w, h, 0, 0, 0, 0,
+    )
+    strh = (
+        b"vids" + b"DIB " + struct.pack("<IHHIIIIIIII", 0, 0, 0, 0, 1, fps, 0,
+                                        n, frame_bytes, 0, 0)
+        + struct.pack("<4h", 0, 0, w, h)
+    )
+    strf = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, frame_bytes, 0, 0, 0, 0
+    )
+    hdrl = lst(
+        b"hdrl", chk(b"avih", avih) + lst(b"strl", chk(b"strh", strh) + chk(b"strf", strf))
+    )
+    movi_payload = b""
+    pad = stride - w * 3
+    for f in frames:
+        bgr = f[::-1, :, ::-1]  # bottom-up rows, BGR channel order
+        if pad:
+            rows = np.zeros((h, stride), dtype=np.uint8)
+            rows[:, : w * 3] = bgr.reshape(h, w * 3)
+            movi_payload += chk(b"00db", rows.tobytes())
+        else:
+            movi_payload += chk(b"00db", bgr.tobytes())
+    movi = lst(b"movi", movi_payload)
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _riff_walk(data: bytes, pos: int, end: int):
+    """Yield (tag, payload_start, payload_len) for chunks in [pos, end)."""
+    while pos + 8 <= end:
+        tag = data[pos : pos + 4]
+        (length,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+        yield tag, pos + 8, length
+        pos += 8 + length + (length & 1)
+
+
+def avi_decode(data: bytes) -> tuple[np.ndarray, int]:
+    """Uncompressed AVI bytes → (uint8 frames (N, H, W, 3) RGB, fps)."""
+    if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI file")
+    w = h = bits = comp = None
+    rate = scale = None
+    frames = []
+    for tag, p, ln in _riff_walk(data, 12, 12 + struct.unpack("<I", data[4:8])[0] - 4):
+        if tag != b"LIST":
+            continue
+        kind = data[p : p + 4]
+        if kind == b"hdrl":
+            for t2, p2, l2 in _riff_walk(data, p + 4, p + ln):
+                if t2 == b"LIST" and data[p2 : p2 + 4] == b"strl":
+                    for t3, p3, l3 in _riff_walk(data, p2 + 4, p2 + l2):
+                        if t3 == b"strh" and data[p3 : p3 + 4] == b"vids":
+                            scale, rate = struct.unpack(
+                                "<II", data[p3 + 20 : p3 + 28]
+                            )
+                        elif t3 == b"strf":
+                            (_sz, w, h, _pl, bits, comp) = struct.unpack(
+                                "<IiiHHI", data[p3 : p3 + 20]
+                            )
+        elif kind == b"movi":
+            for t2, p2, l2 in _riff_walk(data, p + 4, p + ln):
+                if t2 in (b"00db", b"00dc"):
+                    frames.append((p2, l2))
+    if w is None or not frames:
+        raise ValueError("AVI missing stream header or frames")
+    if bits != 24 or comp != 0:
+        raise ValueError(
+            f"unsupported AVI (bits={bits}, compression={comp}); "
+            "supported: 24-bit BI_RGB"
+        )
+    flip = h > 0  # positive height = bottom-up rows (the normal case)
+    h = abs(h)
+    stride = (w * 3 + 3) & ~3
+    out = np.empty((len(frames), h, w, 3), dtype=np.uint8)
+    for i, (p2, l2) in enumerate(frames):
+        if l2 < stride * h or p2 + stride * h > len(data):
+            raise ValueError(f"AVI frame {i} truncated ({l2} < {stride * h})")
+        rows = np.frombuffer(data[p2 : p2 + stride * h], dtype=np.uint8)
+        bgr = rows.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+        rgb = bgr[:, :, ::-1]
+        out[i] = rgb[::-1] if flip else rgb
+    fps = int(round(rate / scale)) if scale else 0
+    return out, fps

@@ -1,14 +1,13 @@
 """Multimodal column plumbing: image/audio/video as opaque ``binary``
 columns with typed metadata, processed by actor-pool ``map_batches`` stages.
 
-``decode_backend="real"`` performs a GENUINE decode for PNG images and
-PCM WAV audio via the pure-Python codecs in ``engine.codecs`` (zlib is
-stdlib; WAV is a struct parse) — features come from actual pixel/sample
-statistics, and ``Resize`` re-encodes real resized pixels. Video decode
-remains an honest ``NotImplementedError`` stub (no codec exists in this
-container), and the default ``"fake"`` backend keeps producing a
-deterministic pseudo-decode from the payload's sha256 for plumbing tests
-on arbitrary bytes.
+``decode_backend="real"`` performs a GENUINE decode for all three
+modalities via the pure-Python codecs in ``engine.codecs``: PNG images
+(zlib is stdlib), PCM WAV audio and uncompressed 24-bit BI_RGB AVI video
+(both pure struct parses) — features and sampled frames come from actual
+pixel/sample values, and ``Resize`` re-encodes real resized pixels. The
+default ``"fake"`` backend keeps producing a deterministic pseudo-decode
+from the payload's sha256 for plumbing tests on arbitrary bytes.
 
 Large-binary guidance encoded here: small ``batch_size`` (payloads are
 wide rows), ``batch_format="pyarrow"`` throughout (binary columns do not
@@ -41,8 +40,9 @@ def synthetic_media_table(
     n: int = 64, seed: int = 42, real_payloads: bool = False
 ) -> pa.Table:
     """Deterministic media corpus. ``real_payloads=True`` encodes genuine
-    PNG images and PCM WAV clips (video rows keep random bytes — no
-    encoder exists here) so the "real" decode backend has true fixtures."""
+    PNG images, PCM WAV clips and uncompressed-AVI videos so the "real"
+    decode backend has true fixtures (metadata then reflects the actual
+    encoded dims/durations)."""
     from . import codecs
 
     rng = np.random.default_rng(seed)
@@ -50,29 +50,51 @@ def synthetic_media_table(
     rows = {k.name: [] for k in MEDIA_SCHEMA}
     for i in range(n):
         kind = kinds[i % 3]
+        width = int(rng.integers(64, 1920)) if kind != "audio" else 0
+        height = int(rng.integers(64, 1080)) if kind != "audio" else 0
+        duration_ms = int(rng.integers(1000, 60000)) if kind != "image" else 0
         if real_payloads and kind == "image":
             img = rng.integers(
                 0, 256, size=(int(rng.integers(8, 24)), int(rng.integers(8, 24)), 3)
             ).astype(np.uint8)
             payload = codecs.png_encode(img)
+            height, width = img.shape[:2]
         elif real_payloads and kind == "audio":
             samples = rng.integers(
                 -(1 << 15), 1 << 15, size=int(rng.integers(200, 800))
             ).astype(np.int16)
             payload = codecs.wav_encode(samples, sample_rate=16_000)
+            duration_ms = int(len(samples) * 1000 / 16_000)
+        elif real_payloads and kind == "video":
+            fps = 10
+            frames = rng.integers(
+                0,
+                256,
+                size=(
+                    int(rng.integers(4, 12)),
+                    int(rng.integers(6, 16)),
+                    int(rng.integers(6, 16)),
+                    3,
+                ),
+            ).astype(np.uint8)
+            payload = codecs.avi_encode(frames, fps=fps)
+            height, width = frames.shape[1:3]
+            duration_ms = int(frames.shape[0] * 1000 / fps)
         else:
             payload = rng.bytes(256 + int(rng.integers(0, 512)))
         rows["media_id"].append(i)
         rows["kind"].append(kind)
         rows["mime"].append(
-            {"image": "image/png", "audio": "audio/wav", "video": "video/mp4"}[kind]
+            {
+                "image": "image/png",
+                "audio": "audio/wav",
+                "video": "video/x-msvideo" if real_payloads else "video/mp4",
+            }[kind]
         )
         rows["payload"].append(payload)
-        rows["meta_width"].append(int(rng.integers(64, 1920)) if kind != "audio" else 0)
-        rows["meta_height"].append(int(rng.integers(64, 1080)) if kind != "audio" else 0)
-        rows["meta_duration_ms"].append(
-            int(rng.integers(1000, 60000)) if kind != "image" else 0
-        )
+        rows["meta_width"].append(width)
+        rows["meta_height"].append(height)
+        rows["meta_duration_ms"].append(duration_ms)
     return pa.Table.from_pydict(rows, schema=MEDIA_SCHEMA)
 
 
@@ -126,10 +148,18 @@ class DecodeAndFeaturize:
                 range=(-(1 << 15), 1 << 15),
             )[0]
         else:
-            # no pure-Python video codec exists — honest stub
-            raise NotImplementedError(
-                "real video decode backend unavailable in this environment"
-            )
+            frames, fps = codecs.avi_decode(payload)
+            vals = frames.reshape(-1).astype(np.float64)
+            head = [
+                float(frames.shape[0]),
+                float(frames.shape[1]),
+                float(frames.shape[2]),
+                float(fps),
+                float(vals.mean()),
+                float(vals.std()),
+            ]
+            hist = np.histogram(vals, bins=max(self.dim - len(head), 1),
+                                range=(0, 255))[0]
         feat = np.concatenate([head, hist / max(len(vals), 1)])
         return feat[: self.dim] if len(feat) >= self.dim else np.concatenate(
             [feat, np.zeros(self.dim - len(feat))]
@@ -206,35 +236,52 @@ class Resize:
 
 
 class FrameSample:
-    """Actor-pool stage stub: sample K 'frames' per video row → one output
-    row per frame (flat_map shape), deterministic from the payload hash."""
+    """Actor-pool stage: sample K frames per video row → one output row
+    per frame (flat_map shape). ``decode_backend="real"`` parses the AVI
+    payload and samples ACTUAL frames, re-encoding each as a PNG row
+    (``frame_png``) with its true timestamp; the default "fake" backend
+    emits the same (media_id, frame_no, ts_ms) plumbing from metadata
+    alone, for arbitrary bytes."""
 
     def __init__(self, frames_per_video: int = 4, decode_backend: str = "fake"):
         self.k = frames_per_video
         self.backend = decode_backend
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        if self.backend == "real":
-            raise NotImplementedError("real frame extraction unavailable")
         ids, frame_no, ts = [], [], []
-        for mid, kind, dur in zip(
+        pngs = [] if self.backend == "real" else None
+        if self.backend == "real":
+            from . import codecs
+        for mid, kind, dur, payload in zip(
             batch.column("media_id").to_pylist(),
             batch.column("kind").to_pylist(),
             batch.column("meta_duration_ms").to_pylist(),
+            batch.column("payload").to_pylist(),
         ):
             if kind != "video":
                 continue
-            for f in range(self.k):
-                ids.append(mid)
-                frame_no.append(f)
-                ts.append(int(dur * (f + 0.5) / self.k))
-        return pa.table(
-            {
-                "media_id": pa.array(ids, type=pa.int64()),
-                "frame_no": pa.array(frame_no, type=pa.int32()),
-                "ts_ms": pa.array(ts, type=pa.int32()),
-            }
-        )
+            if self.backend == "real":
+                frames, fps = codecs.avi_decode(payload)
+                n = frames.shape[0]
+                for f in range(self.k):
+                    idx = min(int((f + 0.5) * n / self.k), n - 1)
+                    ids.append(mid)
+                    frame_no.append(f)
+                    ts.append(int(idx * 1000 / fps) if fps else 0)
+                    pngs.append(codecs.png_encode(frames[idx]))
+            else:
+                for f in range(self.k):
+                    ids.append(mid)
+                    frame_no.append(f)
+                    ts.append(int(dur * (f + 0.5) / self.k))
+        cols = {
+            "media_id": pa.array(ids, type=pa.int64()),
+            "frame_no": pa.array(frame_no, type=pa.int32()),
+            "ts_ms": pa.array(ts, type=pa.int32()),
+        }
+        if pngs is not None:
+            cols["frame_png"] = pa.array(pngs, type=pa.binary())
+        return pa.table(cols)
 
 
 def featurize(

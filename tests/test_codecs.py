@@ -63,6 +63,27 @@ def test_wav_roundtrip():
     np.testing.assert_array_equal(back, samples)
 
 
+@pytest.mark.parametrize("shape,fps", [((1, 1, 1, 3), 1), ((3, 5, 7, 3), 10),
+                                        ((4, 16, 9, 3), 25)])
+def test_avi_roundtrip(shape, fps):
+    """Odd widths exercise the 4-byte scanline padding."""
+    rng = np.random.default_rng(7)
+    frames = rng.integers(0, 256, size=shape).astype(np.uint8)
+    back, back_fps = codecs.avi_decode(codecs.avi_encode(frames, fps=fps))
+    assert back_fps == fps
+    np.testing.assert_array_equal(back, frames)
+
+
+def test_avi_rejects_garbage_and_truncation():
+    with pytest.raises(ValueError):
+        codecs.avi_decode(b"not an avi at all")
+    good = codecs.avi_encode(
+        np.zeros((2, 4, 4, 3), dtype=np.uint8), fps=10
+    )
+    with pytest.raises(ValueError):
+        codecs.avi_decode(good[:-20])  # truncated last frame
+
+
 def test_nearest_resize_shape():
     img = np.arange(24, dtype=np.uint8).reshape(4, 6)
     out = codecs.nearest_resize(img, width=3, height=8)
@@ -99,6 +120,49 @@ def test_real_decode_featurize_end_to_end():
     f = np.asarray(row["features"])
     assert (f[0], f[1], f[2]) == (img.shape[0], img.shape[1], 3)
     np.testing.assert_allclose(f[3], img.astype(np.float64).mean())
+
+
+def test_real_video_featurize_and_frame_sample():
+    """REAL backend over genuine AVI payloads: features come from actual
+    decoded frames, and FrameSample emits true PNG-encoded frames."""
+    tbl = multimodal.synthetic_media_table(n=12, real_payloads=True)
+    videos = ray.data.from_arrow(tbl).filter(lambda r: r["kind"] == "video")
+    feats = videos.map_batches(
+        multimodal.DecodeAndFeaturize,
+        fn_constructor_kwargs=dict(feature_dim=12, decode_backend="real"),
+        batch_format="pyarrow",
+        batch_size=4,
+        concurrency=1,
+    ).to_pandas().sort_values("media_id").reset_index(drop=True)
+    assert len(feats) == 4
+    row = feats.iloc[0]
+    payload = tbl.filter(
+        np.asarray(
+            [m == row["media_id"] for m in tbl.column("media_id").to_pylist()]
+        )
+    ).column("payload").to_pylist()[0]
+    frames, fps = codecs.avi_decode(payload)
+    f = np.asarray(row["features"])
+    assert (f[0], f[1], f[2], f[3]) == (
+        frames.shape[0], frames.shape[1], frames.shape[2], fps
+    )
+    np.testing.assert_allclose(f[4], frames.astype(np.float64).mean())
+
+    out = videos.map_batches(
+        multimodal.FrameSample,
+        fn_constructor_kwargs=dict(frames_per_video=2, decode_backend="real"),
+        batch_format="pyarrow",
+        batch_size=4,
+        concurrency=1,
+    ).to_pandas().sort_values(["media_id", "frame_no"]).reset_index(drop=True)
+    assert len(out) == 8  # 2 frames × 4 videos
+    # sampled frame 0 of this video is the actual frame at idx (0.5*n/2)
+    first = out[out["media_id"] == row["media_id"]].iloc[0]
+    idx = min(int(0.5 * frames.shape[0] / 2), frames.shape[0] - 1)
+    np.testing.assert_array_equal(
+        codecs.png_decode(bytes(first["frame_png"])), frames[idx]
+    )
+    assert first["ts_ms"] == int(idx * 1000 / fps)
 
 
 def test_real_resize_end_to_end():

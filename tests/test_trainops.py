@@ -259,10 +259,9 @@ def test_multimodal_plumbing():
 
 def test_multimodal_real_backend_edges():
     cls = multimodal.DecodeAndFeaturize(decode_backend="real")
-    # video decode remains an honest stub (no codec in this container)
-    with pytest.raises(NotImplementedError):
+    # non-AVI / non-PNG bytes fail loudly, never a silent fake decode
+    with pytest.raises(ValueError):
         cls._real_features(b"anything", "video")
-    # non-PNG bytes fail loudly, never a silent fake decode
     with pytest.raises(ValueError):
         cls._real_features(b"not a png", "image")
 
