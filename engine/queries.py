@@ -592,6 +592,45 @@ def text_analysis(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+# Planted-language templates: every word is a stopword of EXACTLY ONE
+# language (cross-checked by tests/test_trainops.py), so the classifier's
+# stopword-ratio argmax has a closed-form answer; "zh" exercises the CJK
+# override and "unknown" the below-threshold branch. Order = doc_id % 6.
+_LANGID_TEMPLATES = {
+    "en": "the and of to that for with was this are",
+    "de": "der die das und ist ich nicht ein eine zu",
+    "es": "y los las por con para una es se al",
+    "fr": "le les et est dans pour qui sur pas au",
+    "zh": "一二三四五六七八九十方法",
+    "unknown": "zebra quartz nimbus vortex prism raven lumen ember",
+}
+
+
+def langid_planted(sf_dir: str) -> ray.data.Dataset:
+    """Hard-checkable language-ID gate (the lang_id analog of
+    ``minhash_planted``): a corpus derived CLOSED-FORM from the documents
+    table's doc_ids — doc ``d`` gets the template of language
+    ``list(_LANGID_TEMPLATES)[d % 6]`` — run through the FULL
+    ``textstats.analyze`` actor-pool pipeline. Template words are
+    stopwords of exactly one language, so the expected label is a pure
+    CASE on doc_id and the heuristic column leaves the rows-only list."""
+    from .textstats import analyze
+
+    ids = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    langs = list(_LANGID_TEMPLATES)
+    templates = _LANGID_TEMPLATES
+
+    def synth(batch: pa.Table) -> pa.Table:
+        did = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        texts = [templates[langs[d % 6]] for d in did.tolist()]
+        return pa.table(
+            {"doc_id": pa.array(did), "text": pa.array(texts, type=pa.string())}
+        )
+
+    corpus = ids.map_batches(synth, batch_format="pyarrow")
+    return analyze(corpus).select_columns(["doc_id", "lang_id"])
+
+
 def text_quality(sf_dir: str) -> ray.data.Dataset:
     """The SQL-expressible slice of the text-analysis stage, hard-checked:
     word count (letters-only tokens), punctuation ratio, EN-stopword
@@ -1454,6 +1493,17 @@ ORACLE_SQL: dict[str, str] = {
         LEFT JOIN fp USING (doc_id)
     """,
     "text_analysis": None,
+    "langid_planted": """
+        -- closed-form truth for the planted-language corpus built by
+        -- queries.langid_planted: doc d carries the template of language
+        -- (d % 6) in _LANGID_TEMPLATES order; every template word is a
+        -- stopword of exactly one language
+        SELECT doc_id,
+               CASE doc_id % 6 WHEN 0 THEN 'en' WHEN 1 THEN 'de'
+                    WHEN 2 THEN 'es' WHEN 3 THEN 'fr' WHEN 4 THEN 'zh'
+                    ELSE 'unknown' END AS lang_id
+        FROM documents
+    """,
     "text_quality": None,  # filled below (needs the stopword list)
     # BSP engine is pytest-bit-identical to the dataset engine, so the same
     # unrolled SQL is its oracle
@@ -1652,6 +1702,7 @@ QUERIES = {
     "minhash_planted": minhash_planted,
     "simhash_fingerprints": simhash_fingerprints,
     "text_analysis": text_analysis,
+    "langid_planted": langid_planted,
     "text_quality": text_quality,
     "pr_superstep1_salted": pr_superstep1_salted,
     "pagerank10_bsp": pagerank10_bsp,

@@ -213,6 +213,25 @@ def test_embedding_near_dups_ivf_matches_brute():
     assert set((a, b) for a, b, _ in part) <= set((a, b) for a, b, _ in brute)
 
 
+def test_langid_templates_unambiguous():
+    """The planted-language oracle is sound only if every Latin template
+    word is a stopword of EXACTLY its own language (argmax has no ties)
+    and the unknown/zh templates hit no stopword list at all."""
+    from engine.queries import _LANGID_TEMPLATES
+    from engine.textstats import _STOPWORDS, TextAnalyzer
+
+    for lang, tpl in _LANGID_TEMPLATES.items():
+        for w in tpl.split():
+            hits = {lg for lg, sw in _STOPWORDS.items() if w in sw}
+            if lang in _STOPWORDS:
+                assert hits == {lang}, (lang, w, hits)
+            else:
+                assert not hits, (lang, w, hits)
+    ta = TextAnalyzer()
+    for lang, tpl in _LANGID_TEMPLATES.items():
+        assert ta.lang_of(tpl) == lang, lang
+
+
 def test_textstats():
     tbl = pa.table(
         {
