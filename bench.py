@@ -10,7 +10,7 @@ pipelines. ``--scaling`` reruns the headline in fresh processes at 8
 and 32 CPUs (taskset-pinned) and reports throughput + scaling
 efficiency.
 
-Usage: python bench.py [--scaling] [--quick]
+Usage: python bench.py [--scaling] [--quick] [--tune] [--exchange]
 Env:   GRAFT_SF_DIR (input dir), RAY_GRAFT_CPUS (num_cpus, default 32)
 """
 
@@ -522,6 +522,80 @@ def run_scaling() -> dict:
     }
 
 
+def run_exchange() -> dict:
+    """Multi-node-shaped evidence for the node-grouped exchange (VERDICT
+    r3 #8): the SAME graph and P=32 decomposition run at G ∈ {1,2,4,8}
+    node groups (shards placement-grouped per simulated node, the layout
+    a real cluster would use). Per G it records the measured
+    per-superstep cross-group value bytes vs the ungrouped baseline
+    (every other node fetching each source's FULL combined array — the
+    pre-grouping design), the median superstep wall (grouping must not
+    cost time on one node) and the final L1 residual as the bit-identity
+    witness across groupings."""
+    import statistics
+
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+        log_to_driver=False,
+    )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    from engine import graph as G
+    from engine.bsp import BSPGraph
+
+    edges = _scaled_graph_edges().materialize()
+    ids = G.vertex_ids(edges)
+    enc = G.encode_edges(edges, ids).materialize()
+    num_shards = 32
+    groups: dict[int, dict] = {}
+    residuals = set()
+    num_edges = None
+    for g in (1, 2, 4, 8):
+        _settle()
+        bsp = BSPGraph(enc, n=len(ids), num_shards=num_shards, num_node_groups=g)
+        st = bsp.exchange_stats()
+        _, _, metrics = bsp.pagerank(iterations=6)
+        med = statistics.median(m["wall_sec"] for m in metrics[1:])
+        num_edges = bsp.num_edges
+        groups[g] = {
+            "grouped_cross_mb": round(st["grouped_cross_bytes"] / 1e6, 3),
+            "ungrouped_cross_mb": round(st["ungrouped_cross_bytes"] / 1e6, 3),
+            "combined_total_mb": round(
+                st["combined_value_bytes_total"] / 1e6, 3
+            ),
+            "reduction_x": (
+                round(st["ungrouped_cross_bytes"] / st["grouped_cross_bytes"], 2)
+                if st["grouped_cross_bytes"]
+                else None
+            ),
+            "step_sec": round(med, 3),
+            "final_l1_residual": metrics[-1]["l1_residual"],
+        }
+        residuals.add(repr(metrics[-1]["l1_residual"]))
+        del bsp
+    out = {
+        "metric": "exchange_cross_node_mb_per_superstep",
+        "value": groups[8]["grouped_cross_mb"],
+        "unit": "MB_at_G8_P32",
+        "bit_identical_across_groupings": len(residuals) == 1,
+        "num_shards": num_shards,
+        "groups": {str(k): v for k, v in groups.items()},
+        "num_edges": int(num_edges),
+        "num_vertices": len(ids),
+        "num_cpus": NUM_CPUS,
+        "sf": SF_DIR,
+    }
+    ray.shutdown()
+    return out
+
+
 def run_tune() -> dict:
     """R16 analog (the reference autotunes OpenCL work-group size 1..256 by
     re-running full PageRank per probe, ref: src/main.cpp:35-93): probe BSP
@@ -581,6 +655,8 @@ if __name__ == "__main__":
         line = json.dumps(run_scaling())
     elif "--tune" in sys.argv:
         line = json.dumps(run_tune())
+    elif "--exchange" in sys.argv:
+        line = json.dumps(run_exchange())
     else:
         line = json.dumps(run_bench(quick="--quick" in sys.argv))
     # the result must be the LAST stdout line. Ray's async error-message
