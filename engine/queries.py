@@ -1272,6 +1272,23 @@ def parts_with_lineitems(sf_dir: str) -> ray.data.Dataset:
     return intersect_keys(parts, li, "partkey")
 
 
+def orders_with_lineitems_bloom(sf_dir: str) -> ray.data.Dataset:
+    """EXACT semi-join through the Bloom-prefilter pipeline
+    (engine/bloom.py): orders rows whose o_orderkey appears in lineitem —
+    broadcast m/8 filter bytes once, prefilter inside map_batches, then
+    sort-based intersect of the SURVIVING keys + verified-set broadcast.
+    Output identical to a plain semi-join (the Bloom pass only prunes)."""
+    from .bloom import bloom_semi_join
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    )
+    li = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey"])
+    return bloom_semi_join(
+        orders, li, on="o_orderkey", right_on="l_orderkey", num_bits=1 << 20
+    )
+
+
 ORACLE_SQL: dict[str, str] = {
     "edges_project": f"""
         SELECT DISTINCT l_orderkey AS src,
@@ -1667,6 +1684,10 @@ ORACLE_SQL["parts_with_lineitems"] = """
     INTERSECT
     SELECT l_partkey FROM lineitem
 """
+ORACLE_SQL["orders_with_lineitems_bloom"] = """
+    SELECT o_orderkey, o_custkey FROM orders
+    WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem)
+"""
 _PR1 = ORACLE_SQL["pr_superstep1"]
 ORACLE_SQL["toprank_superstep"] = (
     f"SELECT * FROM ({_PR1}) ORDER BY rank DESC, vid LIMIT 10"
@@ -1725,4 +1746,5 @@ QUERIES = {
     "approx_distinct_parts": approx_distinct_parts,
     "orders_without_lineitems": orders_without_lineitems,
     "parts_with_lineitems": parts_with_lineitems,
+    "orders_with_lineitems_bloom": orders_with_lineitems_bloom,
 }
