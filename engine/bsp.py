@@ -302,6 +302,32 @@ class ShardActor:
         self.label = new
         return changed
 
+    # ---- BFS hop distance (min-plus over the same combine structure) ----
+
+    def bfs_begin(self, source_vid: int) -> None:
+        """Init single-source BFS: distances live in ``label`` (the CC
+        min-label machinery is reused verbatim for the emit half —
+        min-plus propagation is min-label with a +1 on apply). Sentinel
+        ``n_total`` marks unreached (hop counts are < n_total always)."""
+        self.label = np.full(self.n_owned, self.n_total, dtype=np.int64)
+        if source_vid % self.P == self.sid:
+            self.label[source_vid // self.P] = 0
+
+    def apply_min_dist(self, refs: list) -> int:
+        """BFS apply: dist = min(dist, min over in-neighbors of dist + 1).
+        Unreached neighbors carry the sentinel; sentinel + 1 never beats a
+        real distance and the owned sentinel, so unreached stays unreached
+        until a real frontier arrives."""
+        parts = self._incoming_slices(refs)
+        new = self.label.copy()
+        if parts and self.in_perm.size:
+            concat = np.concatenate(parts)
+            mins = np.minimum.reduceat(concat[self.in_perm], self.in_starts)
+            new[self.in_target] = np.minimum(new[self.in_target], mins + 1)
+        changed = int((new != self.label).sum())
+        self.label = new
+        return changed
+
     # ---- Label propagation (per-shard label-count combine) --------------
 
     def emit_label_counts(self):
@@ -693,6 +719,33 @@ class BSPGraph:
                 ray.get(
                     [
                         a.apply_min_label.remote(self._incoming_for(emits, t))
+                        for t, a in enumerate(self.actors)
+                    ]
+                )
+            )
+            if changed == 0:
+                break
+        return self.state_dataset("label"), rounds
+
+    def bfs(
+        self, source_vid: int, max_iters: int = 10_000
+    ) -> tuple[ray.data.Dataset, int]:
+        """Single-source BFS hop distances (min-plus label propagation to
+        fixpoint on the same static combine structure as CC — each round
+        is two actor waves, O(E/P + distinct-dst/P) per shard, no driver
+        vertex state). Requires symmetric_copy=True for undirected
+        semantics. Returns (Dataset (vid, label=dist; unreached carry the
+        sentinel n), rounds). ``rounds - 1`` is the source's eccentricity
+        within its component (the last round confirms the fixpoint)."""
+        ray.get([a.bfs_begin.remote(source_vid) for a in self.actors])
+        rounds = 0
+        while rounds < max_iters:
+            rounds += 1
+            emits = self._emit("emit_min_label")
+            changed = sum(
+                ray.get(
+                    [
+                        a.apply_min_dist.remote(self._incoming_for(emits, t))
                         for t, a in enumerate(self.actors)
                     ]
                 )

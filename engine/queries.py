@@ -30,6 +30,7 @@ SUPP_OFFSET = 20_000_000
 ROUND = 9  # decimals for float compare columns
 _CC_ORACLE_ROUNDS = 14  # unroll depth of the cc_labels SQL oracle
 _KCORE_ORACLE_ROUNDS = 8  # unroll depth of the kcore_3 SQL oracle
+_BFS_ORACLE_ROUNDS = 16  # unroll depth of the bfs_hops SQL oracle
 
 
 def _li(sf_dir: str, columns):
@@ -204,6 +205,61 @@ def cc_labels(sf_dir: str) -> ray.data.Dataset:
             }
         ),
         batch_format="pyarrow",
+    )
+
+
+def bfs_hops(sf_dir: str) -> ray.data.Dataset:
+    """Single-source BFS hop distances over the undirected bipartite graph
+    from the smallest vertex id, on the BSP shard actors (min-plus
+    propagation over the same static combine structure as CC — two actor
+    waves per round, no driver vertex state). Oracle-checked against
+    unrolled min-plus SQL; unreached vertices are omitted on both sides."""
+    from .bsp import BSPGraph
+
+    edges, ids, enc, n, _ = _graph_arrays(sf_dir)
+    g = BSPGraph(enc, n=n, num_shards=4, symmetric_copy=True)
+    # dense vid 0 == smallest original id (the dictionary is sorted)
+    ds, rounds = g.bfs(source_vid=0)
+    g.shutdown()
+    if rounds - 1 > _BFS_ORACLE_ROUNDS:
+        raise RuntimeError(
+            f"bfs_hops needed {rounds - 1} propagation rounds but the SQL "
+            f"oracle unrolls only {_BFS_ORACLE_ROUNDS} — raise "
+            "_BFS_ORACLE_ROUNDS"
+        )
+    ids_int = ids.astype(np.int64)
+
+    def decode(t: pa.Table) -> pa.Table:
+        vid = t.column("vid").to_numpy(zero_copy_only=False).astype(np.int64)
+        dist = t.column("label").to_numpy(zero_copy_only=False)
+        reached = dist < n  # sentinel n = unreached
+        return pa.table(
+            {
+                "vid": pa.array(ids_int[vid[reached]], type=pa.int64()),
+                "dist": pa.array(dist[reached], type=pa.int64()),
+            }
+        )
+
+    return ds.map_batches(decode, batch_format="pyarrow")
+
+
+def hits_3(sf_dir: str) -> ray.data.Dataset:
+    """Three unnormalized HITS rounds (hubs & authorities) on the dataset
+    engine — integer path-count iterates, so the oracle compare is exact
+    BIGINT with no float rounding. auth_k = Σ in-neighbors' hub_{k-1};
+    hub_k = Σ out-neighbors' auth_k (classic in-round update order)."""
+    from .hits import hits
+
+    edges, ids, enc, n, _ = _graph_arrays(sf_dir)
+    auth, hub = hits(enc, n, iterations=3)
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "vid": pa.array(ids.astype(np.int64), type=pa.int64()),
+                "auth": pa.array(auth.astype(np.int64)),
+                "hub": pa.array(hub.astype(np.int64)),
+            }
+        )
     )
 
 
@@ -759,6 +815,20 @@ def vocab_top50(sf_dir: str) -> ray.data.Dataset:
     return vocab_topk(ds, k=50)
 
 
+def tfidf_scores(sf_dir: str) -> ray.data.Dataset:
+    """Inverted index + TF-IDF over the documents table: exact (doc_id,
+    token, tf, df) postings plus tfidf = tf·ln(N/df) (rounded 9). tf is
+    batch-local (a document lives in one row), df is the one groupby,
+    the (token → df) vocabulary is broadcast once — see
+    engine/textstats.py:tfidf_scores for the scale contract."""
+    from .textstats import tfidf_scores as tfidf
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return tfidf(ds)
+
+
 def train_val_test_split(sf_dir: str) -> ray.data.Dataset:
     """Deterministic md5-bucket split assignment per document —
     repartition/reorder-stable, SQL-checkable via md5_number_lower."""
@@ -960,6 +1030,81 @@ def _cc_unrolled_sql(rounds: int) -> str:
     )
 
 
+def _hits_unrolled_sql(iters: int) -> str:
+    """DuckDB oracle for unnormalized HITS: exact-integer iterates (init
+    1), auth-then-hub update order, vertices with no contributing edges
+    get 0. SUM over BIGINT returns HUGEINT in DuckDB — cast back so the
+    schema matches the engine's int64."""
+    parts = [
+        f"""e AS MATERIALIZED (SELECT DISTINCT l_orderkey AS src,
+                 l_partkey + {PART_OFFSET} AS dst FROM lineitem),
+        v AS MATERIALIZED (SELECT src AS vid FROM e UNION SELECT dst FROM e),
+        h0 AS MATERIALIZED (SELECT vid, CAST(1 AS BIGINT) AS h FROM v)"""
+    ]
+    for k in range(1, iters + 1):
+        p = k - 1
+        parts.append(
+            f"""a{k} AS MATERIALIZED (
+                 SELECT v.vid, CAST(COALESCE(s.x, 0) AS BIGINT) AS a
+                 FROM v LEFT JOIN (
+                     SELECT e.dst AS vid, SUM(h.h) AS x
+                     FROM e JOIN h{p} h ON e.src = h.vid GROUP BY e.dst
+                 ) s ON v.vid = s.vid),
+        h{k} AS MATERIALIZED (
+                 SELECT v.vid, CAST(COALESCE(s.x, 0) AS BIGINT) AS h
+                 FROM v LEFT JOIN (
+                     SELECT e.src AS vid, SUM(a.a) AS x
+                     FROM e JOIN a{k} a ON e.dst = a.vid GROUP BY e.src
+                 ) s ON v.vid = s.vid)"""
+        )
+    return (
+        "WITH "
+        + ",\n        ".join(parts)
+        + f"""
+        SELECT v.vid, a.a AS auth, h.h AS hub
+        FROM v JOIN a{iters} a ON v.vid = a.vid
+               JOIN h{iters} h ON v.vid = h.vid"""
+    )
+
+
+def _bfs_unrolled_sql(rounds: int) -> str:
+    """DuckDB oracle for single-source BFS from the smallest vertex id:
+    ``rounds`` unrolled min-plus steps (dist_{k} = min(dist_{k-1}, 1 +
+    min over in-neighbors' dist_{k-1})) over the symmetrized edge set.
+    NULL = unreached (MIN ignores NULLs; an all-NULL group stays NULL),
+    so the final projection drops unreached vertices — matching the
+    engine's sentinel filter. Fixpoints are stable, so extra rounds are
+    no-ops whenever the true eccentricity ≤ ``rounds`` (guarded at query
+    time in bfs_hops)."""
+    parts = [
+        f"""e AS MATERIALIZED (SELECT DISTINCT l_orderkey AS src,
+                 l_partkey + {PART_OFFSET} AS dst FROM lineitem),
+        ue AS MATERIALIZED (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+        v AS MATERIALIZED (SELECT src AS vid FROM e UNION SELECT dst FROM e),
+        d0 AS MATERIALIZED (SELECT vid,
+                 CASE WHEN vid = (SELECT MIN(vid) FROM v) THEN 0 END AS dist
+                 FROM v)"""
+    ]
+    for k in range(1, rounds + 1):
+        p = k - 1
+        parts.append(
+            f"""d{k} AS MATERIALIZED (SELECT vid, MIN(dist) AS dist FROM (
+                    SELECT vid, dist FROM d{p}
+                    UNION ALL
+                    SELECT ue.dst AS vid, d.dist + 1
+                    FROM ue JOIN d{p} d ON ue.src = d.vid
+                    WHERE d.dist IS NOT NULL
+                 ) AS t GROUP BY vid)"""
+        )
+    return (
+        "WITH "
+        + ",\n        ".join(parts)
+        + f"""
+        SELECT vid, CAST(dist AS BIGINT) AS dist
+        FROM d{rounds} WHERE dist IS NOT NULL"""
+    )
+
+
 def _lpa_unrolled_sql(rounds: int) -> str:
     """DuckDB oracle for synchronous label propagation, ``rounds`` unrolled
     steps. Mirrors engine/labelprop.py exactly: each round every vertex
@@ -1053,6 +1198,42 @@ def events_range_join(sf_dir: str) -> ray.data.Dataset:
         window=6 * 3600 * 1_000_000,
         left_cols=["user_id", "ts_us", "event_id"],
         right_cols=["user_id", "ts_us", "event_id"],
+    )
+
+
+def events_user_sample_5(sf_dir: str) -> ray.data.Dataset:
+    """Deterministic per-key capped sample (reservoir-style): up to 5
+    events per user, chosen by the smallest md5-low-63 of event_id — the
+    stratified 'N examples per key' curation primitive. Stateless and
+    reorder/repartition-stable (same hash family as the split/sample
+    ops); the cap itself runs through the distributed grouped-top-k
+    operator, so no per-key volume ever concentrates on one task."""
+    import hashlib
+
+    from .topk import topk_per_group
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_id"]
+    )
+
+    def add_h(t: pa.Table) -> pa.Table:
+        ids = t.column("event_id").to_pylist()
+        h = np.fromiter(
+            (
+                int.from_bytes(
+                    hashlib.md5(str(i).encode()).digest()[8:], "little"
+                )
+                % (1 << 63)
+                for i in ids
+            ),
+            dtype=np.int64,
+            count=len(ids),
+        )
+        return t.append_column("h63", pa.array(h))
+
+    withh = ev.map_batches(add_h, batch_format="pyarrow")
+    return topk_per_group(
+        withh, key_col="user_id", order_col="h63", k=5, descending=False
     )
 
 
@@ -1272,6 +1453,28 @@ def parts_with_lineitems(sf_dir: str) -> ray.data.Dataset:
     return intersect_keys(parts, li, "partkey")
 
 
+def pricing_summary(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H-Q1-shaped multi-metric report by (returnflag, linestatus)
+    with a per-batch combiner (engine/summarize.py): the shuffle carries
+    O(keys × blocks) pre-aggregated rows, never O(rows). Money rides as
+    exact integer cents/1e-4/1e-6 units; averages are rounded doubles."""
+    from .summarize import pricing_summary as ps
+
+    li = _li(
+        sf_dir,
+        [
+            "l_returnflag",
+            "l_linestatus",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+            "l_tax",
+            "l_shipdate",
+        ],
+    )
+    return ps(li, ship_cutoff=np.datetime64("2000-09-02"))
+
+
 def orders_with_lineitems_bloom(sf_dir: str) -> ray.data.Dataset:
     """EXACT semi-join through the Bloom-prefilter pipeline
     (engine/bloom.py): orders rows whose o_orderkey appears in lineitem —
@@ -1334,6 +1537,8 @@ ORACLE_SQL: dict[str, str] = {
     "pagerank10": _pagerank_unrolled_sql(10),
     "ppr10": _ppr_unrolled_sql(10),
     "cc_labels": _cc_unrolled_sql(14),  # depth guarded in cc_labels()
+    "bfs_hops": _bfs_unrolled_sql(_BFS_ORACLE_ROUNDS),  # depth guarded
+    "hits_3": _hits_unrolled_sql(3),
     "triangles_tripartite": f"""
         WITH e1 AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
              e2 AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
@@ -1465,6 +1670,22 @@ ORACLE_SQL: dict[str, str] = {
         GROUP BY tok
         ORDER BY cnt DESC, token ASC
         LIMIT 50
+    """,
+    "tfidf_scores": rf"""
+        WITH tok AS MATERIALIZED (
+            SELECT doc_id,
+                   unnest(regexp_extract_all(lower(text), '\w+')) AS token
+            FROM documents),
+        tf AS MATERIALIZED (
+            SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+            FROM tok GROUP BY doc_id, token),
+        df AS MATERIALIZED (
+            SELECT token, CAST(COUNT(*) AS BIGINT) AS df
+            FROM tf GROUP BY token),
+        n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents)
+        SELECT tf.doc_id, tf.token, tf.tf, df.df,
+               ROUND(tf.tf * LN((SELECT n FROM n) / df.df), {ROUND}) AS tfidf
+        FROM tf JOIN df USING (token)
     """,
     "train_val_test_split": """
         SELECT doc_id,
@@ -1688,6 +1909,45 @@ ORACLE_SQL["orders_with_lineitems_bloom"] = """
     SELECT o_orderkey, o_custkey FROM orders
     WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem)
 """
+ORACLE_SQL["events_user_sample_5"] = """
+    -- deterministic per-user capped sample: smallest-5 md5-low-63 of
+    -- event_id per user (engine: grouped top-k over the same hash)
+    SELECT user_id, event_id,
+           CAST(md5_number_lower(CAST(event_id AS VARCHAR))
+                % 9223372036854775808 AS BIGINT) AS h63
+    FROM events
+    QUALIFY row_number() OVER (
+        PARTITION BY user_id
+        ORDER BY md5_number_lower(CAST(event_id AS VARCHAR))
+                 % 9223372036854775808, event_id
+    ) <= 5
+"""
+ORACLE_SQL["pricing_summary"] = f"""
+    -- exact-integer money encodings (cents / 1e-4 / 1e-6 units) so the
+    -- compare is order-insensitive; averages divide the exact sums
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT)
+               AS sum_qty,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+               AS sum_base_price_cents,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)))
+                AS BIGINT) AS sum_disc_price_e4,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))
+                    * (100 + CAST(ROUND(l_tax * 100) AS BIGINT)))
+                AS BIGINT) AS sum_charge_e6,
+           CAST(COUNT(*) AS BIGINT) AS count_order,
+           ROUND(CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS DOUBLE)
+                 / COUNT(*), {ROUND}) AS avg_qty,
+           ROUND(CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                      AS DOUBLE) / 100.0 / COUNT(*), {ROUND}) AS avg_price,
+           ROUND(CAST(SUM(CAST(ROUND(l_discount * 100) AS BIGINT)) AS DOUBLE)
+                 / 100.0 / COUNT(*), {ROUND}) AS avg_disc
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+    GROUP BY l_returnflag, l_linestatus
+"""
 _PR1 = ORACLE_SQL["pr_superstep1"]
 ORACLE_SQL["toprank_superstep"] = (
     f"SELECT * FROM ({_PR1}) ORDER BY rank DESC, vid LIMIT 10"
@@ -1707,6 +1967,8 @@ QUERIES = {
     "pagerank10": pagerank10,
     "ppr10": ppr10,
     "cc_labels": cc_labels,
+    "bfs_hops": bfs_hops,
+    "hits_3": hits_3,
     "triangles_tripartite": triangles_tripartite,
     "sha256_documents": sha256_documents,
     "dedup_exact": dedup_exact,
@@ -1733,12 +1995,14 @@ QUERIES = {
     "events_hopping": events_hopping,
     "events_sessions": events_sessions,
     "vocab_top50": vocab_top50,
+    "tfidf_scores": tfidf_scores,
     "train_val_test_split": train_val_test_split,
     "token_percentiles": token_percentiles,
     "events_top3_per_user": events_top3_per_user,
     "events_asof_join": events_asof_join,
     "events_range_join": events_range_join,
     "events_sample": events_sample,
+    "events_user_sample_5": events_user_sample_5,
     "kcore_3": kcore_3,
     "orders_enriched": orders_enriched,
     "events_lag": events_lag,
@@ -1747,4 +2011,5 @@ QUERIES = {
     "orders_without_lineitems": orders_without_lineitems,
     "parts_with_lineitems": parts_with_lineitems,
     "orders_with_lineitems_bloom": orders_with_lineitems_bloom,
+    "pricing_summary": pricing_summary,
 }

@@ -1,0 +1,124 @@
+"""Multi-metric grouped aggregation with a per-batch combiner — the
+TPC-H-Q1-shaped reporting primitive.
+
+The 100-TB-relevant property: each ``map_batches`` task pre-aggregates its
+batch down to ≤ |distinct keys in batch| rows (vectorized ``np.unique`` +
+``reduceat``, no Python loops), so the global ``groupby`` shuffles
+O(keys × blocks) partial rows instead of O(rows) — for low-cardinality
+report keys the exchange is negligible regardless of input size, and skew
+cannot concentrate (every partial row is already a combined aggregate).
+Money columns ride as exact integer cents / 1e-4 / 1e-6 units (the repo's
+standard order-insensitive-compare trick) and only the final tiny result
+computes float averages.
+
+No reference analog (the reference is graph-only); this is the relational
+reporting stage a corpus pipeline runs next to it.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+from ray.data.aggregate import Sum
+
+ROUND = 9
+
+
+def pricing_summary(
+    li: ray.data.Dataset, ship_cutoff: np.datetime64 | None = None
+) -> ray.data.Dataset:
+    """TPC-H-Q1-style pricing summary by (l_returnflag, l_linestatus).
+
+    Integer metric encodings (exact under any summation order):
+    ``sum_qty`` whole units, ``sum_base_price_cents`` ×100,
+    ``sum_disc_price_e4`` = Σ price_cents·(100−disc_cents),
+    ``sum_charge_e6`` = Σ price_cents·(100−disc_cents)·(100+tax_cents).
+    Averages are float64 of the exact integer sums, rounded to 9."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        if ship_cutoff is not None:
+            # epoch-µs compare: robust to the date/timestamp unit of the
+            # python-side cutoff vs the column's timestamp[us]
+            cut = int(np.datetime64(ship_cutoff, "us").astype(np.int64))
+            ts = t.column("l_shipdate").cast(pa.timestamp("us")).cast(pa.int64())
+            t = t.filter(pc.less_equal(ts, pa.scalar(cut)))
+        rf = t.column("l_returnflag").to_numpy(zero_copy_only=False)
+        ls = t.column("l_linestatus").to_numpy(zero_copy_only=False)
+        qty = np.round(
+            t.column("l_quantity").to_numpy(zero_copy_only=False)
+        ).astype(np.int64)
+        price_c = np.round(
+            t.column("l_extendedprice").to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        disc_c = np.round(
+            t.column("l_discount").to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        tax_c = np.round(
+            t.column("l_tax").to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        disc_price = price_c * (100 - disc_c)
+        charge = disc_price * (100 + tax_c)
+        # combined group key; the key space is tiny (report dimensions)
+        key = np.char.add(rf.astype("U8"), ls.astype("U8"))
+        order = np.argsort(key, kind="stable")
+        ks = key[order]
+        starts = np.concatenate(
+            ([0], np.flatnonzero(ks[1:] != ks[:-1]) + 1)
+        ) if len(ks) else np.empty(0, np.int64)
+        uk = ks[starts] if len(ks) else np.empty(0, dtype=key.dtype)
+
+        def seg_sum(v):
+            return (
+                np.add.reduceat(v[order], starts)
+                if len(ks)
+                else np.empty(0, np.int64)
+            )
+
+        ones = np.ones(len(ks), dtype=np.int64)
+        return pa.table(
+            {
+                "rf_ls": pa.array([str(k) for k in uk], type=pa.string()),
+                "sum_qty": pa.array(seg_sum(qty)),
+                "sum_base_price_cents": pa.array(seg_sum(price_c)),
+                "sum_disc_price_e4": pa.array(seg_sum(disc_price)),
+                "sum_charge_e6": pa.array(seg_sum(charge)),
+                "sum_disc_cents": pa.array(seg_sum(disc_c)),
+                "count_order": pa.array(seg_sum(ones)),
+            }
+        )
+
+    cols = [
+        "sum_qty",
+        "sum_base_price_cents",
+        "sum_disc_price_e4",
+        "sum_charge_e6",
+        "sum_disc_cents",
+        "count_order",
+    ]
+    agg = (
+        li.map_batches(partial, batch_format="pyarrow")
+        .groupby("rf_ls")
+        .aggregate(*[Sum(c, alias_name=c) for c in cols])
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        key = t.column("rf_ls").to_pylist()
+        n = t.column("count_order").to_numpy(zero_copy_only=False).astype(np.float64)
+        sq = t.column("sum_qty").to_numpy(zero_copy_only=False)
+        sp = t.column("sum_base_price_cents").to_numpy(zero_copy_only=False)
+        sd = t.column("sum_disc_cents").to_numpy(zero_copy_only=False)
+        out = {
+            "l_returnflag": pa.array([k[0] for k in key], type=pa.string()),
+            "l_linestatus": pa.array([k[1:] for k in key], type=pa.string()),
+        }
+        for c in cols:
+            if c != "sum_disc_cents":
+                out[c] = t.column(c)
+        out["avg_qty"] = pa.array(np.round(sq / n, ROUND))
+        out["avg_price"] = pa.array(np.round(sp / 100.0 / n, ROUND))
+        out["avg_disc"] = pa.array(np.round(sd / 100.0 / n, ROUND))
+        return pa.table(out)
+
+    return agg.map_batches(finalize, batch_format="pyarrow")

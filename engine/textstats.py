@@ -229,6 +229,107 @@ def vocab_topk(
     return agg.sort(["cnt", "token"], descending=[True, False]).limit(k)
 
 
+def tfidf_scores(
+    docs: ray.data.Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_broadcast_vocab: int = 50_000_000,
+) -> ray.data.Dataset:
+    """Distributed inverted index + TF-IDF scoring.
+
+    Stage 1 (no shuffle): each batch tokenizes its documents (``\\w+`` of
+    lowercased text — same tokenizer as ``vocab_topk``) and emits the
+    exact (doc_id, token, tf) posting rows; a document lives in one row,
+    so its term frequencies are final inside the batch.
+    Stage 2: document frequency = ``groupby(token).Sum(1)`` over the
+    postings (each (doc, token) pair appears exactly once) — the only
+    all-to-all, over pre-combined rows.
+    Stage 3 (no shuffle): the (token → df) table is broadcast once via
+    ``ray.put`` and each posting batch attaches df and
+    tfidf = tf · ln(N/df) by vectorized searchsorted lookup.
+
+    The broadcast is the documented small-side pattern: an AGGREGATED
+    vocabulary (not the corpus); ``max_broadcast_vocab`` guards the path —
+    beyond it, hash-bucket postings and df by token and join per bucket
+    instead. Float column ``tfidf`` is rounded to 9 decimals (the repo's
+    standard float-compare contract)."""
+    word = re.compile(r"\w+")
+
+    def postings(t: pa.Table) -> pa.Table:
+        ids_out: list = []
+        toks_out: list = []
+        tfs_out: list = []
+        dids = t.column(id_col).to_pylist()
+        for did, x in zip(dids, t.column(text_col).to_pylist()):
+            toks = word.findall((x or "").lower())
+            if not toks:
+                continue
+            u, c = np.unique(np.asarray(toks, dtype=object), return_counts=True)
+            ids_out.extend([did] * len(u))
+            toks_out.extend([str(s) for s in u])
+            tfs_out.extend(c.astype(np.int64).tolist())
+        return pa.table(
+            {
+                id_col: pa.array(ids_out, type=t.schema.field(id_col).type),
+                "token": pa.array(toks_out, type=pa.string()),
+                "tf": pa.array(tfs_out, type=pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    n_docs = docs.count()
+    tf = docs.map_batches(postings, batch_format="pyarrow").materialize()
+    df = (
+        tf.map_batches(
+            lambda t: pa.table(
+                {
+                    "token": t.column("token"),
+                    "one": pa.array(np.ones(len(t), np.int64)),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("token")
+        .aggregate(Sum("one", alias_name="df"))
+    )
+    # collect the aggregated vocabulary (small side) and broadcast once
+    vocab_parts = []
+    for b in df.iter_batches(batch_format="pyarrow"):
+        vocab_parts.append(b)
+    vocab = pa.concat_tables(vocab_parts) if vocab_parts else pa.table(
+        {"token": pa.array([], type=pa.string()), "df": pa.array([], type=pa.int64())}
+    )
+    if vocab.num_rows > max_broadcast_vocab:
+        raise ValueError(
+            f"vocabulary ({vocab.num_rows} tokens) exceeds the broadcast "
+            "guard — hash-bucket postings and df by token instead"
+        )
+    vtok = np.asarray(vocab.column("token").to_pylist(), dtype=object)
+    vdf = vocab.column("df").to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(vtok, kind="stable")
+    vref = ray.put((vtok[order], vdf[order], float(n_docs)))
+
+    def attach(t: pa.Table) -> pa.Table:
+        toks_sorted, dfs_sorted, n = ray.get(vref)
+        tok = np.asarray(t.column("token").to_pylist(), dtype=object)
+        pos = np.searchsorted(toks_sorted, tok)
+        dfv = dfs_sorted[pos]
+        tfv = t.column("tf").to_numpy(zero_copy_only=False).astype(np.float64)
+        tfidf = np.round(tfv * np.log(n / dfv), 9)
+        return pa.table(
+            {
+                id_col: t.column(id_col),
+                "token": t.column("token"),
+                "tf": t.column("tf"),
+                "df": pa.array(dfv, type=pa.int64()),
+                "tfidf": pa.array(tfidf),
+            }
+        )
+
+    return tf.map_batches(attach, batch_format="pyarrow")
+
+
 def train_split(
     docs: ray.data.Dataset,
     id_col: str = "doc_id",

@@ -380,3 +380,94 @@ def test_kcore_bsp_path_graph_multi_round():
     ds, rounds = kcore_bsp(rd.from_pandas(edges), k=2, num_shards=3)
     assert ds.count() == 0
     assert rounds >= 5
+
+
+def _bsp_from_edges(edges, num_shards=3):
+    from engine import graph as G
+    from engine.bsp import BSPGraph
+
+    ds = _ds(edges)
+    ids = G.vertex_ids(ds)
+    enc = G.encode_edges(ds, ids)
+    g = BSPGraph(enc, n=len(ids), num_shards=num_shards, symmetric_copy=True)
+    return g, ids
+
+
+def test_bfs_path_and_unreached_component():
+    """BFS from the min vertex over a path + a disconnected pair: exact
+    hop distances, sentinel (n) on the unreached component, rounds =
+    eccentricity + 1 (the confirming fixpoint pass)."""
+    edges = [(0, 1), (1, 2), (2, 3), (3, 4), (10, 11)]
+    g, ids = _bsp_from_edges(edges)
+    ds, rounds = g.bfs(source_vid=0)
+    g.shutdown()
+    n = len(ids)
+    df = ds.to_pandas()
+    dist = {int(ids[v]): int(d) for v, d in zip(df["vid"], df["label"])}
+    assert {k: v for k, v in dist.items() if v < n} == {
+        0: 0, 1: 1, 2: 2, 3: 3, 4: 4
+    }
+    assert dist[10] == n and dist[11] == n
+    assert rounds == 5  # 4 propagation rounds + the no-change pass
+
+
+def test_bfs_matches_python_bfs_random():
+    from collections import deque
+
+    rng = np.random.default_rng(11)
+    m = 400
+    edges = sorted(
+        {(int(a), int(b)) for a, b in zip(rng.integers(0, 60, m),
+                                          rng.integers(60, 120, m))}
+    )
+    g, ids = _bsp_from_edges(edges, num_shards=4)
+    ds, _ = g.bfs(source_vid=0)
+    g.shutdown()
+    n = len(ids)
+    # python BFS over the undirected graph from the smallest original id
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, []).append(b)
+        adj.setdefault(b, []).append(a)
+    src = int(ids[0])
+    want = {src: 0}
+    q = deque([src])
+    while q:
+        u = q.popleft()
+        for w in adj[u]:
+            if w not in want:
+                want[w] = want[u] + 1
+                q.append(w)
+    df = ds.to_pandas()
+    got = {
+        int(ids[v]): int(d) for v, d in zip(df["vid"], df["label"]) if d < n
+    }
+    assert got == want
+
+
+def test_hits_matches_dense_numpy():
+    """Unnormalized integer HITS vs the dense matrix iteration — exact."""
+    from engine import graph as G
+    from engine.hits import hits
+
+    rng = np.random.default_rng(5)
+    m = 300
+    edges = sorted(
+        {(int(a), int(b)) for a, b in zip(rng.integers(0, 40, m),
+                                          rng.integers(0, 40, m)) if a != b}
+    )
+    ds = _ds(edges)
+    ids = G.vertex_ids(ds)
+    enc = G.encode_edges(ds, ids)
+    n = len(ids)
+    auth, hub = hits(enc, n, iterations=3)
+    id2ix = {int(v): i for i, v in enumerate(ids)}
+    A = np.zeros((n, n))
+    for a, b in edges:
+        A[id2ix[a], id2ix[b]] = 1.0
+    h = np.ones(n)
+    for _ in range(3):
+        a_vec = A.T @ h
+        h = A @ a_vec
+    np.testing.assert_array_equal(auth, a_vec)
+    np.testing.assert_array_equal(hub, h)

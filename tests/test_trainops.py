@@ -376,3 +376,99 @@ def test_hll_linear_counting_branch_small():
     est, nz = approx_distinct(ds, "v", p=12)
     # tiny cardinality -> linear counting branch, which is near-exact here
     assert abs(est - 100) < 3, est
+
+
+def test_tfidf_scores_manual_corpus():
+    """Exact postings + df + tfidf on a hand-checkable corpus."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from engine.textstats import tfidf_scores
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                "apple banana apple",
+                "banana cherry",
+                "apple",
+                "",  # empty doc contributes no postings
+            ],
+        }
+    )
+    out = tfidf_scores(rd.from_pandas(docs).repartition(3)).to_pandas()
+    got = {
+        (r.doc_id, r.token): (r.tf, r.df, r.tfidf) for r in out.itertuples()
+    }
+    n = 4.0
+    exp = {
+        (1, "apple"): (2, 2), (1, "banana"): (1, 2),
+        (2, "banana"): (1, 2), (2, "cherry"): (1, 1),
+        (3, "apple"): (1, 2),
+    }
+    assert set(got) == set(exp)
+    for k, (tf, df) in exp.items():
+        gtf, gdf, gtfidf = got[k]
+        assert (gtf, gdf) == (tf, df), k
+        assert gtfidf == np.round(tf * np.log(n / df), 9), k
+
+
+def test_pricing_summary_matches_pandas():
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from engine.summarize import pricing_summary
+
+    rng = np.random.default_rng(3)
+    m = 5000
+    df = pd.DataFrame(
+        {
+            "l_returnflag": rng.choice(list("ANR"), m),
+            "l_linestatus": rng.choice(list("FO"), m),
+            "l_quantity": rng.integers(1, 51, m).astype(float),
+            "l_extendedprice": np.round(rng.uniform(900, 10500, m), 2),
+            "l_discount": np.round(rng.integers(0, 11, m) / 100.0, 2),
+            "l_tax": np.round(rng.integers(0, 9, m) / 100.0, 2),
+            "l_shipdate": pd.to_datetime("2000-01-01")
+            + pd.to_timedelta(rng.integers(0, 900, m), unit="D"),
+        }
+    )
+    cutoff = np.datetime64("2001-06-01")
+    out = (
+        pricing_summary(rd.from_pandas(df).repartition(7), ship_cutoff=cutoff)
+        .to_pandas()
+        .sort_values(["l_returnflag", "l_linestatus"])
+        .reset_index(drop=True)
+    )
+    f = df[df["l_shipdate"] <= pd.Timestamp(cutoff)].copy()
+    f["qty"] = np.round(f["l_quantity"]).astype(np.int64)
+    f["pc"] = np.round(f["l_extendedprice"] * 100).astype(np.int64)
+    f["dc"] = np.round(f["l_discount"] * 100).astype(np.int64)
+    f["tc"] = np.round(f["l_tax"] * 100).astype(np.int64)
+    f["disc_price"] = f["pc"] * (100 - f["dc"])
+    f["charge"] = f["disc_price"] * (100 + f["tc"])
+    f["one"] = 1
+    want = (
+        f.groupby(["l_returnflag", "l_linestatus"], as_index=False)
+        .agg(
+            sum_qty=("qty", "sum"),
+            sum_base_price_cents=("pc", "sum"),
+            sum_disc_price_e4=("disc_price", "sum"),
+            sum_charge_e6=("charge", "sum"),
+            count_order=("one", "sum"),
+        )
+        .sort_values(["l_returnflag", "l_linestatus"])
+        .reset_index(drop=True)
+    )
+    assert len(out) == len(want)
+    for c in ["sum_qty", "sum_base_price_cents", "sum_disc_price_e4",
+              "sum_charge_e6", "count_order"]:
+        np.testing.assert_array_equal(
+            out[c].to_numpy(), want[c].to_numpy(), err_msg=c
+        )
+    np.testing.assert_allclose(
+        out["avg_qty"].to_numpy(),
+        np.round(want["sum_qty"] / want["count_order"], 9).to_numpy(),
+    )
