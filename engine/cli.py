@@ -1,7 +1,7 @@
 """CLI driver — the ``ray job submit`` entrypoint (north-rule N10).
 
     python -m engine.cli run --input <corpus_dir_or_snap_file> \
-        --algo pagerank|cc|lpa|triangles|kcore \
+        --algo pagerank|cc|lpa|triangles|kcore|bfs|hits \
         [--engine bsp|dataset] [--iterations K | --eps 1e-6] \
         [--stop ref [--freeze-delta 1e-16]] \
         [--ckpt DIR] [--out DIR] [--shards P] [--top-k 10]
@@ -174,6 +174,85 @@ def cmd_run(args) -> int:
         from .triangles import triangle_count
 
         report.update(n_triangles=triangle_count(edges))
+    elif args.algo == "bfs":
+        import numpy as np
+
+        from . import graph as G
+        from .bsp import BSPGraph
+
+        ids = G.vertex_ids(edges)
+        enc = G.encode_edges(edges, ids)
+        g = BSPGraph(
+            enc, n=len(ids), num_shards=args.shards, symmetric_copy=True
+        )
+        src_dense = 0  # smallest original id (sorted dictionary)
+        if args.source is not None:
+            src_dense = int(np.searchsorted(ids, args.source))
+            if src_dense >= len(ids) or int(ids[src_dense]) != args.source:
+                print(f"--source {args.source} is not a vertex", file=sys.stderr)
+                return 2
+        ds, rounds = g.bfs(source_vid=src_dense)
+        g.shutdown()
+        n = len(ids)
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        reached = ds.map_batches(
+            lambda t: t.filter(pc.less(t.column("label"), pa.scalar(n))),
+            batch_format="pyarrow",
+        )
+        report.update(
+            source=int(ids[src_dense]),
+            rounds=rounds,
+            eccentricity=rounds - 1,
+            reached=int(reached.count()),
+        )
+        if args.out:
+            import ray as _ray
+
+            ids_ref = _ray.put(ids)
+
+            def dec(t: pa.Table) -> pa.Table:
+                d = _ray.get(ids_ref)
+                vid = t.column("vid").to_numpy(zero_copy_only=False).astype(
+                    np.int64
+                )
+                return pa.table(
+                    {
+                        "id": pa.array(d[vid]),
+                        "dist": t.column("label").cast(pa.int64()),
+                    }
+                )
+
+            reached.map_batches(dec, batch_format="pyarrow").write_parquet(
+                args.out
+            )
+    elif args.algo == "hits":
+        import pyarrow as pa
+
+        from . import graph as G
+        from .hits import hits
+
+        ids = G.vertex_ids(edges)
+        enc = G.encode_edges(edges, ids)
+        iters = args.iterations or 3
+        auth, hub = hits(enc, n=len(ids), iterations=iters)
+        order = auth.argsort()[::-1][: args.top_k]
+        report.update(
+            iterations=iters,
+            top_auth=[
+                {"id": str(ids[i]), "auth": float(auth[i])} for i in order
+            ],
+        )
+        if args.out:
+            import ray.data as rd
+
+            rd.from_arrow(
+                pa.table(
+                    {"id": pa.array(ids), "auth": pa.array(auth),
+                     "hub": pa.array(hub)}
+                )
+            ).write_parquet(args.out)
     elif args.algo == "kcore":
         from .kcore import kcore_vertices_dataset
 
@@ -200,7 +279,8 @@ def main(argv=None) -> int:
     r = sub.add_parser("run", help="run a graph algorithm over an input")
     r.add_argument("--input", required=True)
     r.add_argument("--algo", default="pagerank",
-                   choices=["pagerank", "cc", "lpa", "triangles", "kcore"])
+                   choices=["pagerank", "cc", "lpa", "triangles", "kcore",
+                            "bfs", "hits"])
     r.add_argument("--engine", default="bsp", choices=["bsp", "dataset"])
     r.add_argument("--iterations", type=int, default=None)
     r.add_argument("--eps", type=float, default=None)
@@ -210,6 +290,9 @@ def main(argv=None) -> int:
     r.add_argument("--top-k", type=int, default=10)
     r.add_argument("--k", type=int, default=3,
                    help="core order for --algo kcore")
+    r.add_argument("--source", type=int, default=None,
+                   help="source vertex id for --algo bfs (default: "
+                        "smallest id)")
     r.add_argument("--salted", action="store_true")
     r.add_argument("--resumable", action="store_true",
                    help="write --out through the resumable bucketed sink "

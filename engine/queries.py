@@ -829,6 +829,17 @@ def tfidf_scores(sf_dir: str) -> ray.data.Dataset:
     return tfidf(ds)
 
 
+def heavy_hitter_tokens(sf_dir: str) -> ray.data.Dataset:
+    """Exact corpus heavy hitters (count·100 > total tokens) through the
+    two-pass candidate/verify pipeline — per-batch pigeonhole candidates,
+    broadcast-candidate exact recount; the shuffle never sees the
+    vocabulary (engine/textstats.py:heavy_hitter_tokens)."""
+    from .textstats import heavy_hitter_tokens as hh
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    return hh(ds, k=100)
+
+
 def train_val_test_split(sf_dir: str) -> ray.data.Dataset:
     """Deterministic md5-bucket split assignment per document —
     repartition/reorder-stable, SQL-checkable via md5_number_lower."""
@@ -1687,6 +1698,14 @@ ORACLE_SQL: dict[str, str] = {
                ROUND(tf.tf * LN((SELECT n FROM n) / df.df), {ROUND}) AS tfidf
         FROM tf JOIN df USING (token)
     """,
+    "heavy_hitter_tokens": r"""
+        WITH tok AS MATERIALIZED (
+            SELECT unnest(regexp_extract_all(lower(text), '\w+')) AS token
+            FROM documents)
+        SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM tok GROUP BY token
+        HAVING COUNT(*) * 100 > (SELECT COUNT(*) FROM tok)
+    """,
     "train_val_test_split": """
         SELECT doc_id,
                CASE WHEN md5_number_lower(CAST(doc_id AS VARCHAR)) % 1000 < 800
@@ -1996,6 +2015,7 @@ QUERIES = {
     "events_sessions": events_sessions,
     "vocab_top50": vocab_top50,
     "tfidf_scores": tfidf_scores,
+    "heavy_hitter_tokens": heavy_hitter_tokens,
     "train_val_test_split": train_val_test_split,
     "token_percentiles": token_percentiles,
     "events_top3_per_user": events_top3_per_user,

@@ -330,6 +330,106 @@ def tfidf_scores(
     return tf.map_batches(attach, batch_format="pyarrow")
 
 
+def heavy_hitter_tokens(
+    docs: ray.data.Dataset,
+    k: int = 100,
+    text_col: str = "text",
+    max_candidates: int = 10_000_000,
+) -> ray.data.Dataset:
+    """Exact global heavy hitters (tokens with count · k > N) WITHOUT a
+    full-vocabulary shuffle — the two-pass candidate/verify pipeline:
+
+    Pass 1 (no shuffle): each batch emits the tokens that are heavy
+    WITHIN the batch (count_b · k > n_b). Pigeonhole guarantees this is a
+    superset of the global heavy hitters (if Σc_b > Σn_b / k then some
+    batch has c_b > n_b / k), and it is ≤ k rows per batch — independent
+    of vocabulary size. Per-batch totals n_b ride along as one extra row.
+    Pass 2: the deduped candidate set is broadcast once; batches count
+    ONLY candidates; one tiny groupby over ≤ |candidates| keys; the
+    driver filters count · k > N on exact integers. Output is EXACTLY
+    the SQL ``HAVING COUNT(*) * k > total`` answer.
+
+    Contrast ``vocab_topk``, which shuffles one row per distinct token
+    per batch — fine for vocabularies, wasteful when only the heavy tail
+    is wanted at 100 TB."""
+    from ray.data.aggregate import Sum
+
+    word = re.compile(r"\w+")
+    _TOTAL = "\x00total"  # NUL-prefixed sentinel: no \w+ token collides
+
+    def _batch_tokens(t: pa.Table) -> np.ndarray:
+        toks: list = []
+        for x in t.column(text_col).to_pylist():
+            toks.extend(word.findall((x or "").lower()))
+        return np.asarray(toks, dtype=object)
+
+    def candidates_fn(t: pa.Table) -> pa.Table:
+        toks = _batch_tokens(t)
+        n_b = len(toks)
+        if n_b == 0:
+            return pa.table({"token": pa.array([], type=pa.string()),
+                             "n_b": pa.array([], type=pa.int64())})
+        u, c = np.unique(toks, return_counts=True)
+        heavy = u[c * k > n_b]
+        return pa.table(
+            {
+                "token": pa.array(
+                    [str(s) for s in heavy] + [_TOTAL], type=pa.string()
+                ),
+                "n_b": pa.array(
+                    np.concatenate([np.zeros(len(heavy), np.int64), [n_b]])
+                ),
+            }
+        )
+
+    cand_rows = docs.map_batches(candidates_fn, batch_format="pyarrow")
+    cand: set = set()
+    total = 0
+    for b in cand_rows.iter_batches(batch_format="pyarrow"):
+        for tok, nb in zip(b.column("token").to_pylist(),
+                           b.column("n_b").to_pylist()):
+            if tok == _TOTAL:
+                total += int(nb)
+            else:
+                cand.add(tok)
+    if len(cand) > max_candidates:
+        raise ValueError(
+            f"{len(cand)} candidates exceed the broadcast guard — raise k "
+            "or hash-bucket the verify pass"
+        )
+    cand_sorted = np.asarray(sorted(cand), dtype=object)
+    cref = ray.put(cand_sorted)
+
+    def recount_fn(t: pa.Table) -> pa.Table:
+        cs = ray.get(cref)
+        toks = _batch_tokens(t)
+        if len(toks) == 0 or len(cs) == 0:
+            return pa.table({"token": pa.array([], type=pa.string()),
+                             "cnt": pa.array([], type=pa.int64())})
+        u, c = np.unique(toks, return_counts=True)
+        pos = np.searchsorted(cs, u)
+        pos_c = np.clip(pos, 0, len(cs) - 1)
+        hit = cs[pos_c] == u
+        return pa.table(
+            {
+                "token": pa.array([str(s) for s in u[hit]], type=pa.string()),
+                "cnt": pa.array(c[hit].astype(np.int64)),
+            }
+        )
+
+    counts = (
+        docs.map_batches(recount_fn, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+    )
+
+    def final_filter(t: pa.Table) -> pa.Table:
+        c = t.column("cnt").to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(c * k > total))
+
+    return counts.map_batches(final_filter, batch_format="pyarrow")
+
+
 def train_split(
     docs: ray.data.Dataset,
     id_col: str = "doc_id",

@@ -472,3 +472,36 @@ def test_pricing_summary_matches_pandas():
         out["avg_qty"].to_numpy(),
         np.round(want["sum_qty"] / want["count_order"], 9).to_numpy(),
     )
+
+
+def test_heavy_hitters_exact_vs_brute():
+    """Two-pass heavy hitters == brute-force HAVING count*k > N, under
+    small batches (many pass-1 candidate windows) and a skewed corpus."""
+    import re
+    from collections import Counter
+
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from engine.textstats import heavy_hitter_tokens
+
+    rng = np.random.default_rng(7)
+    vocab = [f"w{i}" for i in range(200)]
+    weights = 1.0 / (np.arange(1, 201) ** 1.3)  # zipf-ish skew
+    weights /= weights.sum()
+    texts = [
+        " ".join(rng.choice(vocab, size=rng.integers(5, 40), p=weights))
+        for _ in range(300)
+    ]
+    docs = rd.from_pandas(pd.DataFrame({"text": texts})).repartition(17)
+    k = 60
+    out = heavy_hitter_tokens(docs, k=k).to_pandas()
+    got = dict(zip(out["token"], out["cnt"]))
+    counts = Counter()
+    for x in texts:
+        counts.update(re.findall(r"\w+", x.lower()))
+    n = sum(counts.values())
+    want = {t: c for t, c in counts.items() if c * k > n}
+    assert got == want
+    assert len(want) > 0  # the test corpus must actually have heavy hitters
