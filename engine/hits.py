@@ -33,10 +33,12 @@ import ray
 import ray.data
 
 
-def _make_gather_fn(val_ref):
-    """Segment task: for a block of (key, nbr) rows globally sorted by
-    ``key``, emit a dense segment seg[key - lo] = Σ val[nbr] (one row per
-    block; block boundaries overlap by ≤ 1 key and raw sums accumulate)."""
+def _make_gather_fn(val_ref, mult_col: str | None = None):
+    """Segment task: for a block of (key, nbr[, mult]) rows globally
+    sorted by ``key``, emit a dense segment seg[key - lo] = Σ val[nbr]
+    (· mult when ``mult_col`` is given — the weighted-edge variant; one
+    row per block; block boundaries overlap by ≤ 1 key and raw sums
+    accumulate)."""
     schema = pa.schema([("lo", pa.int64()), ("seg", pa.large_list(pa.float64()))])
 
     def gather_seg(batch: pa.Table) -> pa.Table:
@@ -50,6 +52,10 @@ def _make_gather_fn(val_ref):
                 schema=schema,
             )
         contrib = val[nbr]
+        if mult_col is not None:
+            contrib = contrib * batch.column(mult_col).to_numpy(
+                zero_copy_only=False
+            )
         bounds = np.flatnonzero(np.diff(key)) + 1
         starts = np.concatenate(([0], bounds))
         uk = key[starts]

@@ -243,6 +243,68 @@ def bfs_hops(sf_dir: str) -> ray.data.Dataset:
     return ds.map_batches(decode, batch_format="pyarrow")
 
 
+def wpr10(sf_dir: str) -> ray.data.Dataset:
+    """Weighted PageRank, 10 supersteps: edge weight = lineitem
+    multiplicity per (order, part) pair (link strength), mass split
+    proportionally to weight. Weighted pairs are built with a per-batch
+    packed-key combiner → one groupby (shuffle sees distinct pairs per
+    batch, not rows); iterations run on engine/wpr.py's chained-ref
+    dense-segment gather. Oracle: unrolled weighted-CTE SQL."""
+    from .wpr import weighted_pagerank
+
+    edges, ids, enc, n, _ = _graph_arrays(sf_dir)
+    if (n + 1) ** 2 >= 2**63:
+        raise ValueError("packed (src,dst) key overflow guard")
+    BASE = np.int64(n + 1)
+    ids_ref = ray.put(ids)
+
+    def pack(t: pa.Table) -> pa.Table:
+        d = ray.get(ids_ref)
+        src = np.searchsorted(
+            d, t.column("l_orderkey").to_numpy(zero_copy_only=False)
+        ).astype(np.int64)
+        dst = np.searchsorted(
+            d,
+            t.column("l_partkey").to_numpy(zero_copy_only=False)
+            + PART_OFFSET,
+        ).astype(np.int64)
+        key = src * BASE + dst
+        u, c = np.unique(key, return_counts=True)
+        return pa.table(
+            {"key": pa.array(u), "cnt": pa.array(c.astype(np.int64))}
+        )
+
+    from ray.data.aggregate import Sum
+
+    pairs = (
+        _li(sf_dir, ["l_orderkey", "l_partkey"])
+        .map_batches(pack, batch_format="pyarrow")
+        .groupby("key")
+        .aggregate(Sum("cnt", alias_name="w"))
+    )
+
+    def unpack(t: pa.Table) -> pa.Table:
+        key = t.column("key").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "src": pa.array(key // BASE),
+                "dst": pa.array(key % BASE),
+                "w": t.column("w"),
+            }
+        )
+
+    enc_w = pairs.map_batches(unpack, batch_format="pyarrow")
+    rank = weighted_pagerank(enc_w, n, iterations=10)
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "vid": pa.array(ids.astype(np.int64), type=pa.int64()),
+                "rank": pa.array(np.round(rank, ROUND)),
+            }
+        )
+    )
+
+
 def hits_3(sf_dir: str) -> ray.data.Dataset:
     """Three unnormalized HITS rounds (hubs & authorities) on the dataset
     engine — integer path-count iterates, so the oracle compare is exact
@@ -1041,6 +1103,48 @@ def _cc_unrolled_sql(rounds: int) -> str:
     )
 
 
+def _wpr_unrolled_sql(iters: int, decimals: int = ROUND) -> str:
+    """DuckDB oracle for weighted PageRank (weights = lineitem pair
+    multiplicity). The contribution term is written
+    ``r.rank * (e.w * (1.0 / ws.ws))`` — the engine's exact operation
+    order (coefficient built once as w·(1/wsum)) — so per-term doubles
+    match bit-for-bit and only summation order differs (absorbed by the
+    ROUND)."""
+    d = "0.85"
+    parts = [
+        f"""e AS MATERIALIZED (SELECT l_orderkey AS src,
+                 l_partkey + {PART_OFFSET} AS dst,
+                 CAST(COUNT(*) AS DOUBLE) AS w
+                 FROM lineitem GROUP BY 1, 2),
+        v AS MATERIALIZED (SELECT src AS vid FROM e UNION SELECT dst FROM e),
+        nn AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM v),
+        ws AS MATERIALIZED (SELECT src, SUM(w) AS ws FROM e GROUP BY src),
+        r0 AS MATERIALIZED (SELECT vid, 1.0 / (SELECT n FROM nn) AS rank FROM v)"""
+    ]
+    for k in range(1, iters + 1):
+        p = k - 1
+        parts.append(
+            f"""s{k} AS MATERIALIZED (SELECT ((1.0 - {d}) + {d} * COALESCE(
+                    (SELECT SUM(rank) FROM r{p}
+                     WHERE vid NOT IN (SELECT src FROM e)), 0.0))
+                    / (SELECT n FROM nn) AS s),
+        m{k} AS MATERIALIZED (SELECT e.dst AS vid,
+                 SUM(r.rank * (e.w * (1.0 / ws.ws))) AS m
+                 FROM e JOIN r{p} r ON e.src = r.vid
+                 JOIN ws ON e.src = ws.src
+                 GROUP BY e.dst),
+        r{k} AS MATERIALIZED (SELECT v.vid,
+                        (SELECT s FROM s{k}) + {d} * COALESCE(m{k}.m, 0.0)
+                            AS rank
+                 FROM v LEFT JOIN m{k} ON v.vid = m{k}.vid)"""
+        )
+    return (
+        "WITH "
+        + ",\n        ".join(parts)
+        + f"\n        SELECT vid, ROUND(rank, {decimals}) AS rank FROM r{iters}"
+    )
+
+
 def _hits_unrolled_sql(iters: int) -> str:
     """DuckDB oracle for unnormalized HITS: exact-integer iterates (init
     1), auth-then-hub update order, vertices with no contributing edges
@@ -1550,6 +1654,7 @@ ORACLE_SQL: dict[str, str] = {
     "cc_labels": _cc_unrolled_sql(14),  # depth guarded in cc_labels()
     "bfs_hops": _bfs_unrolled_sql(_BFS_ORACLE_ROUNDS),  # depth guarded
     "hits_3": _hits_unrolled_sql(3),
+    "wpr10": _wpr_unrolled_sql(10),
     "triangles_tripartite": f"""
         WITH e1 AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
              e2 AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
@@ -1988,6 +2093,7 @@ QUERIES = {
     "cc_labels": cc_labels,
     "bfs_hops": bfs_hops,
     "hits_3": hits_3,
+    "wpr10": wpr10,
     "triangles_tripartite": triangles_tripartite,
     "sha256_documents": sha256_documents,
     "dedup_exact": dedup_exact,

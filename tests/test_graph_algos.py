@@ -471,3 +471,46 @@ def test_hits_matches_dense_numpy():
         h = A @ a_vec
     np.testing.assert_array_equal(auth, a_vec)
     np.testing.assert_array_equal(hub, h)
+
+
+def test_weighted_pagerank_matches_dense_numpy():
+    """Chained-ref weighted PR vs the dense numpy fixpoint; weights=1
+    degenerates to classic PR (cross-checked against the oracle engine)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from engine.wpr import weighted_pagerank
+
+    rng = np.random.default_rng(13)
+    m = 200
+    raw = {(int(a), int(b)) for a, b in zip(rng.integers(0, 30, m),
+                                            rng.integers(0, 30, m)) if a != b}
+    edges = sorted(raw)
+    w = rng.integers(1, 6, len(edges)).astype(float)
+    n = 30
+    df = pd.DataFrame({"src": [a for a, _ in edges],
+                       "dst": [b for _, b in edges], "w": w})
+    got = weighted_pagerank(rd.from_pandas(df).repartition(5), n, iterations=7)
+    # dense reference
+    ws = np.zeros(n)
+    for (a, b), wi in zip(edges, w):
+        ws[a] += wi
+    sinks = ws == 0
+    rank = np.full(n, 1.0 / n)
+    d = 0.85
+    for _ in range(7):
+        coef = (1.0 - d) + d * rank[sinks].sum()
+        new = np.full(n, coef / n)
+        for (a, b), wi in zip(edges, w):
+            new[b] += d * rank[a] * (wi * (1.0 / ws[a]))
+        rank = new
+    np.testing.assert_allclose(got, rank, atol=1e-12)
+    assert abs(got.sum() - 1.0) < 1e-9
+    # weights all 1 == classic PR
+    from engine import oracle
+
+    df1 = df.assign(w=1.0)
+    got1 = weighted_pagerank(rd.from_pandas(df1).repartition(5), n, iterations=5)
+    want1 = oracle.pagerank_sync(edges, iterations=5)
+    for v, r in want1.items():
+        assert abs(got1[v] - r) < 1e-12
