@@ -891,6 +891,19 @@ def tfidf_scores(sf_dir: str) -> ray.data.Dataset:
     return tfidf(ds)
 
 
+def doc_packing(sf_dir: str) -> ray.data.Dataset:
+    """Token-budget sequence packing: documents concatenated in doc_id
+    order and split into 2048-token chunks — each doc reports its
+    whitespace token count, the exact tokens before it (distributed
+    running total: one sort + O(blocks) offset chaining, engine/windows.py)
+    and the chunk its first token lands in. SQL-checkable as a window
+    running sum."""
+    from .windows import pack_sequences
+
+    counts = token_count(sf_dir)  # (doc_id, n_tokens), whitespace tokens
+    return pack_sequences(counts, chunk_tokens=2048)
+
+
 def heavy_hitter_tokens(sf_dir: str) -> ray.data.Dataset:
     """Exact corpus heavy hitters (count·100 > total tokens) through the
     two-pass candidate/verify pipeline — per-batch pigeonhole candidates,
@@ -1803,6 +1816,22 @@ ORACLE_SQL: dict[str, str] = {
                ROUND(tf.tf * LN((SELECT n FROM n) / df.df), {ROUND}) AS tfidf
         FROM tf JOIN df USING (token)
     """,
+    "doc_packing": r"""
+        WITH c AS MATERIALIZED (
+            SELECT doc_id,
+                   len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens
+            FROM documents)
+        SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+               CAST(COALESCE(SUM(n_tokens) OVER (
+                   ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS BIGINT) AS tokens_before,
+               CAST(COALESCE(SUM(n_tokens) OVER (
+                   ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) // 2048 AS BIGINT) AS chunk_id
+        FROM c
+    """,
     "heavy_hitter_tokens": r"""
         WITH tok AS MATERIALIZED (
             SELECT unnest(regexp_extract_all(lower(text), '\w+')) AS token
@@ -2122,6 +2151,7 @@ QUERIES = {
     "vocab_top50": vocab_top50,
     "tfidf_scores": tfidf_scores,
     "heavy_hitter_tokens": heavy_hitter_tokens,
+    "doc_packing": doc_packing,
     "train_val_test_split": train_val_test_split,
     "token_percentiles": token_percentiles,
     "events_top3_per_user": events_top3_per_user,

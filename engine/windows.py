@@ -147,3 +147,82 @@ def session_windows(
         return out[[key_col, "session_start", "n_events", "duration_sec"]]
 
     return events.groupby(key_col).map_groups(sessions, batch_format="pandas")
+
+
+def running_total(
+    ds: ray.data.Dataset,
+    order_col: str,
+    value_col: str,
+    out_col: str = "running",
+    exclusive: bool = True,
+) -> ray.data.Dataset:
+    """Distributed cumulative sum over a global ordering (the window
+    ``SUM(v) OVER (ORDER BY order_col ROWS UNBOUNDED PRECEDING)``).
+
+    One global sort; each block computes its LOCAL vectorized cumsum and
+    a one-number total; the driver turns the O(blocks) totals into
+    exclusive prefix offsets and each block adds its offset — the same
+    tiny-metadata chaining as the LAG / set-ops operators, no
+    sequential scan, no O(rows) driver traffic. ``exclusive=True``
+    yields the sum of STRICTLY earlier rows (the packing/prefix form);
+    ``order_col`` must be unique for a deterministic order (sums are
+    integer-exact under any block split for int inputs)."""
+    arrow = ds.map_batches(lambda t: t, batch_format="pyarrow")
+    s = arrow.sort(order_col).materialize()
+    refs = []
+    for rb in s.iter_internal_ref_bundles():
+        for blk, meta in rb.blocks:
+            if meta.num_rows:
+                refs.append(blk)
+    sch = ds.schema()
+    out_fields = list(zip(sch.names, sch.types)) + [(out_col, pa.int64())]
+    out_schema = pa.schema(out_fields)
+    if not refs:
+        return ray.data.from_arrow(out_schema.empty_table())
+
+    @ray.remote
+    def block_total(tbl: pa.Table) -> int:
+        return int(
+            np.sum(tbl.column(value_col).to_numpy(zero_copy_only=False))
+        )
+
+    totals = ray.get([block_total.remote(r) for r in refs])
+    offsets = np.concatenate(([0], np.cumsum(totals[:-1]))).astype(np.int64)
+
+    @ray.remote
+    def emit(tbl: pa.Table, offset: int) -> pa.Table:
+        v = tbl.column(value_col).to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        cum = np.cumsum(v) + offset
+        if exclusive:
+            cum = cum - v
+        return tbl.append_column(out_col, pa.array(cum)).cast(out_schema)
+
+    out_refs = [emit.remote(r, int(o)) for r, o in zip(refs, offsets)]
+    return ray.data.from_arrow_refs(out_refs)
+
+
+def pack_sequences(
+    docs_with_tokens: ray.data.Dataset,
+    chunk_tokens: int,
+    id_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+) -> ray.data.Dataset:
+    """Token-budget sequence packing (training-data curriculum step):
+    documents are concatenated in ``id_col`` order and split into
+    fixed-size ``chunk_tokens`` windows; each document reports the tokens
+    before it and the chunk its first token lands in. Built on
+    :func:`running_total` — deterministic, repartition-stable, exact."""
+    rt = running_total(
+        docs_with_tokens, order_col=id_col, value_col=tokens_col,
+        out_col="tokens_before", exclusive=True,
+    )
+
+    def chunk(t: pa.Table) -> pa.Table:
+        before = t.column("tokens_before").to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "chunk_id", pa.array((before // chunk_tokens).astype(np.int64))
+        )
+
+    return rt.map_batches(chunk, batch_format="pyarrow")

@@ -95,3 +95,46 @@ def test_sessions_match_oracle():
         for r in got_df.itertuples()
     }
     assert got == want
+
+
+def test_running_total_cross_block_exact():
+    """Distributed cumulative sum == pandas cumsum under tiny blocks
+    (many cross-block offset chains), exclusive and inclusive forms."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from engine.windows import pack_sequences, running_total
+
+    rng = np.random.default_rng(21)
+    n = 500
+    df = pd.DataFrame(
+        {
+            "doc_id": rng.permutation(n).astype("int64"),  # unsorted input
+            "n_tokens": rng.integers(1, 300, n).astype("int64"),
+        }
+    )
+    ds = rd.from_pandas(df).repartition(23)
+    out = (
+        running_total(ds, "doc_id", "n_tokens", out_col="tb", exclusive=True)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    ref = df.sort_values("doc_id").reset_index(drop=True)
+    want = ref["n_tokens"].cumsum().shift(fill_value=0).to_numpy()
+    np.testing.assert_array_equal(out["tb"].to_numpy(), want)
+    inc = (
+        running_total(ds, "doc_id", "n_tokens", out_col="rt", exclusive=False)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    np.testing.assert_array_equal(
+        inc["rt"].to_numpy(), ref["n_tokens"].cumsum().to_numpy()
+    )
+    packed = pack_sequences(ds, chunk_tokens=512).to_pandas()
+    packed = packed.sort_values("doc_id").reset_index(drop=True)
+    np.testing.assert_array_equal(
+        packed["chunk_id"].to_numpy(), want // 512
+    )
