@@ -376,10 +376,15 @@ def run_bench(quick: bool = False) -> dict:
             ann_topk,
             approx_distinct_parts,
             dedup_exact,
+            doc_packing,
             doc_stats,
             events_asof_join,
+            heavy_hitter_tokens,
+            hits_3,
             kcore_3,
+            pricing_summary,
             triangles_tripartite,
+            wpr10,
         )
 
         for name, fn in [
@@ -390,6 +395,11 @@ def run_bench(quick: bool = False) -> dict:
             ("events_asof_join", events_asof_join),
             ("kcore_3", kcore_3),
             ("approx_distinct_parts", approx_distinct_parts),
+            ("pricing_summary", pricing_summary),
+            ("heavy_hitter_tokens", heavy_hitter_tokens),
+            ("doc_packing", doc_packing),
+            ("hits_3", hits_3),
+            ("wpr10", wpr10),
         ]:
             t0 = time.perf_counter()
             out = fn(SF_DIR)
