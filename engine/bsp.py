@@ -736,7 +736,12 @@ class BSPGraph:
         vertex state). Requires symmetric_copy=True for undirected
         semantics. Returns (Dataset (vid, label=dist; unreached carry the
         sentinel n), rounds). ``rounds - 1`` is the source's eccentricity
-        within its component (the last round confirms the fixpoint)."""
+        within its component (the last round confirms the fixpoint).
+
+        NOTE: distances live in the shared per-vertex ``label`` state (the
+        same array CC / LPA use and checkpoints restore) — run BFS on its
+        own BSPGraph, or expect a subsequent CC/LPA on this instance to
+        start from distances instead of identity labels."""
         ray.get([a.bfs_begin.remote(source_vid) for a in self.actors])
         rounds = 0
         while rounds < max_iters:

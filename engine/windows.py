@@ -180,8 +180,18 @@ def running_total(
     if not refs:
         return ray.data.from_arrow(out_schema.empty_table())
 
+    def _as_table(blk) -> pa.Table:
+        # Ray's sort can surface the original block unchanged on
+        # degenerate plans (e.g. single-block inputs), so a pandas-blocked
+        # source may still reach us as a DataFrame despite the arrow
+        # normalization stage
+        if isinstance(blk, pa.Table):
+            return blk
+        return pa.Table.from_pandas(blk, preserve_index=False)
+
     @ray.remote
-    def block_total(tbl: pa.Table) -> int:
+    def block_total(blk) -> int:
+        tbl = _as_table(blk)
         return int(
             np.sum(tbl.column(value_col).to_numpy(zero_copy_only=False))
         )
@@ -190,7 +200,8 @@ def running_total(
     offsets = np.concatenate(([0], np.cumsum(totals[:-1]))).astype(np.int64)
 
     @ray.remote
-    def emit(tbl: pa.Table, offset: int) -> pa.Table:
+    def emit(blk, offset: int) -> pa.Table:
+        tbl = _as_table(blk)
         v = tbl.column(value_col).to_numpy(zero_copy_only=False).astype(
             np.int64
         )

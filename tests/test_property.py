@@ -69,3 +69,72 @@ def test_pagerank_multigraph_semantics():
     # and differs from the deduped graph (proving duplicates matter)
     dedup = oracle.pagerank_sync(list(set(edges)), iterations=8)
     assert any(abs(dedup[v] - want[v]) > 1e-6 for v in want)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(edges=edges_strategy)
+def test_bfs_matches_python_on_random_graphs(edges):
+    from collections import deque
+
+    from engine import graph as G
+    from engine.bsp import BSPGraph
+
+    ds = _ds(edges)
+    ids = G.vertex_ids(ds)
+    enc = G.encode_edges(ds, ids)
+    g = BSPGraph(enc, n=len(ids), num_shards=3, symmetric_copy=True)
+    out, _ = g.bfs(source_vid=0)
+    g.shutdown()
+    n = len(ids)
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    src = int(ids[0])
+    want = {src: 0}
+    q = deque([src])
+    while q:
+        u = q.popleft()
+        for w in adj[u]:
+            if w not in want:
+                want[w] = want[u] + 1
+                q.append(w)
+    df = out.to_pandas()
+    got = {
+        int(ids[v]): int(d) for v, d in zip(df["vid"], df["label"]) if d < n
+    }
+    assert got == want
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    vals=st.lists(st.integers(0, 1000), min_size=1, max_size=60),
+    nblocks=st.integers(1, 7),
+)
+def test_running_total_property(vals, nblocks):
+    import pandas as pd
+
+    from engine.windows import running_total
+
+    df = pd.DataFrame(
+        {"k": np.arange(len(vals), dtype=np.int64), "v": np.asarray(vals, np.int64)}
+    ).sample(frac=1.0, random_state=3)  # shuffled input order
+    out = (
+        running_total(
+            ray.data.from_pandas(df).repartition(nblocks), "k", "v",
+            out_col="rt", exclusive=True,
+        )
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    want = np.concatenate(([0], np.cumsum(vals)[:-1]))
+    np.testing.assert_array_equal(out["rt"].to_numpy(), want)
