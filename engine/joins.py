@@ -477,3 +477,107 @@ def lag_per_key(
 
     out_refs = [emit.remote(r, c) for r, c in zip(refs, carries)]
     return ray.data.from_arrow_refs(out_refs)
+
+
+def lookup_join_sorted(
+    facts: ray.data.Dataset,
+    dims: ray.data.Dataset,
+    on: str,
+    dim_on: str | None = None,
+) -> ray.data.Dataset:
+    """Distributed sorted lookup join (dim ⋈ fact): attach the UNIQUE-keyed
+    ``dims`` row to every matching ``facts`` row (inner semantics —
+    unmatched fact rows drop).
+
+    Neither side is broadcast and nothing hash-shuffles: both sides take
+    ONE range-partitioning sort by the key, then each fact block reads
+    only the dim block(s) whose key range overlaps its own (almost always
+    1–2 blocks — O(blocks) driver metadata, zero-copy plasma reads, the
+    merge-join plan for a dimension table too big for ``broadcast_join``
+    and a fact table too big to hash-move). Dim-key uniqueness is
+    VALIDATED (within blocks and across the sorted block boundaries), not
+    assumed — duplicate keys raise instead of silently multiplying rows.
+
+    Ray's own ``Dataset.join`` covers the general hash path (used by
+    ``graph.encode_edges_join``); this operator is the sort-based
+    alternative that avoids moving every row through a hash exchange and
+    sidesteps its empty-partition crash (CLAUDE.md)."""
+    dim_on = dim_on or on
+    fschema = facts.schema()
+    dschema = dims.schema()
+    dpay = [c for c in dschema.names if c != dim_on]
+    clash = set(dpay) & set(fschema.names)
+    if clash:
+        raise ValueError(
+            f"dim payload columns collide with fact columns: {clash} — "
+            "rename before joining"
+        )
+    dtypes = dict(zip(dschema.names, dschema.types))
+    out_schema = pa.schema(
+        list(zip(fschema.names, fschema.types))
+        + [(c, dtypes[c]) for c in dpay]
+    )
+
+    def _blocks(ds, key):
+        arrow = ds.map_batches(lambda t: t, batch_format="pyarrow")
+        s = arrow.sort(key).materialize()
+        refs = []
+        for rb in s.iter_internal_ref_bundles():
+            for blk, meta in rb.blocks:
+                if meta.num_rows:
+                    refs.append(blk)
+        return refs
+
+    def _as_table(blk) -> pa.Table:
+        if isinstance(blk, pa.Table):
+            return blk
+        return pa.Table.from_pandas(blk, preserve_index=False)
+
+    frefs = _blocks(facts, on)
+    drefs = _blocks(dims, dim_on)
+    if not frefs or not drefs:
+        return ray.data.from_arrow(out_schema.empty_table())
+
+    @ray.remote
+    def key_range(blk, col: str, check_unique: bool):
+        tbl = _as_table(blk)
+        k = tbl.column(col).to_numpy(zero_copy_only=False)
+        if check_unique and len(np.unique(k)) != len(k):
+            raise ValueError(f"duplicate dim keys inside a block ({col})")
+        return k[0], k[-1]
+
+    franges = ray.get([key_range.remote(r, on, False) for r in frefs])
+    dranges = ray.get([key_range.remote(r, dim_on, True) for r in drefs])
+    for (lo1, hi1), (lo2, _hi2) in zip(dranges, dranges[1:]):
+        if hi1 >= lo2:  # sorted blocks: equality ⇒ same key in both
+            raise ValueError("duplicate dim keys across sorted blocks")
+    dmins = np.asarray([r[0] for r in dranges])
+    dmaxs = np.asarray([r[1] for r in dranges])
+
+    @ray.remote
+    def emit(fact_blk, *dim_blks) -> pa.Table:
+        ft = _as_table(fact_blk)
+        fk = ft.column(on).to_numpy(zero_copy_only=False)
+        if not dim_blks:
+            return out_schema.empty_table()
+        dts = [_as_table(b) for b in dim_blks]
+        dk = np.concatenate(
+            [t.column(dim_on).to_numpy(zero_copy_only=False) for t in dts]
+        )  # globally sorted: selected blocks are range-consecutive
+        pos = np.searchsorted(dk, fk)
+        pos_c = np.clip(pos, 0, len(dk) - 1)
+        hit = dk[pos_c] == fk
+        kept = ft.filter(pa.array(hit))
+        take = pa.array(pos_c[hit])
+        dim_all = pa.concat_tables(dts)
+        for c in dpay:
+            kept = kept.append_column(c, pc.take(dim_all.column(c), take))
+        return kept.cast(out_schema)
+
+    out_refs = []
+    for fref, (flo, fhi) in zip(frefs, franges):
+        # dim blocks overlapping [flo, fhi] (both sides sorted)
+        i0 = int(np.searchsorted(dmaxs, flo, side="left"))
+        i1 = int(np.searchsorted(dmins, fhi, side="right"))
+        out_refs.append(emit.remote(fref, *drefs[i0:i1]))
+    return ray.data.from_arrow_refs(out_refs)

@@ -1581,6 +1581,51 @@ def parts_with_lineitems(sf_dir: str) -> ray.data.Dataset:
     return intersect_keys(parts, li, "partkey")
 
 
+def lineitem_enriched_merge(sf_dir: str) -> ray.data.Dataset:
+    """Large-large dim⋈fact equi-join through the sorted lookup join
+    (engine/joins.py:lookup_join_sorted): every lineitem row picks up its
+    order's customer and total price with NO broadcast and NO hash
+    shuffle — one sort per side + range-overlap block zips. Dim-key
+    uniqueness is validated, not assumed."""
+    from .joins import lookup_join_sorted
+
+    def conv_f(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_orderkey": t.column("l_orderkey").cast(pa.int64()),
+                "l_linenumber": t.column("l_linenumber").cast(pa.int64()),
+                "qty": pc.cast(
+                    pc.round(t.column("l_quantity")), pa.int64()
+                ),
+            }
+        )
+
+    def conv_d(t: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.round(
+                pc.multiply(t.column("o_totalprice"), 100.0),
+                round_mode="half_towards_infinity",
+            ),
+            pa.int64(),
+        )
+        return pa.table(
+            {
+                "o_orderkey": t.column("o_orderkey").cast(pa.int64()),
+                "o_custkey": t.column("o_custkey").cast(pa.int64()),
+                "o_totalprice_cents": cents,
+            }
+        )
+
+    facts = _li(
+        sf_dir, ["l_orderkey", "l_linenumber", "l_quantity"]
+    ).map_batches(conv_f, batch_format="pyarrow")
+    dims = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_totalprice"],
+    ).map_batches(conv_d, batch_format="pyarrow")
+    return lookup_join_sorted(facts, dims, on="l_orderkey", dim_on="o_orderkey")
+
+
 def pricing_summary(sf_dir: str) -> ray.data.Dataset:
     """TPC-H-Q1-shaped multi-metric report by (returnflag, linestatus)
     with a per-batch combiner (engine/summarize.py): the shuffle carries
@@ -2075,6 +2120,13 @@ ORACLE_SQL["events_user_sample_5"] = """
                  % 9223372036854775808, event_id
     ) <= 5
 """
+ORACLE_SQL["lineitem_enriched_merge"] = """
+    SELECT l.l_orderkey, CAST(l.l_linenumber AS BIGINT) AS l_linenumber,
+           CAST(ROUND(l.l_quantity) AS BIGINT) AS qty,
+           o.o_custkey,
+           CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS o_totalprice_cents
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+"""
 ORACLE_SQL["pricing_summary"] = f"""
     -- exact-integer money encodings (cents / 1e-4 / 1e-6 units) so the
     -- compare is order-insensitive; averages divide the exact sums
@@ -2168,4 +2220,5 @@ QUERIES = {
     "parts_with_lineitems": parts_with_lineitems,
     "orders_with_lineitems_bloom": orders_with_lineitems_bloom,
     "pricing_summary": pricing_summary,
+    "lineitem_enriched_merge": lineitem_enriched_merge,
 }

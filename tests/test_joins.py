@@ -331,3 +331,58 @@ def test_broadcast_join_rejects_batch_local_unsafe_join_types():
             broadcast_join(L, R, "k", ["v"], join_type=jt)
     # the safe set still works
     assert broadcast_join(L, R, "k", ["v"], join_type="left semi").count() == 1
+
+
+def test_lookup_join_sorted_matches_pandas():
+    """Sorted lookup join == pandas inner merge, with unmatched facts
+    dropped, under many small blocks (cross-range block selection)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from engine.joins import lookup_join_sorted
+
+    rng = np.random.default_rng(31)
+    dims = pd.DataFrame(
+        {
+            "k": np.arange(0, 400, 2, dtype=np.int64),  # evens only
+            "attr": rng.integers(0, 1000, 200).astype(np.int64),
+        }
+    )
+    facts = pd.DataFrame(
+        {
+            "k": rng.integers(0, 400, 3000).astype(np.int64),  # odds unmatched
+            "v": rng.integers(0, 100, 3000).astype(np.int64),
+        }
+    )
+    out = (
+        lookup_join_sorted(
+            rd.from_pandas(facts).repartition(11),
+            rd.from_pandas(dims).repartition(7),
+            on="k",
+        )
+        .to_pandas()
+        .sort_values(["k", "v", "attr"])
+        .reset_index(drop=True)
+    )
+    want = (
+        facts.merge(dims, on="k", how="inner")
+        .sort_values(["k", "v", "attr"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(out[["k", "v", "attr"]], want)
+
+
+def test_lookup_join_sorted_rejects_duplicate_dims():
+    import pandas as pd
+    import pytest
+    import ray.data as rd
+
+    from engine.joins import lookup_join_sorted
+
+    dims = pd.DataFrame({"k": [1, 2, 2, 3], "attr": [0, 1, 2, 3]})
+    facts = pd.DataFrame({"k": [1, 2, 3], "v": [9, 9, 9]})
+    with pytest.raises((ValueError, Exception)):
+        lookup_join_sorted(
+            rd.from_pandas(facts), rd.from_pandas(dims).repartition(2), on="k"
+        ).materialize()
