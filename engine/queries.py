@@ -904,6 +904,15 @@ def doc_packing(sf_dir: str) -> ray.data.Dataset:
     return pack_sequences(counts, chunk_tokens=2048)
 
 
+def bigram_top100(sf_dir: str) -> ray.data.Dataset:
+    """Top-100 corpus bigrams (adjacent word pairs within a document) —
+    n-gram language-model counts via the per-batch-combiner groupby."""
+    from .textstats import bigram_topk
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    return bigram_topk(ds, k=100)
+
+
 def heavy_hitter_tokens(sf_dir: str) -> ray.data.Dataset:
     """Exact corpus heavy hitters (count·100 > total tokens) through the
     two-pass candidate/verify pipeline — per-batch pigeonhole candidates,
@@ -1877,6 +1886,21 @@ ORACLE_SQL: dict[str, str] = {
                ), 0) // 2048 AS BIGINT) AS chunk_id
         FROM c
     """,
+    "bigram_top100": r"""
+        WITH toks AS MATERIALIZED (
+            SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS t
+            FROM documents),
+        tok AS MATERIALIZED (
+            SELECT doc_id, unnest(t) AS w, unnest(range(1, len(t) + 1)) AS i
+            FROM toks),
+        bi AS MATERIALIZED (
+            SELECT a.w || ' ' || b.w AS bigram
+            FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.i = a.i + 1)
+        SELECT bigram, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM bi GROUP BY bigram
+        ORDER BY cnt DESC, bigram ASC
+        LIMIT 100
+    """,
     "heavy_hitter_tokens": r"""
         WITH tok AS MATERIALIZED (
             SELECT unnest(regexp_extract_all(lower(text), '\w+')) AS token
@@ -2203,6 +2227,7 @@ QUERIES = {
     "vocab_top50": vocab_top50,
     "tfidf_scores": tfidf_scores,
     "heavy_hitter_tokens": heavy_hitter_tokens,
+    "bigram_top100": bigram_top100,
     "doc_packing": doc_packing,
     "train_val_test_split": train_val_test_split,
     "token_percentiles": token_percentiles,

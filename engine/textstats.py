@@ -229,6 +229,50 @@ def vocab_topk(
     return agg.sort(["cnt", "token"], descending=[True, False]).limit(k)
 
 
+def bigram_topk(
+    docs: ray.data.Dataset,
+    k: int = 100,
+    text_col: str = "text",
+) -> ray.data.Dataset:
+    """Top-k corpus bigrams (adjacent ``\\w+`` token pairs within a
+    document, count DESC / bigram ASC) — the n-gram language-model
+    statistics step. Same shape as ``vocab_topk``: per-batch combiner
+    (one row per distinct bigram per batch reaches the shuffle), global
+    ``groupby.Sum``, deterministic order."""
+    from ray.data.aggregate import Sum
+
+    word = re.compile(r"\w+")
+
+    def count_batch(t: pa.Table) -> pa.Table:
+        grams: list = []
+        for x in t.column(text_col).to_pylist():
+            toks = word.findall((x or "").lower())
+            grams.extend(
+                f"{a} {b}" for a, b in zip(toks, toks[1:])
+            )
+        if not grams:
+            return pa.table(
+                {
+                    "bigram": pa.array([], type=pa.string()),
+                    "cnt": pa.array([], type=pa.int64()),
+                }
+            )
+        u, c = np.unique(np.asarray(grams, dtype=object), return_counts=True)
+        return pa.table(
+            {
+                "bigram": pa.array([str(s) for s in u], type=pa.string()),
+                "cnt": pa.array(c.astype(np.int64)),
+            }
+        )
+
+    agg = (
+        docs.map_batches(count_batch, batch_format="pyarrow")
+        .groupby("bigram")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+    )
+    return agg.sort(["cnt", "bigram"], descending=[True, False]).limit(k)
+
+
 def tfidf_scores(
     docs: ray.data.Dataset,
     id_col: str = "doc_id",
