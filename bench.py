@@ -617,6 +617,40 @@ def run_exchange() -> dict:
     return out
 
 
+def run_probe() -> dict:
+    """Fast host-window check (~30 s): STREAM-triad aggregate bandwidth at
+    8 and 32 actors plus loadavg. Use before launching a recorded run —
+    this host's bandwidth swings multi-× on sub-minute timescales (see
+    BASELINE.md round-4 ledger); healthy reference is triad8 ≈ 31 and
+    triad32 ≈ 90+ GB/s with triad32 > triad8. A triad32 BELOW triad8
+    means the aggregate cap is active and every 32-core memory-bound
+    number is garbage."""
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+        log_to_driver=False,
+    )
+    t8 = _triad_probe(8)
+    t32 = _triad_probe(min(32, NUM_CPUS))
+    out = {
+        "metric": "triad_probe_gbps",
+        "value": t32,
+        "unit": "GB/s",
+        "triad8": t8,
+        "triad32": t32,
+        "capped": bool(t32 < t8),
+        "loadavg_1m": round(os.getloadavg()[0], 2),
+        "num_cpus": NUM_CPUS,
+    }
+    ray.shutdown()
+    return out
+
+
 def run_tune() -> dict:
     """R16 analog (the reference autotunes OpenCL work-group size 1..256 by
     re-running full PageRank per probe, ref: src/main.cpp:35-93): probe BSP
@@ -678,6 +712,8 @@ if __name__ == "__main__":
         line = json.dumps(run_tune())
     elif "--exchange" in sys.argv:
         line = json.dumps(run_exchange())
+    elif "--probe" in sys.argv:
+        line = json.dumps(run_probe())
     else:
         line = json.dumps(run_bench(quick="--quick" in sys.argv))
     # the result must be the LAST stdout line. Ray's async error-message
