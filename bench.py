@@ -125,6 +125,17 @@ def _triad_probe(num_actors: int) -> float:
     return round(gbps, 2)
 
 
+def _cap_active(t8: float, t32: float) -> bool:
+    """True when the host's aggregate-bandwidth cap is active. The r4
+    verdict's probe showed the cap's subtle mode: t32 11.54 ≈ t8 11.51 —
+    32 actors granted ZERO extra bandwidth while neither side looks
+    individually absurd, so `t32 < t8` alone misses it. Encode the
+    round-4 ledger's launch threshold instead: 32 actors must beat 8 by
+    ≥1.5× AND 8 actors must clear an absolute floor (clean reference is
+    triad8 ≈ 31 / triad32 ≈ 90+ GB/s)."""
+    return t32 < 1.5 * t8 or t8 < 8.0
+
+
 def run_scaling_child(op: str) -> dict:
     """One measurement per child process for isolation (run under taskset so
     the core count is physically restricted — ray.init(num_cpus=N) only
@@ -222,6 +233,12 @@ def run_scaling_child(op: str) -> dict:
     enc = G.encode_edges(edges, ids)
     bsp = BSPGraph(enc, n=len(ids), num_shards=num_shards)
     out["bsp_prepare_sec"] = round(time.perf_counter() - t0, 3)
+    # grouped-exchange evidence per child (GRAFT_NODE_GROUPS is set by the
+    # --scaling parent to ncpu//8, the simulated node count) — the scaling
+    # children exercise the node-grouped exchange path end-to-end
+    st = bsp.exchange_stats()
+    out["bsp_num_node_groups"] = st["num_node_groups"]
+    out["bsp_grouped_cross_mb"] = round(st["grouped_cross_bytes"] / 1e6, 1)
     # probes bracket ONLY the superstep loop (~10 s), not the multi-minute
     # build — the guarded window must be short or every run trips the flag
     # on this host's bursty background load
@@ -442,11 +459,35 @@ def run_scaling() -> dict:
                 return
             time.sleep(10)
 
+    # Pre-launch gate (VERDICT r4 #2): probe triad8 AND triad32
+    # back-to-back with the SAME predicate the probe JSON reports
+    # (_cap_active). The r4 session burned 7 full --scaling attempts in
+    # capped windows; a ~30 s probe per attempt is far cheaper exposure.
+    prelaunch = None
+    gate_attempts = int(os.environ.get("GRAFT_SCALING_GATE_ATTEMPTS", "4"))
+    for attempt in range(max(1, gate_attempts)):
+        p = subprocess.run(
+            [sys.executable, "bench.py", "--probe"],
+            capture_output=True,
+            text=True,
+            check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        prelaunch = json.loads(p.stdout.strip().splitlines()[-1])
+        if not prelaunch["capped"]:
+            break
+        time.sleep(45)
+
     for ncpu in (8, 32):
         out[ncpu] = {}
         for op in ("pr", "mh"):
             env = dict(
-                os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_TRIPLE_ROUNDS=rounds
+                os.environ,
+                RAY_GRAFT_CPUS=str(ncpu),
+                GRAFT_TRIPLE_ROUNDS=rounds,
+                # simulated node count: 8 cores/node (advice r4 #8) — the
+                # children run the node-grouped exchange path end-to-end
+                GRAFT_NODE_GROUPS=str(max(1, ncpu // 8)),
             )
             cmd = [sys.executable, "bench.py", f"--scaling-child={op}"]
             if have_taskset:  # physically restrict cores, not just Ray slots
@@ -490,9 +531,11 @@ def run_scaling() -> dict:
         or skew(out[8]) > 0.25
         or skew(out[32]) > 0.25
         or superlinear
+        or bool(prelaunch and prelaunch["capped"])
     )
     return {
         "contaminated": contaminated,
+        "prelaunch_probe": prelaunch,
         "metric": "scaling_efficiency_8_to_32_cores",
         "value": round(eff_mh, 3),
         "unit": "efficiency",
@@ -529,6 +572,10 @@ def run_scaling() -> dict:
             "step_sec_32": out[32]["bsp_step_sec"],
             "num_shards_8": out[8]["bsp_num_shards"],
             "num_shards_32": out[32]["bsp_num_shards"],
+            "node_groups_8": out[8]["bsp_num_node_groups"],
+            "node_groups_32": out[32]["bsp_num_node_groups"],
+            "grouped_cross_mb_8": out[8]["bsp_grouped_cross_mb"],
+            "grouped_cross_mb_32": out[32]["bsp_grouped_cross_mb"],
             "efficiency": round(eff_bsp, 3),
         },
         "minhash_cpu_bound": {
@@ -622,9 +669,10 @@ def run_probe() -> dict:
     8 and 32 actors plus loadavg. Use before launching a recorded run —
     this host's bandwidth swings multi-× on sub-minute timescales (see
     BASELINE.md round-4 ledger); healthy reference is triad8 ≈ 31 and
-    triad32 ≈ 90+ GB/s with triad32 > triad8. A triad32 BELOW triad8
-    means the aggregate cap is active and every 32-core memory-bound
-    number is garbage."""
+    triad32 ≈ 90+ GB/s. ``capped`` uses :func:`_cap_active` (t32 must
+    beat t8 by ≥1.5× and t8 must clear 8 GB/s) — the r4 cap mode read
+    t32 ≈ t8 ≈ 11.5, which the old ``t32 < t8`` check missed; when
+    capped, every memory-bound number in the window is garbage."""
     import ray
 
     ray.init(
@@ -643,7 +691,7 @@ def run_probe() -> dict:
         "unit": "GB/s",
         "triad8": t8,
         "triad32": t32,
-        "capped": bool(t32 < t8),
+        "capped": bool(_cap_active(t8, t32)),
         "loadavg_1m": round(os.getloadavg()[0], 2),
         "num_cpus": NUM_CPUS,
     }

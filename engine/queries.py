@@ -2186,24 +2186,40 @@ ORACLE_SQL["ranksum_superstep"] = (
 )
 ORACLE_SQL["pr_superstep1_salted"] = _PR1  # same semantics, salted path
 
+# Dict order IS the driver's check order, and the driver's correctness
+# harness only checks the FIRST 50 entries.  Ordering policy (round 5):
+# never-driver-checked entries first, then entries whose last green row
+# is oldest, with long-green round-1 veterans rotated to the tail (they
+# remain covered by pytest goldens regardless).
 QUERIES = {
-    "edges_project": edges_project,
-    "out_degree": out_degree,
-    "sinks": sinks,
-    "pr_superstep1": pr_superstep1,
-    "toprank_superstep": toprank_superstep,
-    "ranksum_superstep": ranksum_superstep,
-    "pagerank10": pagerank10,
-    "ppr10": ppr10,
-    "cc_labels": cc_labels,
+    # -- never driver-checked before round 5 --
+    "orders_with_lineitems_bloom": orders_with_lineitems_bloom,
+    "pricing_summary": pricing_summary,
+    "lineitem_enriched_merge": lineitem_enriched_merge,
+    # -- green in r3, fell outside r4's 50-row window --
+    "orders_enriched": orders_enriched,
+    "events_lag": events_lag,
+    "hll_registers_parts": hll_registers_parts,
+    "approx_distinct_parts": approx_distinct_parts,
+    "orders_without_lineitems": orders_without_lineitems,
+    "parts_with_lineitems": parts_with_lineitems,
+    # -- newest operators (r4) --
     "bfs_hops": bfs_hops,
     "hits_3": hits_3,
     "wpr10": wpr10,
+    "kcore_3": kcore_3,
+    "tfidf_scores": tfidf_scores,
+    "heavy_hitter_tokens": heavy_hitter_tokens,
+    "bigram_top100": bigram_top100,
+    "doc_packing": doc_packing,
+    "events_user_sample_5": events_user_sample_5,
+    # -- core graph + dedup/text surface --
+    "pagerank10": pagerank10,
+    "pagerank10_bsp": pagerank10_bsp,
+    "ppr10": ppr10,
+    "cc_labels": cc_labels,
     "triangles_tripartite": triangles_tripartite,
-    "sha256_documents": sha256_documents,
     "dedup_exact": dedup_exact,
-    "token_count": token_count,
-    "doc_stats": doc_stats,
     "ann_topk": ann_topk,
     "embedding_near_dup": embedding_near_dup,
     "embedding_near_dup_ivf": embedding_near_dup_ivf,
@@ -2218,32 +2234,27 @@ QUERIES = {
     "langid_planted": langid_planted,
     "text_quality": text_quality,
     "pr_superstep1_salted": pr_superstep1_salted,
-    "pagerank10_bsp": pagerank10_bsp,
     "graph_stats": graph_stats,
     "prepleti_triple": prepleti_triple,
     "events_tumbling": events_tumbling,
     "events_hopping": events_hopping,
     "events_sessions": events_sessions,
     "vocab_top50": vocab_top50,
-    "tfidf_scores": tfidf_scores,
-    "heavy_hitter_tokens": heavy_hitter_tokens,
-    "bigram_top100": bigram_top100,
-    "doc_packing": doc_packing,
     "train_val_test_split": train_val_test_split,
     "token_percentiles": token_percentiles,
     "events_top3_per_user": events_top3_per_user,
     "events_asof_join": events_asof_join,
     "events_range_join": events_range_join,
     "events_sample": events_sample,
-    "events_user_sample_5": events_user_sample_5,
-    "kcore_3": kcore_3,
-    "orders_enriched": orders_enriched,
-    "events_lag": events_lag,
-    "hll_registers_parts": hll_registers_parts,
-    "approx_distinct_parts": approx_distinct_parts,
-    "orders_without_lineitems": orders_without_lineitems,
-    "parts_with_lineitems": parts_with_lineitems,
-    "orders_with_lineitems_bloom": orders_with_lineitems_bloom,
-    "pricing_summary": pricing_summary,
-    "lineitem_enriched_merge": lineitem_enriched_merge,
+    # -- long-green round-1 veterans (pytest-golden covered; rotate back
+    #    into the 50-row window next round) --
+    "edges_project": edges_project,
+    "out_degree": out_degree,
+    "sinks": sinks,
+    "pr_superstep1": pr_superstep1,
+    "toprank_superstep": toprank_superstep,
+    "ranksum_superstep": ranksum_superstep,
+    "sha256_documents": sha256_documents,
+    "token_count": token_count,
+    "doc_stats": doc_stats,
 }
