@@ -508,6 +508,7 @@ class BSPGraph:
         ) // num_shards
         self.P = num_shards
         self.n = n
+        self.symmetric_copy = symmetric_copy
         self.actors = [ShardActor.remote(s, num_shards) for s in range(num_shards)]
         actors, P = self.actors, num_shards
 
@@ -705,12 +706,26 @@ class BSPGraph:
             f.write("")
         os.replace(tmp, d)
 
+    def _require_symmetric(self, what: str, assume_symmetric: bool) -> None:
+        """Undirected algorithms silently return directed answers when the
+        graph was built without reversed edges — raise instead. Callers
+        that pre-symmetrized the edge Dataset themselves (e.g. via
+        ``graph.symmetrize``) pass ``assume_symmetric=True``."""
+        if not (self.symmetric_copy or assume_symmetric):
+            raise ValueError(
+                f"{what} requires an undirected graph: build the BSPGraph "
+                "with symmetric_copy=True, or pass assume_symmetric=True "
+                "if the edge Dataset already contains both directions"
+            )
+
     def connected_components(
-        self, max_iters: int = 10_000
+        self, max_iters: int = 10_000, assume_symmetric: bool = False
     ) -> tuple[ray.data.Dataset, int]:
-        """Min-label propagation to fixpoint. Requires symmetric_copy=True.
+        """Min-label propagation to fixpoint. Requires symmetric_copy=True
+        (or ``assume_symmetric=True`` for pre-symmetrized edge input).
         Labels are the minimum dense vid of each component (exact-match
         semantics, north-rule N4). Returns (labels Dataset, rounds)."""
+        self._require_symmetric("connected_components()", assume_symmetric)
         rounds = 0
         while rounds < max_iters:
             rounds += 1
@@ -728,7 +743,10 @@ class BSPGraph:
         return self.state_dataset("label"), rounds
 
     def bfs(
-        self, source_vid: int, max_iters: int = 10_000
+        self,
+        source_vid: int,
+        max_iters: int = 10_000,
+        assume_symmetric: bool = False,
     ) -> tuple[ray.data.Dataset, int]:
         """Single-source BFS hop distances (min-plus label propagation to
         fixpoint on the same static combine structure as CC — each round
@@ -742,6 +760,7 @@ class BSPGraph:
         same array CC / LPA use and checkpoints restore) — run BFS on its
         own BSPGraph, or expect a subsequent CC/LPA on this instance to
         start from distances instead of identity labels."""
+        self._require_symmetric("bfs()", assume_symmetric)
         ray.get([a.bfs_begin.remote(source_vid) for a in self.actors])
         rounds = 0
         while rounds < max_iters:
@@ -760,7 +779,7 @@ class BSPGraph:
         return self.state_dataset("label"), rounds
 
     def kcore(
-        self, k: int, max_rounds: int = 10_000
+        self, k: int, max_rounds: int = 10_000, assume_symmetric: bool = False
     ) -> tuple[ray.data.Dataset, int]:
         """Distributed k-core peeling on the shard actors: a round is two
         actor waves (kill + decrement-exchange) over the static combine
@@ -770,6 +789,7 @@ class BSPGraph:
         peel pass including the final no-death one (stable input → 1),
         matching ``engine.kcore.kcore``. Returns (alive-vids Dataset,
         rounds)."""
+        self._require_symmetric("kcore()", assume_symmetric)
         ray.get([a.kcore_begin.remote(k) for a in self.actors])
         rounds = 0
         while rounds < max_rounds:

@@ -120,6 +120,11 @@ def hits(
     """``iterations`` unnormalized HITS rounds over encoded (src, dst)
     edges with dense vids in [0, n). Returns (auth, hub) as exact-integer
     float64 arrays aligned to dense vid."""
+    if iterations < 1:
+        raise ValueError(
+            f"hits() needs iterations >= 1, got {iterations} (auth is only "
+            "defined after the first gather; there is no identity round)"
+        )
     fwd = _sorted_pairs(enc, "dst", "src")  # gather auth at dst from hub[src]
     rev = _sorted_pairs(enc, "src", "dst")  # gather hub at src from auth[dst]
     hub_ref = ray.put(np.ones(n))

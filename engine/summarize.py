@@ -35,7 +35,13 @@ def pricing_summary(
     ``sum_qty`` whole units, ``sum_base_price_cents`` ×100,
     ``sum_disc_price_e4`` = Σ price_cents·(100−disc_cents),
     ``sum_charge_e6`` = Σ price_cents·(100−disc_cents)·(100+tax_cents).
-    Averages are float64 of the exact integer sums, rounded to 9."""
+    Averages are float64 of the exact integer sums, rounded to 9.
+
+    Scale bound: charge terms are ~1e11 per row, so the exact int64
+    global sum holds to ~1e8 rows PER GROUP KEY; beyond that it would
+    silently wrap while a DuckDB HUGEINT oracle stays exact. A float64
+    shadow sum rides along and ``finalize`` raises ``OverflowError`` on
+    int-vs-shadow divergence instead of returning a wrapped number."""
 
     def partial(t: pa.Table) -> pa.Table:
         if ship_cutoff is not None:
@@ -86,6 +92,17 @@ def pricing_summary(
                 "sum_charge_e6": pa.array(seg_sum(charge)),
                 "sum_disc_cents": pa.array(seg_sum(disc_c)),
                 "count_order": pa.array(seg_sum(ones)),
+                # float64 shadow of the widest integer sum: charge terms
+                # are ~1e11/row, so the exact int64 global Sum silently
+                # wraps past ~9e7 ROWS-equivalent of headroom per 2**63;
+                # the shadow (53-bit mantissa, relative error ~n·eps)
+                # can't wrap, so a large int-vs-float divergence in
+                # finalize() is a reliable overflow detector at any scale.
+                "shadow_charge_f": pa.array(
+                    seg_sum(charge).astype(np.float64)
+                    if len(ks)
+                    else np.empty(0, np.float64)
+                ),
             }
         )
 
@@ -96,6 +113,7 @@ def pricing_summary(
         "sum_charge_e6",
         "sum_disc_cents",
         "count_order",
+        "shadow_charge_f",
     ]
     agg = (
         li.map_batches(partial, batch_format="pyarrow")
@@ -109,12 +127,24 @@ def pricing_summary(
         sq = t.column("sum_qty").to_numpy(zero_copy_only=False)
         sp = t.column("sum_base_price_cents").to_numpy(zero_copy_only=False)
         sd = t.column("sum_disc_cents").to_numpy(zero_copy_only=False)
+        # overflow guard: int64 wrap shifts the exact sum by ~2**64,
+        # which the float shadow (error ~ blocks · eps · sum) can't miss
+        ci = t.column("sum_charge_e6").to_numpy(zero_copy_only=False).astype(np.float64)
+        cf = t.column("shadow_charge_f").to_numpy(zero_copy_only=False)
+        bad = np.abs(ci - cf) > 1e-6 * np.maximum(np.abs(cf), 1.0)
+        if bad.any():
+            raise OverflowError(
+                "sum_charge_e6 int64 accumulator wrapped (exact int sum "
+                f"diverges from float64 shadow for keys "
+                f"{[key[i] for i in np.flatnonzero(bad)]}); re-run with a "
+                "coarser money unit or a decimal accumulator"
+            )
         out = {
             "l_returnflag": pa.array([k[0] for k in key], type=pa.string()),
             "l_linestatus": pa.array([k[1:] for k in key], type=pa.string()),
         }
         for c in cols:
-            if c != "sum_disc_cents":
+            if c not in ("sum_disc_cents", "shadow_charge_f"):
                 out[c] = t.column(c)
         out["avg_qty"] = pa.array(np.round(sq / n, ROUND))
         out["avg_price"] = pa.array(np.round(sp / 100.0 / n, ROUND))

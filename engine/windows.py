@@ -189,12 +189,18 @@ def running_total(
             return blk
         return pa.Table.from_pandas(blk, preserve_index=False)
 
+    def _values(tbl: pa.Table) -> np.ndarray:
+        # NULL values contribute 0, matching SQL's window SUM (which
+        # skips NULLs); without the fill, to_numpy surfaces NaN floats
+        # and the int cast/sum below raises or produces garbage
+        col = tbl.column(value_col)
+        if col.null_count:
+            col = pc.fill_null(col, 0)
+        return col.to_numpy(zero_copy_only=False).astype(np.int64)
+
     @ray.remote
     def block_total(blk) -> int:
-        tbl = _as_table(blk)
-        return int(
-            np.sum(tbl.column(value_col).to_numpy(zero_copy_only=False))
-        )
+        return int(np.sum(_values(_as_table(blk))))
 
     totals = ray.get([block_total.remote(r) for r in refs])
     offsets = np.concatenate(([0], np.cumsum(totals[:-1]))).astype(np.int64)
@@ -202,9 +208,7 @@ def running_total(
     @ray.remote
     def emit(blk, offset: int) -> pa.Table:
         tbl = _as_table(blk)
-        v = tbl.column(value_col).to_numpy(zero_copy_only=False).astype(
-            np.int64
-        )
+        v = _values(tbl)
         cum = np.cumsum(v) + offset
         if exclusive:
             cum = cum - v

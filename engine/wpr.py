@@ -67,7 +67,13 @@ def _dense_weight_sums(edges_w: ray.data.Dataset, n: int) -> np.ndarray:
 def _apply_wpr(old_rank, sinks, n, coef, d, seg_refs):
     """Merge gather segments into the next rank vector off the driver;
     returns (rank, stats) as this task's own object-store values."""
-    new = np.full(n, coef / n)
+    # Accumulate raw in-link sums first and apply damping ONCE on the
+    # total (new = base + d * acc): a vertex whose dst range straddles a
+    # block boundary gathers from multiple segments, and d*a + d*b is an
+    # ulp off d*(a+b) — the same operation-order rule as the reference's
+    # in-link-total damping (CLAUDE.md) and the SQL oracle's single
+    # `d * COALESCE(m, 0)`.
+    acc = np.zeros(n)
     for b in ray.get(list(seg_refs)):
         if b.num_rows == 0 or "lo" not in b.schema.names:
             continue
@@ -80,7 +86,8 @@ def _apply_wpr(old_rank, sinks, n, coef, d, seg_refs):
         for i in range(len(lo_arr)):
             s, e = offs[i], offs[i + 1]
             lo = lo_arr[i]
-            new[lo : lo + (e - s)] += d * flat[s:e]
+            acc[lo : lo + (e - s)] += flat[s:e]
+    new = coef / n + d * acc
     return new, {
         "l1": float(np.abs(new - old_rank).sum()),
         "dangling": float(new[sinks].sum()),

@@ -514,3 +514,50 @@ def test_weighted_pagerank_matches_dense_numpy():
     want1 = oracle.pagerank_sync(edges, iterations=5)
     for v, r in want1.items():
         assert abs(got1[v] - r) < 1e-12
+
+
+def test_hits_zero_iterations_raises():
+    import pytest
+    import ray.data as rd
+
+    from engine.hits import hits
+
+    enc = rd.from_items([{"src": 0, "dst": 1}])
+    with pytest.raises(ValueError, match="iterations >= 1"):
+        hits(enc, n=2, iterations=0)
+
+
+def test_bfs_directed_build_raises_and_assume_symmetric_works():
+    """ADVICE r4: bfs/cc/kcore on a directed-build BSPGraph must raise
+    rather than silently return directed answers; pre-symmetrized input
+    is allowed through assume_symmetric=True."""
+    import pytest
+    import ray.data as rd
+
+    from engine import graph as G
+    from engine.bsp import BSPGraph
+
+    edges = rd.from_items(
+        [{"src": 0, "dst": 1}, {"src": 1, "dst": 2}]
+    )
+    ids = G.vertex_ids(edges)
+    enc = G.encode_edges(edges, ids)
+    g = BSPGraph(enc, n=len(ids), num_shards=2)
+    try:
+        with pytest.raises(ValueError, match="symmetric"):
+            g.bfs(source_vid=0)
+        with pytest.raises(ValueError, match="symmetric"):
+            g.connected_components()
+        with pytest.raises(ValueError, match="symmetric"):
+            g.kcore(2)
+    finally:
+        g.shutdown()
+
+    sym = G.symmetrize(enc)
+    g2 = BSPGraph(sym, n=len(ids), num_shards=2)
+    try:
+        ds, _ = g2.bfs(source_vid=0, assume_symmetric=True)
+        hops = ds.sort("vid").to_pandas()["label"].tolist()
+        assert hops == [0, 1, 2]
+    finally:
+        g2.shutdown()

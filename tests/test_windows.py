@@ -138,3 +138,32 @@ def test_running_total_cross_block_exact():
     np.testing.assert_array_equal(
         packed["chunk_id"].to_numpy(), want // 512
     )
+
+
+def test_running_total_null_values_sql_semantics():
+    """NULL values contribute 0 (SQL window SUM skips NULLs) instead of
+    crashing on the NaN-float to_numpy path (ADVICE r4)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from engine.windows import running_total
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(6), type=pa.int64()),
+            "n_tokens": pa.array([5, None, 7, None, 1, 2], type=pa.int64()),
+        }
+    )
+    ds = rd.from_arrow(tbl).repartition(3)
+    out = (
+        running_total(ds, "doc_id", "n_tokens", out_col="tb", exclusive=True)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # SQL: SUM(v) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+    # AND 1 PRECEDING) with NULLs skipped -> 0,5,5,12,12,13
+    np.testing.assert_array_equal(
+        out["tb"].to_numpy(), np.array([0, 5, 5, 12, 12, 13])
+    )
