@@ -7,8 +7,13 @@ regexes built once per actor); all hashing is process-stable (crc32 /
 blake2 — never Python ``hash``, which is salted per process). Candidate
 generation is a ``groupby`` on band/chunk keys (the LSH shuffle); pair
 enumeration and exact verification run INSIDE ``groupby.map_groups`` on
-those keys — the driver never holds bucket membership, signatures, or
-candidate texts, only the final (small) verified-pair list.
+those keys — the driver never holds bucket membership, signatures,
+candidate texts, or even the verified pairs: pair outputs are RETURNED AS
+DATASETS, deduped distributed with the house sort-based-distinct pattern
+(a high-dup-rate 100-TB corpus has a pair set proportional to the corpus;
+collecting it driver-side would be an O(output) materialization). Cluster
+assignment runs as a distributed min-label connected-components pass over
+the pair graph, not a driver union-find.
 """
 
 from __future__ import annotations
@@ -127,28 +132,110 @@ def jaccard(text_a: str, text_b: str, k: int = 3) -> float:
     return inter / (len(sa) + len(sb) - inter)
 
 
-def _union_find_clusters(verified: list[tuple[int, int, float]]) -> dict:
-    """Union-find over the (small) verified near-dup pair list; root =
-    smallest doc_id. The candidate GRAPH is tiny relative to the corpus; a
-    distributed min-label pass (engine.components) is the fallback if it
-    ever isn't."""
-    parent: dict[int, int] = {}
+def _empty_pairs(value_col: str, value_type: pa.DataType) -> ray.data.Dataset:
+    return ray.data.from_arrow(
+        pa.schema(
+            [("a", pa.int64()), ("b", pa.int64()), (value_col, value_type)]
+        ).empty_table()
+    )
 
-    def find(x):
-        while parent[x] != x:
-            parent[x] = parent[parent[x]]
-            x = parent[x]
-        return x
 
-    for a_, b_, _ in verified:
-        parent.setdefault(a_, a_)
-        parent.setdefault(b_, b_)
-        ra, rb = find(a_), find(b_)
-        if ra != rb:
-            if rb < ra:
-                ra, rb = rb, ra
-            parent[rb] = ra
-    return {x: find(x) for x in parent}
+def distinct_pairs(
+    pair_rows: ray.data.Dataset, value_col: str, value_type: pa.DataType
+) -> ray.data.Dataset:
+    """Distributed DISTINCT on (a, b) pair rows (the value column is a
+    deterministic function of the pair, so duplicate rows are identical).
+
+    One global sort by (a, b) → per-block dedup of adjacent duplicates →
+    cross-boundary duplicate runs dropped by comparing against the
+    previous block's last pair — O(blocks) boundary metadata on the
+    driver, never pair rows (the same sort-based-distinct pattern as
+    ``graph._sorted_distinct_refs``; Ray 2.49's hash aggregate is ~100×
+    slower than its sort at size)."""
+    arrow = pair_rows.map_batches(lambda t: t, batch_format="pyarrow")
+    s = arrow.sort(["a", "b"]).materialize()
+    refs = []
+    for rb in s.iter_internal_ref_bundles():
+        for blk, meta in rb.blocks:
+            if meta.num_rows:
+                refs.append(blk)
+    if not refs:
+        return _empty_pairs(value_col, value_type)
+
+    out_schema = pa.schema(
+        [("a", pa.int64()), ("b", pa.int64()), (value_col, value_type)]
+    )
+
+    @ray.remote(num_returns=2)
+    def dedup_block(tbl):
+        if not isinstance(tbl, pa.Table):
+            # Ray's sort can surface the original block unchanged on
+            # degenerate plans, so a pandas-blocked source may reach us
+            # despite the arrow normalization stage
+            tbl = pa.Table.from_pandas(tbl, preserve_index=False)
+        a = tbl.column("a").to_numpy(zero_copy_only=False).astype(np.int64)
+        b = tbl.column("b").to_numpy(zero_copy_only=False).astype(np.int64)
+        # rows arrive sorted by (a, b): a new pair starts wherever either
+        # key differs from the previous row
+        keep = np.ones(len(a), dtype=bool)
+        keep[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+        kept = tbl.filter(pa.array(keep)).select(out_schema.names).cast(out_schema)
+        last = (int(a[-1]), int(b[-1]))
+        return kept, last
+
+    pairs = [dedup_block.remote(r) for r in refs]
+    lasts = ray.get([m for _, m in pairs])
+
+    @ray.remote
+    def drop_leading(tbl: pa.Table, prev_last) -> pa.Table:
+        pa_, pb_ = prev_last
+        a = tbl.column("a").to_numpy(zero_copy_only=False).astype(np.int64)
+        b = tbl.column("b").to_numpy(zero_copy_only=False).astype(np.int64)
+        # blocks are range-partitioned, so the nearest previous block's
+        # last pair bounds every earlier pair — one prefix scan drops the
+        # whole cross-boundary duplicate run however many blocks it spans
+        gt = (a > pa_) | ((a == pa_) & (b > pb_))
+        k = int(np.argmax(gt)) if gt.any() else len(a)
+        return tbl.slice(k)
+
+    final_refs = [pairs[0][0]]
+    for i in range(1, len(pairs)):
+        final_refs.append(drop_leading.remote(pairs[i][0], lasts[i - 1]))
+    return ray.data.from_arrow_refs(final_refs)
+
+
+def cluster_pairs(
+    pairs: ray.data.Dataset,
+    id_col: str = "doc_id",
+    cluster_col: str = "cluster",
+) -> ray.data.Dataset:
+    """Near-dup cluster assignment from a verified-pair Dataset: a
+    distributed min-label connected-components pass over the pair graph
+    (``engine.components``), root = smallest doc_id in the cluster — the
+    same fixpoint a union-find reaches, without collecting the pair list
+    on the driver. Only docs that appear in a pair get a row."""
+    from .components import connected_components_dataset
+
+    edges = pairs.map_batches(
+        lambda t: pa.table(
+            {"src": t.column("a").cast(pa.int64()),
+             "dst": t.column("b").cast(pa.int64())}
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+    empty = pa.schema(
+        [(id_col, pa.int64()), (cluster_col, pa.int64())]
+    ).empty_table()
+    if edges.count() == 0:
+        return ray.data.from_arrow(empty)
+    labeled, _rounds = connected_components_dataset(edges)
+    return labeled.map_batches(
+        lambda t: pa.table(
+            {id_col: t.column("id").cast(pa.int64()),
+             cluster_col: t.column("label").cast(pa.int64())}
+        ),
+        batch_format="pyarrow",
+    )
 
 
 def minhash_lsh_dedup(
@@ -162,12 +249,13 @@ def minhash_lsh_dedup(
     max_bucket: int = 64,
 ) -> dict:
     """Full near-dup pipeline. Returns
-    ``{"pairs": [(a, b, jaccard)...], "clusters": {doc_id: root_id}}``
-    (root = smallest doc_id in the near-dup cluster).
+    ``{"pairs": Dataset (a, b, j), "clusters": Dataset (doc_id, cluster)}``
+    — pairs distinct and sorted by (a, b); cluster = smallest doc_id in
+    the near-dup cluster, one row per doc that appears in a pair.
 
     Stages (all distributed; driver holds only the candidate-bucket key
-    array, the candidate doc-id array — both small broadcast sides — and
-    the final verified pairs):
+    array and the candidate doc-id array — both small broadcast sides —
+    never pair rows):
 
       1. minhash actor pool → (doc_id, band, band_hash), materialized once.
       2. LSH bucket sizes: ``groupby(band, band_hash).Count``; candidate
@@ -181,8 +269,9 @@ def minhash_lsh_dedup(
       5. pair enumeration + exact Jaccard verify INSIDE
          ``groupby(band, band_hash).map_groups`` — shingles computed once
          per member per bucket, pairs emitted only at j ≥ threshold.
-      6. global pair dedup (same pair verified in several bands) + driver
-         union-find over the verified pairs.
+      6. global pair dedup (same pair verified in several bands) via the
+         distributed sort-based distinct; clusters via a distributed
+         min-label CC pass over the pair graph (:func:`cluster_pairs`).
     """
     from .util import default_concurrency
 
@@ -206,8 +295,19 @@ def minhash_lsh_dedup(
         ),
         batch_format="pyarrow",
     ).materialize()
+
+    def _empty_result() -> dict:
+        return {
+            "pairs": _empty_pairs("j", pa.float64()),
+            "clusters": ray.data.from_arrow(
+                pa.schema(
+                    [("doc_id", pa.int64()), ("cluster", pa.int64())]
+                ).empty_table()
+            ),
+        }
+
     if cand.count() == 0:
-        return {"pairs": [], "clusters": {}}
+        return _empty_result()
 
     # broadcast small side #1: candidate bucket hashes (one int per bucket)
     cand_hashes = np.sort(
@@ -250,7 +350,7 @@ def minhash_lsh_dedup(
         )
     )
     if len(cand_ids) == 0:
-        return {"pairs": [], "clusters": {}}
+        return _empty_result()
     ids_ref = ray.put(cand_ids)
 
     def docs_rows(batch: pa.Table) -> pa.Table:
@@ -320,17 +420,10 @@ def minhash_lsh_dedup(
         verify_bucket, batch_format="pandas"
     )
 
-    # final collection: verified pairs only (the small output), deduped
-    seen: dict[tuple[int, int], float] = {}
-    for b in pair_rows.iter_batches(batch_format="pyarrow"):
-        for a_, b_, j in zip(
-            b.column("a").to_pylist(),
-            b.column("b").to_pylist(),
-            b.column("j").to_pylist(),
-        ):
-            seen[(a_, b_)] = j
-    verified = [(a_, b_, j) for (a_, b_), j in sorted(seen.items())]
-    return {"pairs": verified, "clusters": _union_find_clusters(verified)}
+    # distributed finish: distinct pairs (same pair verified in several
+    # bands), then clusters as a min-label CC pass — no driver pair loop
+    pairs = distinct_pairs(pair_rows, "j", pa.float64()).materialize()
+    return {"pairs": pairs, "clusters": cluster_pairs(pairs)}
 
 
 class SimHasher:
@@ -436,7 +529,7 @@ def simhash_near_dups(
 ) -> dict:
     """Near-dup pairs with Hamming distance ≤ max_hamming, via 2-of-6
     chunk-pair LSH buckets + exact Hamming verify. Returns
-    ``{"pairs": [(a, b, hamming)...], "dropped_buckets": int,
+    ``{"pairs": Dataset (a, b, hamming) distinct, "dropped_buckets": int,
     "dropped_doc_slots": int}`` — NO SILENT CAPS: a bucket larger than
     ``max_bucket`` (degenerate boilerplate; exact dedup should collapse it
     first) is skipped but COUNTED, so zero recall can never masquerade as
@@ -447,8 +540,9 @@ def simhash_near_dups(
     The signature rows already carry the full fingerprint, so pairing needs
     no text join: each (chunk, chunk_key) bucket is paired inside
     ``groupby.map_groups`` with a vectorized XOR-popcount — no driver-side
-    signature dict. Only the final (small) pair list plus the dropped
-    counters reach the driver."""
+    signature dict. Pairs are deduped distributed (the same pair fires in
+    up to 15 chunk-pair buckets) and returned as a Dataset; only the two
+    dropped-bucket counters reach the driver."""
     from .util import default_concurrency
 
     if concurrency is None:
@@ -485,23 +579,43 @@ def simhash_near_dups(
 
     pair_rows = sig.groupby(["chunk", "chunk_key"]).map_groups(
         bucket_pairs, batch_format="pandas"
-    )
-    out = set()
+    ).materialize()
+
+    # dropped-bucket accounting: per-batch combine of the marker rows —
+    # the driver reads one (count, slots) partial per block, never pairs
+    def marker_partial(t: pa.Table) -> pa.Table:
+        a = t.column("a").to_numpy(zero_copy_only=False).astype(np.int64)
+        h = t.column("hamming").to_numpy(zero_copy_only=False).astype(np.int64)
+        m = (a == -1) & (h == -1)
+        slots = t.column("b").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "buckets": pa.array([int(m.sum())], type=pa.int64()),
+                "slots": pa.array([int(slots[m].sum())], type=pa.int64()),
+            }
+        )
+
     dropped_buckets = 0
     dropped_doc_slots = 0
-    for b in pair_rows.iter_batches(batch_format="pyarrow"):
-        for a_, b_, h in zip(
-            b.column("a").to_pylist(),
-            b.column("b").to_pylist(),
-            b.column("hamming").to_pylist(),
-        ):
-            if a_ == -1 and h == -1:
-                dropped_buckets += 1
-                dropped_doc_slots += b_
-            else:
-                out.add((a_, b_, h))
+    for b in pair_rows.map_batches(
+        marker_partial, batch_format="pyarrow"
+    ).iter_batches(batch_format="pyarrow"):
+        dropped_buckets += int(b.column("buckets").to_numpy().sum())
+        dropped_doc_slots += int(b.column("slots").to_numpy().sum())
+
+    real = pair_rows.map_batches(
+        lambda t: t.filter(
+            pa.compute.invert(
+                pa.compute.and_(
+                    pa.compute.equal(t.column("a"), pa.scalar(-1)),
+                    pa.compute.equal(t.column("hamming"), pa.scalar(-1)),
+                )
+            )
+        ),
+        batch_format="pyarrow",
+    )
     return {
-        "pairs": sorted(out),
+        "pairs": distinct_pairs(real, "hamming", pa.int64()),
         "dropped_buckets": dropped_buckets,
         "dropped_doc_slots": dropped_doc_slots,
     }
@@ -512,12 +626,15 @@ def embedding_near_dups(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     col: str = "embedding",
-) -> list[tuple[int, int, float]]:
+) -> ray.data.Dataset:
     """EXACT cosine near-dup pairs via blocked matmul of each batch against
     the broadcast full matrix (O(n²/B) per batch, distributed across
     batches; the broadcast side is O(n·dim) — one object-store copy per
-    node, viable to ~1e7×768 f64). The scale path beyond that is
-    ``embedding_near_dups_ivf`` (bucketed, no full broadcast)."""
+    node, viable to ~1e7×768 f64). Returns a Dataset (a, b, cos_sim) —
+    each unordered pair exactly once (each a-row lives in exactly one
+    batch), so no distinct pass is needed and the output streams. The
+    scale path beyond the broadcast tier is ``embedding_near_dups_ivf``
+    (bucketed, no full broadcast)."""
     from .annsearch import _batch_matrix
 
     rows = []
@@ -541,23 +658,13 @@ def embedding_near_dups(
         keep = a_ids < b_ids  # each unordered pair once, no self-pairs
         return pa.table(
             {
-                "a": pa.array(a_ids[keep]),
-                "b": pa.array(b_ids[keep]),
-                "cos_sim": pa.array(sims[ai, bj][keep]),
+                "a": pa.array(a_ids[keep], type=pa.int64()),
+                "b": pa.array(b_ids[keep], type=pa.int64()),
+                "cos_sim": pa.array(sims[ai, bj][keep], type=pa.float64()),
             }
         )
 
-    out = []
-    res = ds.map_batches(pairs_batch, batch_format="pyarrow")
-    for b in res.iter_batches(batch_format="pyarrow"):
-        out.extend(
-            zip(
-                b.column("a").to_pylist(),
-                b.column("b").to_pylist(),
-                b.column("cos_sim").to_pylist(),
-            )
-        )
-    return sorted(out)
+    return ds.map_batches(pairs_batch, batch_format="pyarrow")
 
 
 def embedding_near_dups_ivf(
@@ -567,8 +674,9 @@ def embedding_near_dups_ivf(
     assign_top: int = 2,
     id_col: str = "vec_id",
     col: str = "embedding",
-) -> list[tuple[int, int, float]]:
-    """Bucketed cosine near-dup — the 100-TB path: no full-matrix broadcast.
+) -> ray.data.Dataset:
+    """Bucketed cosine near-dup — the 100-TB path: no full-matrix
+    broadcast, pairs returned as a distinct Dataset (a, b, cos_sim).
 
     Composes the IVF build (engine.annsearch centroids) with per-bucket
     all-pairs: each vector is assigned to its ``assign_top`` nearest
@@ -627,12 +735,6 @@ def embedding_near_dups_ivf(
     pair_rows = bucketed.groupby("bucket").map_groups(
         bucket_pairs, batch_format="pandas"
     )
-    seen: dict[tuple[int, int], float] = {}
-    for b in pair_rows.iter_batches(batch_format="pyarrow"):
-        for a_, b_, s in zip(
-            b.column("a").to_pylist(),
-            b.column("b").to_pylist(),
-            b.column("cos_sim").to_pylist(),
-        ):
-            seen[(a_, b_)] = s
-    return sorted((a_, b_, s) for (a_, b_), s in seen.items())
+    # same pair found in up to ``assign_top`` shared buckets → distinct
+    # distributed (sort-based); the driver never touches pair rows
+    return distinct_pairs(pair_rows, "cos_sim", pa.float64())

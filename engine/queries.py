@@ -465,17 +465,22 @@ def embedding_near_dup(sf_dir: str) -> ray.data.Dataset:
     ds = ray.data.read_parquet(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
-    pairs = embedding_near_dups(ds, threshold=0.35)
-    return ray.data.from_arrow(
-        pa.table(
-            {
-                "a": pa.array([p[0] for p in pairs], type=pa.int64()),
-                "b": pa.array([p[1] for p in pairs], type=pa.int64()),
-                "cos_sim": pa.array(
-                    [round(p[2], 6) for p in pairs], type=pa.float64()
-                ),
-            }
-        )
+    return embedding_near_dups(ds, threshold=0.35).map_batches(
+        _round_pairs_6, batch_format="pyarrow"
+    )
+
+
+def _round_pairs_6(t: pa.Table) -> pa.Table:
+    """Round cos_sim to 6 decimals for the float-compare contract with the
+    DuckDB oracle (list_cosine_similarity evaluates in float32)."""
+    return pa.table(
+        {
+            "a": t.column("a").cast(pa.int64()),
+            "b": t.column("b").cast(pa.int64()),
+            "cos_sim": pa.compute.round(
+                t.column("cos_sim").cast(pa.float64()), ndigits=6
+            ),
+        }
     )
 
 
@@ -489,20 +494,9 @@ def embedding_near_dup_ivf(sf_dir: str) -> ray.data.Dataset:
     ds = ray.data.read_parquet(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
-    pairs = embedding_near_dups_ivf(
+    return embedding_near_dups_ivf(
         ds, threshold=0.35, num_centroids=16, assign_top=4
-    )
-    return ray.data.from_arrow(
-        pa.table(
-            {
-                "a": pa.array([p[0] for p in pairs], type=pa.int64()),
-                "b": pa.array([p[1] for p in pairs], type=pa.int64()),
-                "cos_sim": pa.array(
-                    [round(p[2], 6) for p in pairs], type=pa.float64()
-                ),
-            }
-        )
-    )
+    ).map_batches(_round_pairs_6, batch_format="pyarrow")
 
 
 def embedding_near_dup_ivf_full(sf_dir: str) -> ray.data.Dataset:
@@ -518,20 +512,9 @@ def embedding_near_dup_ivf_full(sf_dir: str) -> ray.data.Dataset:
     ds = ray.data.read_parquet(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
-    pairs = embedding_near_dups_ivf(
+    return embedding_near_dups_ivf(
         ds, threshold=0.35, num_centroids=8, assign_top=8
-    )
-    return ray.data.from_arrow(
-        pa.table(
-            {
-                "a": pa.array([p[0] for p in pairs], type=pa.int64()),
-                "b": pa.array([p[1] for p in pairs], type=pa.int64()),
-                "cos_sim": pa.array(
-                    [round(p[2], 6) for p in pairs], type=pa.float64()
-                ),
-            }
-        )
-    )
+    ).map_batches(_round_pairs_6, batch_format="pyarrow")
 
 
 def simhash_near_dup_pairs(sf_dir: str) -> ray.data.Dataset:
@@ -554,16 +537,7 @@ def simhash_near_dup_pairs(sf_dir: str) -> ray.data.Dataset:
             "SQL-equivalence contract of this query does not hold; raise "
             "max_bucket or exact-dedup the corpus first"
         )
-    pairs = res["pairs"]
-    return ray.data.from_arrow(
-        pa.table(
-            {
-                "a": pa.array([p[0] for p in pairs], type=pa.int64()),
-                "b": pa.array([p[1] for p in pairs], type=pa.int64()),
-                "hamming": pa.array([p[2] for p in pairs], type=pa.int64()),
-            }
-        )
-    )
+    return res["pairs"]
 
 
 def lpa_labels(sf_dir: str) -> ray.data.Dataset:
@@ -610,17 +584,7 @@ def minhash_dedup(sf_dir: str) -> ray.data.Dataset:
     ds = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
-    res = minhash_lsh_dedup(ds, threshold=0.8)
-    cl = res["clusters"]
-    ids = sorted(cl)
-    return ray.data.from_arrow(
-        pa.table(
-            {
-                "doc_id": pa.array(ids, type=pa.int64()),
-                "cluster": pa.array([cl[i] for i in ids], type=pa.int64()),
-            }
-        )
-    )
+    return minhash_lsh_dedup(ds, threshold=0.8)["clusters"]
 
 
 def minhash_planted(sf_dir: str) -> ray.data.Dataset:
@@ -655,17 +619,7 @@ def minhash_planted(sf_dir: str) -> ray.data.Dataset:
         )
 
     corpus = ids.map_batches(synth, batch_format="pyarrow")
-    res = minhash_lsh_dedup(corpus, threshold=0.8)
-    cl = res["clusters"]
-    out_ids = sorted(cl)
-    return ray.data.from_arrow(
-        pa.table(
-            {
-                "doc_id": pa.array(out_ids, type=pa.int64()),
-                "cluster": pa.array([cl[i] for i in out_ids], type=pa.int64()),
-            }
-        )
-    )
+    return minhash_lsh_dedup(corpus, threshold=0.8)["clusters"]
 
 
 def simhash_fingerprints(sf_dir: str) -> ray.data.Dataset:

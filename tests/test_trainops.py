@@ -36,9 +36,22 @@ def docs_ds():
     return ray.data.from_arrow(_docs_table()).repartition(3)
 
 
+def _pairs_list(ds):
+    """Materialize a pair Dataset to sorted python tuples (test-side)."""
+    df = ds.to_pandas()
+    return sorted(tuple(r) for r in df.itertuples(index=False))
+
+
+def _clusters_dict(ds):
+    df = ds.to_pandas()
+    return dict(
+        zip(df["doc_id"].astype(int).tolist(), df["cluster"].astype(int).tolist())
+    )
+
+
 def test_minhash_finds_planted_dups(docs_ds):
     res = dedup.minhash_lsh_dedup(docs_ds, threshold=0.7)
-    clusters = res["clusters"]
+    clusters = _clusters_dict(res["clusters"])
     assert clusters.get(100) == 0  # near-dup joined to doc 0
     assert clusters.get(101) == 1  # exact dup joined to doc 1
     # distinct docs unclustered
@@ -65,7 +78,7 @@ def test_minhash_planted_dups_larger_corpus():
         )
     ).repartition(8)
     res = dedup.minhash_lsh_dedup(ds, threshold=0.7)
-    clusters = res["clusters"]
+    clusters = _clusters_dict(res["clusters"])
     for i in range(30):
         assert clusters.get(1000 + i) == i, i
     assert 200 not in clusters  # an unduplicated doc stays unclustered
@@ -86,7 +99,7 @@ def test_jaccard_bounds():
 
 def test_simhash_near_dups(docs_ds):
     res = dedup.simhash_near_dups(docs_ds, max_hamming=6)
-    pairs = res["pairs"]
+    pairs = _pairs_list(res["pairs"])
     found = {(a, b) for a, b, _ in pairs}
     assert (1, 101) in found  # exact dup: hamming 0
     assert all(d == 0 for a, b, d in pairs if (a, b) == (1, 101))
@@ -104,7 +117,7 @@ def test_simhash_overflow_buckets_are_counted():
                   "text": pa.array(texts)})
     ).repartition(4)
     res = dedup.simhash_near_dups(ds, max_hamming=3, max_bucket=16)
-    found = {(a, b) for a, b, _ in res["pairs"]}
+    found = {(a, b) for a, b, _ in _pairs_list(res["pairs"])}
     if (0, 1) not in found:
         # the 80 identical docs share every pair-key bucket → all dropped
         assert res["dropped_buckets"] > 0
@@ -112,7 +125,7 @@ def test_simhash_overflow_buckets_are_counted():
     # raising the cap recovers the planted pairs
     res2 = dedup.simhash_near_dups(ds, max_hamming=3, max_bucket=128)
     assert res2["dropped_buckets"] == 0
-    assert (0, 1) in {(a, b) for a, b, _ in res2["pairs"]}
+    assert (0, 1) in {(a, b) for a, b, _ in _pairs_list(res2["pairs"])}
 
 
 def test_simhash_pair_key_recall_at_h4():
@@ -147,7 +160,7 @@ def test_embedding_near_dups():
         }
     )
     ds = ray.data.from_arrow(tbl).repartition(4)
-    pairs = dedup.embedding_near_dups(ds, threshold=0.99)
+    pairs = _pairs_list(dedup.embedding_near_dups(ds, threshold=0.99))
     assert any(a == 10 and b == 30 for a, b, _ in pairs)
     # oracle: full numpy check
     mn = m / np.linalg.norm(m, axis=1, keepdims=True)
@@ -177,10 +190,11 @@ def test_minhash_dedup_large_corpus():
                   "text": pa.array(texts)})
     ).repartition(8)
     res = dedup.minhash_lsh_dedup(ds, threshold=0.7)
+    clusters = _clusters_dict(res["clusters"])
     for dup, orig in planted.items():
-        assert res["clusters"].get(dup) == orig, (dup, orig)
+        assert clusters.get(dup) == orig, (dup, orig)
     # distinct docs not clustered together
-    roots = {res["clusters"].get(i) for i in range(10, 20)}
+    roots = {clusters.get(i) for i in range(10, 20)}
     assert roots == {None}
 
 
@@ -199,15 +213,19 @@ def test_embedding_near_dups_ivf_matches_brute():
         }
     )
     ds = ray.data.from_arrow(tbl).repartition(4)
-    brute = dedup.embedding_near_dups(ds, threshold=0.9)
-    full = dedup.embedding_near_dups_ivf(
-        ds, threshold=0.9, num_centroids=6, assign_top=6
+    brute = _pairs_list(dedup.embedding_near_dups(ds, threshold=0.9))
+    full = _pairs_list(
+        dedup.embedding_near_dups_ivf(
+            ds, threshold=0.9, num_centroids=6, assign_top=6
+        )
     )
     assert [(a, b, round(s, 9)) for a, b, s in full] == [
         (a, b, round(s, 9)) for a, b, s in brute
     ]
-    part = dedup.embedding_near_dups_ivf(
-        ds, threshold=0.9, num_centroids=6, assign_top=2
+    part = _pairs_list(
+        dedup.embedding_near_dups_ivf(
+            ds, threshold=0.9, num_centroids=6, assign_top=2
+        )
     )
     assert any(a == 10 and b == 30 for a, b, _ in part)
     assert set((a, b) for a, b, _ in part) <= set((a, b) for a, b, _ in brute)
