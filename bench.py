@@ -404,13 +404,33 @@ def run_bench(quick: bool = False) -> dict:
             wpr10,
         )
 
+        # kcore_3 split: the BSP peel routes every query invocation
+        # through a full BSPGraph build (encode + ingest + finalize) that
+        # dominates the row under load — measure build and peel apart so
+        # the total stops reading as peel cost; kcore_3 stays the
+        # comparable end-to-end number (= build + peel).
+        from engine.kcore import kcore_bsp, prepare_kcore_bsp
+        from engine.queries import edges_project
+
+        t0 = time.perf_counter()
+        prep = prepare_kcore_bsp(edges_project(SF_DIR))
+        queries["kcore_build"] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        out, _rounds = kcore_bsp(None, 3, prepared=prep)
+        out.count()
+        queries["kcore_peel_3"] = round(time.perf_counter() - t0, 3)
+        queries["kcore_3"] = round(
+            queries["kcore_build"] + queries["kcore_peel_3"], 3
+        )
+        prep[0].shutdown()
+        del kcore_3  # superseded by the split measurement above
+
         for name, fn in [
             ("dedup_exact", dedup_exact),
             ("doc_stats", doc_stats),
             ("ann_topk", ann_topk),
             ("triangles_tripartite", triangles_tripartite),
             ("events_asof_join", events_asof_join),
-            ("kcore_3", kcore_3),
             ("approx_distinct_parts", approx_distinct_parts),
             ("pricing_summary", pricing_summary),
             ("heavy_hitter_tokens", heavy_hitter_tokens),

@@ -72,6 +72,75 @@ def _make_gather_fn(val_ref, mult_col: str | None = None):
     return gather_seg
 
 
+# Above this many segment blocks the apply pre-merges with a √B-fan-in
+# tree level; below it the single merge task runs unchanged (bit-identical
+# to the historical driver-side merge, which the oracle hash compares
+# were validated against). 64 blocks ≈ the sf0.1 bench graph's ceiling.
+_TREE_MERGE_FANIN = 64
+
+_SEG_SCHEMA = pa.schema(
+    [("lo", pa.int64()), ("seg", pa.large_list(pa.float64()))]
+)
+
+
+@ray.remote
+def _merge_partial(d: float, seg_refs: list) -> pa.Table:
+    """Level-1 of the two-level segment merge: combine CONSECUTIVE
+    range-sorted blocks (in block order, so per-vertex addition order is
+    preserved left-to-right) into one (lo, seg) row covering the group's
+    key range; each segment is scaled by ``d`` as it lands (1.0 = raw
+    sums). Group memory is O(group range), not O(n)."""
+    rows = []  # (lo, flat) in block order
+    for b in ray.get(list(seg_refs)):
+        if b.num_rows == 0 or "lo" not in b.schema.names:
+            continue
+        lo_arr = b.column("lo").to_numpy(zero_copy_only=False)
+        seg_col = b.column("seg")
+        if isinstance(seg_col, pa.ChunkedArray):
+            seg_col = seg_col.combine_chunks()
+        flat = seg_col.values.to_numpy(zero_copy_only=False)
+        offs = seg_col.offsets.to_numpy(zero_copy_only=False)
+        for i in range(len(lo_arr)):
+            rows.append((int(lo_arr[i]), flat[offs[i] : offs[i + 1]]))
+    if not rows:
+        return _SEG_SCHEMA.empty_table()
+    lo = min(r[0] for r in rows)
+    hi = max(r[0] + len(r[1]) for r in rows)
+    merged = np.zeros(hi - lo)
+    for s_lo, s in rows:
+        if d == 1.0:
+            merged[s_lo - lo : s_lo - lo + len(s)] += s
+        else:
+            merged[s_lo - lo : s_lo - lo + len(s)] += d * s
+    return pa.table(
+        {"lo": pa.array([lo], type=pa.int64()),
+         "seg": pa.array([merged], type=pa.large_list(pa.float64()))},
+        schema=_SEG_SCHEMA,
+    )
+
+
+def tree_merge_segment_refs(seg_refs: list, d: float = 1.0) -> list:
+    """√B-fan-in pre-merge for the dense-tier apply: above
+    ``_TREE_MERGE_FANIN`` blocks, ~√B parallel level-1 tasks each merge a
+    run of consecutive blocks, so the final apply task pulls O(√B)
+    objects instead of B — the apply stops serializing on per-block pulls
+    and the dense tier holds to its documented ~1e9-vertex bound (one
+    O(V) vector write remains, inherent to producing the next broadcast;
+    beyond that tier the BSP engine's partitioned layout is the path, cf.
+    engine/bsp.py). At or below the threshold returns the refs unchanged
+    — the single-merge path stays bit-identical to the validated merge
+    order. With ``d`` != 1 each segment is pre-scaled at level 1 (pass
+    d=1.0 to the downstream apply); raw summation (d=1) preserves
+    per-vertex left-to-right addition order exactly."""
+    if len(seg_refs) <= _TREE_MERGE_FANIN:
+        return seg_refs
+    g = int(np.ceil(np.sqrt(len(seg_refs))))
+    return [
+        _merge_partial.remote(d, seg_refs[i : i + g])
+        for i in range(0, len(seg_refs), g)
+    ]
+
+
 @ray.remote
 def _merge_segments(n: int, seg_refs: list) -> np.ndarray:
     """Merge the per-block dense segments into the next vector (vertices
@@ -136,12 +205,12 @@ def hits(
             batch_size=None,
             zero_copy_batch=True,
         ).to_arrow_refs()
-        auth_ref = _merge_segments.remote(n, seg_refs)
+        auth_ref = _merge_segments.remote(n, tree_merge_segment_refs(seg_refs))
         seg_refs = rev.map_batches(
             _make_gather_fn(auth_ref),
             batch_format="pyarrow",
             batch_size=None,
             zero_copy_batch=True,
         ).to_arrow_refs()
-        hub_ref = _merge_segments.remote(n, seg_refs)
+        hub_ref = _merge_segments.remote(n, tree_merge_segment_refs(seg_refs))
     return ray.get(auth_ref), ray.get(hub_ref)

@@ -113,6 +113,7 @@ def kcore_bsp(
     num_shards: int | None = None,
     max_rounds: int = 10_000,
     dedupe: bool = False,
+    prepared: "tuple | None" = None,
 ) -> tuple[ray.data.Dataset, int]:
     """Distributed k-core on the BSP shard actors (the scale path): the
     actors hold degree slices + alive masks, a peel round is two actor
@@ -121,7 +122,62 @@ def kcore_bsp(
     rounds-so-far (contrast :func:`kcore`, which re-materializes the
     filtered edge set every round). Same survivor set (the k-core is
     unique) and the same round-count semantics. Returns (original-id
-    (vid int64) Dataset, rounds)."""
+    (vid int64) Dataset, rounds).
+
+    ``prepared``: an optional ``(BSPGraph, ids)`` pair from
+    :func:`prepare_kcore_bsp` — the graph build (encode + ingest +
+    finalize) dominates a single peel on large inputs, so callers running
+    several k values (or re-peeling after a checkpoint) build once and
+    pass it here; the graph is NOT shut down (the preparer owns it).
+    ``edges``/``num_shards``/``dedupe`` are ignored when prepared is
+    given."""
+    from .bsp import BSPGraph
+    from .util import default_concurrency
+
+    if prepared is not None:
+        g, ids = prepared
+        alive_ds, rounds = g.kcore(k, max_rounds=max_rounds)
+        return _decode_alive(alive_ds, ids), rounds
+
+    ids = G.vertex_ids(edges)
+    n = len(ids)
+    enc = G.encode_edges(edges, ids)
+    if dedupe:
+        enc = _canonical_undirected(enc, n)
+    g = BSPGraph(
+        enc,
+        n=n,
+        num_shards=num_shards or default_concurrency(),
+        symmetric_copy=True,
+    )
+    alive_ds, rounds = g.kcore(k, max_rounds=max_rounds)
+    out = _decode_alive(alive_ds, ids)
+    g.shutdown()
+    return out, rounds
+
+
+def _decode_alive(alive_ds: ray.data.Dataset, ids: np.ndarray) -> ray.data.Dataset:
+    """Dense survivor vids → original ids (dictionary broadcast once)."""
+    ids_ref = ray.put(ids)
+
+    def decode(t: pa.Table) -> pa.Table:
+        d = ray.get(ids_ref)
+        vid = t.column("vid").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {"vid": pa.array(d[vid].astype(np.int64), type=pa.int64())}
+        )
+
+    return alive_ds.map_batches(decode, batch_format="pyarrow").materialize()
+
+
+def prepare_kcore_bsp(
+    edges: ray.data.Dataset,
+    num_shards: int | None = None,
+    dedupe: bool = False,
+):
+    """Build the (BSPGraph, ids) pair :func:`kcore_bsp` peels on — once
+    per edge set, amortized across k values / repeated peels. The caller
+    owns the graph (``prepared[0].shutdown()`` when done)."""
     from .bsp import BSPGraph
     from .util import default_concurrency
 
@@ -136,19 +192,7 @@ def kcore_bsp(
         num_shards=num_shards or default_concurrency(),
         symmetric_copy=True,
     )
-    alive_ds, rounds = g.kcore(k, max_rounds=max_rounds)
-    ids_ref = ray.put(ids)
-
-    def decode(t: pa.Table) -> pa.Table:
-        d = ray.get(ids_ref)
-        vid = t.column("vid").to_numpy(zero_copy_only=False).astype(np.int64)
-        return pa.table(
-            {"vid": pa.array(d[vid].astype(np.int64), type=pa.int64())}
-        )
-
-    out = alive_ds.map_batches(decode, batch_format="pyarrow").materialize()
-    g.shutdown()
-    return out, rounds
+    return g, ids
 
 
 def kcore_vertices_dataset(

@@ -409,9 +409,18 @@ def pagerank(
                 batch_size=None,  # one segment per block, not per 1024 rows
                 zero_copy_batch=True,
             ).to_arrow_refs()
+            # √B-fan-in pre-merge above the block threshold (engine.hits):
+            # level 1 pre-scales each segment by d, so the apply runs with
+            # d=1 on the pre-damped partials; at or below the threshold
+            # the refs pass through untouched and the apply stays
+            # bit-identical to the validated single-merge order.
+            from .hits import tree_merge_segment_refs
+
+            merged_refs = tree_merge_segment_refs(seg_refs, d=d)
+            d_apply = d if merged_refs is seg_refs else 1.0
             rank_ref, frozen_ref, stats_ref = _apply_segments.remote(
                 rank_ref, frozen_ref, sinks_ref, teleport_ref,
-                n, coef, d, freeze_delta, seg_refs,
+                n, coef, d_apply, freeze_delta, merged_refs,
             )
             stats = ray.get(stats_ref)
             l1 = stats["l1"]

@@ -25,7 +25,7 @@ import pyarrow as pa
 import ray
 import ray.data
 
-from .hits import _make_gather_fn
+from .hits import _make_gather_fn, tree_merge_segment_refs
 
 DAMPING = 0.85
 
@@ -138,8 +138,10 @@ def weighted_pagerank(
             batch_size=None,
             zero_copy_batch=True,
         ).to_arrow_refs()
+        # raw sums (d applied once after the merge), so the √B pre-merge
+        # preserves per-vertex addition order exactly
         rank_ref, stats_ref = _apply_wpr.remote(
-            rank_ref, sinks_ref, n, coef, d, seg_refs
+            rank_ref, sinks_ref, n, coef, d, tree_merge_segment_refs(seg_refs)
         )
         sink_mass = ray.get(stats_ref)["dangling"]
     return ray.get(rank_ref)
