@@ -517,6 +517,66 @@ def embedding_near_dup_ivf_full(sf_dir: str) -> ray.data.Dataset:
     ).map_batches(_round_pairs_6, batch_format="pyarrow")
 
 
+def embedding_near_dup_ivf_planted(sf_dir: str) -> ray.data.Dataset:
+    """Hard-checkable IVF near-dup gate with MULTI-PROBE assignment (the
+    ``minhash_planted`` trick for the embedding path): a synthetic corpus
+    derived closed-form from the embeddings table's vec_ids — group
+    ``vec_id // 4``; members with ``vec_id % 4 < 3`` share an IDENTICAL
+    two-hot unit vector unique to their group (slots [0, 64)); member 3
+    gets a two-hot vector from a DISJOINT slot range ([64, 128)). Identical
+    vectors produce identical centroid similarities, hence identical
+    multi-probe bucket assignments (stable argsort) — recall 1 for the
+    within-group pairs regardless of what the centroid fit does — while
+    any two distinct two-hot vectors have cosine ≤ 0.5 < 0.95, so no
+    other pair can verify. The true pair table is therefore closed-form:
+    every within-group pair of present members with vec_id % 4 < 3, at
+    cos_sim 1.0. This gives the APPROXIMATE multi-probe path
+    (assign_top=2 of 8 centroids) a deterministic SQL oracle; the
+    heuristic-corpus variant ``embedding_near_dup_ivf`` stays rows-only
+    by design."""
+    from .dedup import embedding_near_dups_ivf
+
+    ids = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id"]
+    )
+    D = 64  # slots per range; capacity C(64,2) = 2016 groups (8064 ids)
+    combos = np.array(
+        [(a, b) for a in range(D) for b in range(a + 1, D)], dtype=np.int64
+    )
+
+    def synth(batch: pa.Table) -> pa.Table:
+        vid = batch.column("vec_id").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        g = vid // 4
+        if len(g) and g.max() >= len(combos):
+            raise ValueError(
+                f"planted corpus capacity exceeded: group {g.max()} needs "
+                f"C({D},2) > {len(combos)} two-hot slots — raise D"
+            )
+        member = vid % 4
+        off = np.where(member < 3, 0, D)  # disjoint slot ranges
+        dim = 2 * D
+        vecs = np.zeros((len(vid), dim))
+        r = np.arange(len(vid))
+        inv = 1.0 / np.sqrt(2.0)
+        vecs[r, combos[g, 0] + off] = inv
+        vecs[r, combos[g, 1] + off] = inv
+        return pa.table(
+            {
+                "vec_id": pa.array(vid),
+                "embedding": pa.FixedSizeListArray.from_arrays(
+                    pa.array(vecs.reshape(-1)), dim
+                ),
+            }
+        )
+
+    corpus = ids.map_batches(synth, batch_format="pyarrow")
+    return embedding_near_dups_ivf(
+        corpus, threshold=0.95, num_centroids=8, assign_top=2
+    ).map_batches(_round_pairs_6, batch_format="pyarrow")
+
+
 def simhash_near_dup_pairs(sf_dir: str) -> ray.data.Dataset:
     """SimHash near-dup pairs (Hamming ≤ 3) over documents through the
     full 2-of-6 chunk-pair LSH pipeline — hard-checkable because the
@@ -1779,6 +1839,18 @@ ORACLE_SQL: dict[str, str] = {
         FROM m JOIN g USING (grp) WHERE g.c >= 2
     """,
     "embedding_near_dup_ivf": None,
+    "embedding_near_dup_ivf_planted": """
+        -- closed-form truth for the planted-clusters corpus built by
+        -- queries.embedding_near_dup_ivf_planted: members vec_id % 4 < 3
+        -- of group vec_id // 4 share an identical unit vector (cos 1.0);
+        -- every other pair has cosine <= 0.5 < 0.95 by the disjoint
+        -- two-hot construction, so the IVF pipeline's verified pair set
+        -- is exactly the within-group member pairs
+        WITH m AS (SELECT vec_id, vec_id // 4 AS grp
+                   FROM embeddings WHERE vec_id % 4 < 3)
+        SELECT x.vec_id AS a, y.vec_id AS b, CAST(1.0 AS DOUBLE) AS cos_sim
+        FROM m x JOIN m y ON x.grp = y.grp AND x.vec_id < y.vec_id
+    """,
     "events_hopping": """
         SELECT user_id,
                (CAST(floor(epoch(ts) / 900) AS BIGINT) - g.i) * 900
@@ -2150,6 +2222,7 @@ QUERIES = {
     "orders_with_lineitems_bloom": orders_with_lineitems_bloom,
     "pricing_summary": pricing_summary,
     "lineitem_enriched_merge": lineitem_enriched_merge,
+    "embedding_near_dup_ivf_planted": embedding_near_dup_ivf_planted,
     # -- green in r3, fell outside r4's 50-row window --
     "orders_enriched": orders_enriched,
     "events_lag": events_lag,
