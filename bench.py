@@ -316,6 +316,11 @@ def run_bench(quick: bool = False) -> dict:
     import statistics
 
     triad_pre = _triad_probe(8)
+    # the r4-verdict cap mode needs BOTH actor counts to detect: t8 can
+    # read a healthy ~33 GB/s while 32 actors are granted LESS aggregate
+    # bandwidth than 8 (t32 ≈ 18-19 observed for hours) — an 8-actor-only
+    # bracket passes while every 32-cpu bandwidth-bound number is garbage
+    triad32_pre = _triad_probe(NUM_CPUS) if NUM_CPUS >= 32 else None
     runs = []
     all_steps = []
     for _ in range(3):
@@ -324,16 +329,26 @@ def run_bench(quick: bool = False) -> dict:
         runs.append(time.perf_counter() - t0)
         all_steps.append([m["wall_sec"] for m in res.metrics])
     triad_post = _triad_probe(8)
+    triad32_post = _triad_probe(NUM_CPUS) if NUM_CPUS >= 32 else None
     # same contamination rule as --scaling: pre/post probe divergence
     # means external load hit the headline window. ALSO flag a
     # persistently THROTTLED window: this host's 8-actor triad measures
     # ~30 GB/s clean but has been observed pinned at 2-3 GB/s for whole
     # runs (stable-low, so the skew test alone passes while every
-    # bandwidth-bound number is ~10x off)
+    # bandwidth-bound number is ~10x off). AND flag the aggregate cap
+    # (_cap_active on either bracket): 32 actors pinned at ≤1.5× the
+    # 8-actor bandwidth means the whole 32-cpu window is throttled even
+    # when triad8 alone looks clean.
     skew = abs(triad_pre - triad_post) / max(triad_pre, triad_post)
     extra["headline_triad_gbps"] = [triad_pre, triad_post]
+    cap = False
+    if triad32_pre is not None:
+        extra["headline_triad32_gbps"] = [triad32_pre, triad32_post]
+        cap = _cap_active(triad_pre, triad32_pre) or _cap_active(
+            triad_post, triad32_post
+        )
     extra["headline_contaminated"] = bool(
-        skew > 0.25 or max(triad_pre, triad_post) < 8.0
+        skew > 0.25 or max(triad_pre, triad_post) < 8.0 or cap
     )
     for i, r in enumerate(runs):
         queries[f"pagerank_ds_10_run{i + 1}"] = round(r, 3)
@@ -719,6 +734,95 @@ def run_probe() -> dict:
     return out
 
 
+def run_hunt() -> dict:
+    """Probe-gated clean-window hunt (the round-4 close-out protocol as a
+    mode): probe triad8+triad32 every GRAFT_HUNT_INTERVAL seconds
+    (default 150); when a window clears the launch gate (not
+    :func:`_cap_active` AND triad32 ≥ GRAFT_HUNT_T32, default 30 GB/s),
+    immediately run the FULL bench in a child process and keep the
+    artifact under GRAFT_HUNT_DIR (default bench_artifacts/hunt/). Stops
+    on the first headline-clean artifact or after GRAFT_HUNT_MINUTES
+    (default 180). Every probe and attempt is appended to hunt.jsonl in
+    the same directory so the ledger can cite the full series. The hunt
+    parent holds NO Ray session — probes and bench attempts are child
+    processes, so at most one Ray workload exists at a time."""
+    import subprocess
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    hunt_dir = os.environ.get(
+        "GRAFT_HUNT_DIR", os.path.join(here, "bench_artifacts", "hunt")
+    )
+    os.makedirs(hunt_dir, exist_ok=True)
+    interval = float(os.environ.get("GRAFT_HUNT_INTERVAL", "150"))
+    t32_gate = float(os.environ.get("GRAFT_HUNT_T32", "30"))
+    deadline = time.time() + 60 * float(os.environ.get("GRAFT_HUNT_MINUTES", "180"))
+    log_path = os.path.join(hunt_dir, "hunt.jsonl")
+
+    def _log(rec: dict) -> None:
+        rec["t"] = time.strftime("%H:%M:%S", time.gmtime())
+        with open(log_path, "a") as f:
+            f.write(json.dumps(rec) + "\n")
+        print(json.dumps(rec), file=sys.stderr, flush=True)
+
+    def _child(argv: list) -> dict:
+        p = subprocess.run(
+            [sys.executable, "bench.py"] + argv,
+            capture_output=True,
+            text=True,
+            check=True,
+            cwd=here,
+        )
+        return json.loads(p.stdout.strip().splitlines()[-1])
+
+    probes = attempts = 0
+    while time.time() < deadline:
+        probe = _child(["--probe"])
+        probes += 1
+        go = (not probe["capped"]) and probe["triad32"] >= t32_gate
+        _log({"kind": "probe", "go": go, **probe})
+        if go:
+            attempts += 1
+            stamp = time.strftime("%H%M%S", time.gmtime())
+            art = os.path.join(hunt_dir, f"bench_attempt_{stamp}.json")
+            try:
+                result = _child([])
+            except subprocess.CalledProcessError as e:
+                _log({"kind": "attempt_crash", "stderr": e.stderr[-500:]})
+                continue
+            with open(art, "w") as f:
+                json.dump(result, f, indent=1)
+            clean = not result.get("headline_contaminated", True)
+            _log(
+                {
+                    "kind": "attempt",
+                    "clean": clean,
+                    "artifact": art,
+                    "pagerank_ds_10": result["queries"].get("pagerank_ds_10"),
+                    "pagerank_bsp_10": result["queries"].get("pagerank_bsp_10"),
+                    "headline_triad_gbps": result.get("headline_triad_gbps"),
+                    "headline_triad32_gbps": result.get("headline_triad32_gbps"),
+                }
+            )
+            if clean:
+                return {
+                    "metric": "hunt_clean_artifact",
+                    "value": result["queries"].get("pagerank_ds_10"),
+                    "unit": "sec",
+                    "artifact": art,
+                    "probes": probes,
+                    "attempts": attempts,
+                }
+        time.sleep(interval)
+    return {
+        "metric": "hunt_clean_artifact",
+        "value": None,
+        "unit": "sec",
+        "artifact": None,
+        "probes": probes,
+        "attempts": attempts,
+    }
+
+
 def run_tune() -> dict:
     """R16 analog (the reference autotunes OpenCL work-group size 1..256 by
     re-running full PageRank per probe, ref: src/main.cpp:35-93): probe BSP
@@ -782,6 +886,8 @@ if __name__ == "__main__":
         line = json.dumps(run_exchange())
     elif "--probe" in sys.argv:
         line = json.dumps(run_probe())
+    elif "--hunt" in sys.argv:
+        line = json.dumps(run_hunt())
     else:
         line = json.dumps(run_bench(quick="--quick" in sys.argv))
     # the result must be the LAST stdout line. Ray's async error-message
