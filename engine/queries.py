@@ -1688,6 +1688,105 @@ def orders_with_lineitems_bloom(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def decontam_3gram(sf_dir: str) -> ray.data.Dataset:
+    """Test-set decontamination (engine/decontam.py): the held-out set is
+    the deterministic slice ``doc_id % 37 == 0`` of the documents table;
+    every other doc is train. Output = (doc_id, n_contaminated_grams) for
+    train docs sharing ≥ 1 whitespace 3-gram with the held-out slice (the
+    operator's production default is 5+; 3 keeps the synthetic word-salad
+    corpus's overlap signal dense enough to check hundreds of rows) —
+    held-out grams broadcast once, train side a shuffle-free actor scan.
+    The tokenizer is the literal single-space split so the SQL oracle is
+    the SAME computation (string_split + lead-window grams + join)."""
+    from .decontam import decontaminate
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def split(t: pa.Table, held: bool) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        m = (ids % 37 == 0) if held else (ids % 37 != 0)
+        return t.filter(pa.array(m))
+
+    heldout = docs.map_batches(
+        lambda t: split(t, True), batch_format="pyarrow"
+    )
+    train = docs.map_batches(lambda t: split(t, False), batch_format="pyarrow")
+    return decontaminate(train, heldout, n=3)
+
+
+def pii_planted(sf_dir: str) -> ray.data.Dataset:
+    """Hard-checkable PII scrubbing gate (the pii analog of
+    ``langid_planted``): emails/phones are planted CLOSED-FORM from
+    doc_id onto each document's real text (docs ``d % 3 == 0`` gain an
+    email, ``d % 4 == 0`` a phone; the base word-salad text exercises the
+    negative path), then the full ``engine.pii`` actor-pool scanner runs.
+    Counts AND the redacted string length are exact — the patterns are
+    RE2-compatible, so the oracle runs the identical regexes in DuckDB."""
+    from .pii import scan_pii
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def plant(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        texts = t.column("text").to_pylist()
+        out = []
+        for d, txt in zip(ids.tolist(), texts):
+            s = txt or ""
+            if d % 3 == 0:
+                s += f" reach me at user{d}@mail{d % 7}.example.com now"
+            if d % 4 == 0:
+                s += f" or call +1-555-{1000 + d % 9000} today"
+            out.append(s)
+        return pa.table(
+            {"doc_id": pa.array(ids), "text": pa.array(out, type=pa.string())}
+        )
+
+    scanned = scan_pii(docs.map_batches(plant, batch_format="pyarrow"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "n_emails": t.column("n_emails"),
+                "n_phones": t.column("n_phones"),
+                "redacted_len": pc.cast(
+                    pc.utf8_length(t.column("redacted")), pa.int64()
+                ),
+            }
+        )
+
+    return scanned.map_batches(finish, batch_format="pyarrow")
+
+
+def bpeish_planted(sf_dir: str) -> ray.data.Dataset:
+    """Closed-form gate for the BPE-ish pre-tokenizer — the one analyze()
+    column whose regex needs lookahead (``\\s+(?!\\S)``), which DuckDB's
+    RE2 lacks, so ``text_analysis`` stays rows-only. Doc ``d`` gets the
+    fixed template (contractions + number + punct + double space,
+    exercising every alternation branch) repeated ``1 + d % 5`` times,
+    space-joined; the count is exactly ``9 * (1 + d % 5)`` tokens
+    (verified linear in tests), making the oracle a pure expression on
+    doc_id while the measurement runs the FULL actor-pool pipeline."""
+    from .textstats import analyze
+
+    ids = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    template = "it's rock 42 ok!!  end."
+
+    def synth(t: pa.Table) -> pa.Table:
+        ids_np = t.column("doc_id").to_numpy(zero_copy_only=False)
+        texts = [" ".join([template] * (1 + d % 5)) for d in ids_np.tolist()]
+        return pa.table(
+            {"doc_id": pa.array(ids_np), "text": pa.array(texts, type=pa.string())}
+        )
+
+    corpus = ids.map_batches(synth, batch_format="pyarrow")
+    return analyze(corpus).select_columns(["doc_id", "n_tokens_bpeish"])
+
+
 ORACLE_SQL: dict[str, str] = {
     "edges_project": f"""
         SELECT DISTINCT l_orderkey AS src,
@@ -2212,6 +2311,79 @@ ORACLE_SQL["ranksum_superstep"] = (
 )
 ORACLE_SQL["pr_superstep1_salted"] = _PR1  # same semantics, salted path
 
+ORACLE_SQL["decontam_3gram"] = """
+    -- same tokenizer contract as engine/decontam.py: literal
+    -- single-space split (string_split == Python str.split(' ')),
+    -- 3-grams via lead windows (NULL-concat drops tail windows, matching
+    -- the Python range bound), held-out slice = doc_id % 37 == 0
+    WITH toks AS MATERIALIZED (
+        SELECT doc_id,
+               unnest(string_split(text, ' ')) AS tok,
+               generate_subscripts(string_split(text, ' '), 1) AS pos
+        FROM documents
+    ),
+    grams AS MATERIALIZED (
+        SELECT doc_id,
+               tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w
+                   AS gram
+        FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ),
+    g2 AS MATERIALIZED (
+        SELECT doc_id, gram FROM grams WHERE gram IS NOT NULL
+    ),
+    held AS MATERIALIZED (
+        SELECT DISTINCT gram FROM g2 WHERE doc_id % 37 = 0
+    )
+    SELECT g.doc_id,
+           CAST(COUNT(DISTINCT g.gram) AS BIGINT) AS n_contaminated_grams
+    FROM g2 g JOIN held h USING (gram)
+    WHERE g.doc_id % 37 <> 0
+    GROUP BY g.doc_id
+"""
+
+ORACLE_SQL["pii_planted"] = r"""
+    -- identical planting (pure expression on doc_id) and IDENTICAL
+    -- regexes as engine/pii.py (RE2-compatible by construction); email
+    -- redaction applied before phone redaction on both sides
+    WITH planted AS MATERIALIZED (
+        SELECT doc_id,
+               text
+               || CASE WHEN doc_id % 3 = 0
+                       THEN ' reach me at user' || CAST(doc_id AS VARCHAR)
+                            || '@mail' || CAST(doc_id % 7 AS VARCHAR)
+                            || '.example.com now'
+                       ELSE '' END
+               || CASE WHEN doc_id % 4 = 0
+                       THEN ' or call +1-555-'
+                            || CAST(1000 + doc_id % 9000 AS VARCHAR)
+                            || ' today'
+                       ELSE '' END AS t
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(
+               t, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT)
+               AS n_emails,
+           CAST(len(regexp_extract_all(t, '\+1-555-[0-9]{4}')) AS BIGINT)
+               AS n_phones,
+           CAST(length(regexp_replace(regexp_replace(
+               t, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '[EMAIL]', 'g'),
+               '\+1-555-[0-9]{4}', '[PHONE]', 'g')) AS BIGINT)
+               AS redacted_len
+    FROM planted
+"""
+
+ORACLE_SQL["bpeish_planted"] = """
+    -- closed-form truth for the planted BPE-ish corpus built by
+    -- queries.bpeish_planted: doc d carries the 9-token template repeated
+    -- (1 + d % 5) times space-joined, and the GPT-2-style pre-tokenizer
+    -- count is exactly linear in the repetition count (the lookahead
+    -- branch \\s+(?!\\S) fires once per template's double space)
+    SELECT doc_id,
+           CAST(9 * (1 + doc_id % 5) AS BIGINT) AS n_tokens_bpeish
+    FROM documents
+"""
+
 # Dict order IS the driver's check order, and the driver's correctness
 # harness only checks the FIRST 50 entries.  Ordering policy (round 5):
 # never-driver-checked entries first, then entries whose last green row
@@ -2223,6 +2395,9 @@ QUERIES = {
     "pricing_summary": pricing_summary,
     "lineitem_enriched_merge": lineitem_enriched_merge,
     "embedding_near_dup_ivf_planted": embedding_near_dup_ivf_planted,
+    "decontam_3gram": decontam_3gram,
+    "pii_planted": pii_planted,
+    "bpeish_planted": bpeish_planted,
     # -- green in r3, fell outside r4's 50-row window --
     "orders_enriched": orders_enriched,
     "events_lag": events_lag,

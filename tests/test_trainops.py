@@ -523,3 +523,124 @@ def test_heavy_hitters_exact_vs_brute():
     want = {t: c for t, c in counts.items() if c * k > n}
     assert got == want
     assert len(want) > 0  # the test corpus must actually have heavy hitters
+
+
+# ---------------------------------------------------------------------------
+# decontamination (engine/decontam.py)
+# ---------------------------------------------------------------------------
+
+
+def test_doc_grams_edges():
+    from engine.decontam import _doc_grams
+
+    assert _doc_grams("a b c d e f", 5) == {"a b c d e", "b c d e f"}
+    assert _doc_grams("a b c", 5) == set()
+    assert _doc_grams("", 5) == set()
+    assert _doc_grams(None, 5) == set()
+    # literal single-space split keeps empty tokens (== DuckDB string_split)
+    assert _doc_grams("a  b c d", 3) == {"a  b", " b c", "b c d"}
+
+
+def test_decontaminate_bruteforce():
+    """Distributed flags+counts == brute-force set intersection per doc."""
+    import ray.data as rd
+
+    from engine.decontam import _doc_grams, decontaminate
+
+    rng = np.random.default_rng(3)
+    words = BASE.split()
+    texts = [" ".join(rng.choice(words, size=rng.integers(6, 30))) for _ in range(60)]
+    ids = list(range(60))
+    held_idx = set(range(0, 60, 9))
+    held = pa.table(
+        {
+            "doc_id": pa.array([i for i in ids if i in held_idx], type=pa.int64()),
+            "text": pa.array([texts[i] for i in ids if i in held_idx]),
+        }
+    )
+    train = pa.table(
+        {
+            "doc_id": pa.array([i for i in ids if i not in held_idx], type=pa.int64()),
+            "text": pa.array([texts[i] for i in ids if i not in held_idx]),
+        }
+    )
+    n = 3
+    out = decontaminate(
+        rd.from_arrow(train).repartition(5), rd.from_arrow(held).repartition(2), n=n
+    ).to_pandas()
+    got = dict(zip(out["doc_id"], out["n_contaminated_grams"]))
+
+    held_grams = set()
+    for i in held_idx:
+        held_grams |= _doc_grams(texts[i], n)
+    want = {}
+    for i in ids:
+        if i in held_idx:
+            continue
+        c = len(_doc_grams(texts[i], n) & held_grams)
+        if c:
+            want[i] = c
+    assert got == want
+    assert len(want) > 0  # corpus must actually produce contamination
+
+
+def test_heldout_gram_guard():
+    import ray.data as rd
+
+    from engine.decontam import heldout_gram_set
+
+    docs = rd.from_arrow(
+        pa.table({"doc_id": [0], "text": ["a b c d e f g h i j"]})
+    )
+    with pytest.raises(ValueError, match="max_grams"):
+        heldout_gram_set(docs, n=2, max_grams=3)
+
+
+# ---------------------------------------------------------------------------
+# PII scan (engine/pii.py)
+# ---------------------------------------------------------------------------
+
+
+def test_pii_scanner_counts_and_redaction():
+    import ray.data as rd
+
+    from engine.pii import scan_pii
+
+    rows = [
+        ("mail a@b.com or c.d-e_f@g-h.org", 2, 0, "mail [EMAIL] or [EMAIL]"),
+        ("call +1-555-0042 and +1-555-9999", 0, 2, "call [PHONE] and [PHONE]"),
+        ("both x9@y.io +1-555-1000 end", 1, 1, "both [EMAIL] [PHONE] end"),
+        ("clean text no pii here", 0, 0, "clean text no pii here"),
+        ("", 0, 0, ""),
+        (None, 0, 0, ""),
+        ("+1-555-123 too short, 1-555-1234 no plus", 0, 0, None),
+    ]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(len(rows)), type=pa.int64()),
+            "text": pa.array([r[0] for r in rows], type=pa.string()),
+        }
+    )
+    out = (
+        scan_pii(rd.from_arrow(tbl).repartition(3))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    for i, (_, ne, np_, red) in enumerate(rows):
+        assert out.loc[i, "n_emails"] == ne, i
+        assert out.loc[i, "n_phones"] == np_, i
+        if red is not None:
+            assert out.loc[i, "redacted"] == red, i
+
+
+def test_bpeish_template_linearity():
+    """The planted-corpus oracle's closed form: 9 tokens per repetition."""
+    import re as _re
+
+    from engine.textstats import _BPEISH
+
+    rx = _re.compile(_BPEISH)
+    template = "it's rock 42 ok!!  end."
+    for k in range(1, 8):
+        assert len(rx.findall(" ".join([template] * k))) == 9 * k
