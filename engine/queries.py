@@ -1026,6 +1026,21 @@ def events_sessions(sf_dir: str) -> ray.data.Dataset:
     return session_windows(ev, gap_sec=1800)
 
 
+def events_funnel(sf_dir: str) -> ray.data.Dataset:
+    """view → click → purchase funnel over the events table
+    (engine/windows.py funnel): per user, the number of steps completed
+    in order with strictly increasing ts under greedy-earliest matching,
+    each step within 1 day of the previous — exactly the chained-MIN
+    SQL cascade (the window keeps the synthetic corpus's stage mix
+    non-degenerate: ~90/35/25 across stages at sf0.01)."""
+    from .windows import funnel
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_type"]
+    )
+    return funnel(ev, steps=("view", "click", "purchase"), within_sec=86400)
+
+
 def _pagerank_unrolled_sql(iters: int, decimals: int = ROUND) -> str:
     """DuckDB oracle for ``iters`` full PageRank supersteps, iteration
     unrolled as chained CTEs (DuckDB 1.0 disallows aggregates in recursive
@@ -1787,6 +1802,18 @@ def bpeish_planted(sf_dir: str) -> ray.data.Dataset:
     return analyze(corpus).select_columns(["doc_id", "n_tokens_bpeish"])
 
 
+def doc_chunks(sf_dir: str) -> ray.data.Dataset:
+    """Sliding-window chunking (engine/textstats.py chunk_documents):
+    120-char chunks every 60 chars over the documents table — exact
+    string compare against the substr/generate_series SQL oracle."""
+    from .textstats import chunk_documents
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return chunk_documents(docs, size=120, stride=60)
+
+
 ORACLE_SQL: dict[str, str] = {
     "edges_project": f"""
         SELECT DISTINCT l_orderkey AS src,
@@ -2373,6 +2400,53 @@ ORACLE_SQL["pii_planted"] = r"""
     FROM planted
 """
 
+ORACLE_SQL["events_funnel"] = """
+    -- greedy-earliest funnel == chained MIN cascade: stage k's timestamp
+    -- is the MIN ts of a step-k event STRICTLY after stage k-1's and
+    -- within 1 day of it (within_sec=86400 in the engine call)
+    WITH s1 AS MATERIALIZED (
+        SELECT user_id, MIN(ts) AS t FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+    ),
+    s2 AS MATERIALIZED (
+        SELECT e.user_id, MIN(e.ts) AS t
+        FROM events e JOIN s1 ON e.user_id = s1.user_id
+        WHERE e.event_type = 'click' AND e.ts > s1.t
+          AND e.ts <= s1.t + INTERVAL 86400 SECONDS
+        GROUP BY e.user_id
+    ),
+    s3 AS MATERIALIZED (
+        SELECT e.user_id, MIN(e.ts) AS t
+        FROM events e JOIN s2 ON e.user_id = s2.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > s2.t
+          AND e.ts <= s2.t + INTERVAL 86400 SECONDS
+        GROUP BY e.user_id
+    )
+    SELECT s1.user_id,
+           CAST(CASE WHEN s3.user_id IS NOT NULL THEN 3
+                     WHEN s2.user_id IS NOT NULL THEN 2
+                     ELSE 1 END AS BIGINT) AS funnel_stage
+    FROM s1
+    LEFT JOIN s2 ON s1.user_id = s2.user_id
+    LEFT JOIN s3 ON s1.user_id = s3.user_id
+"""
+
+ORACLE_SQL["doc_chunks"] = """
+    -- same contract as textstats.chunk_documents(size=120, stride=60):
+    -- chunk i starts at codepoint i*60 (substr is 1-based), short tails
+    -- kept, docs with empty text emit nothing (generate_series(1,0) is
+    -- empty)
+    WITH starts AS MATERIALIZED (
+        SELECT doc_id, text,
+               unnest(generate_series(1, length(text), 60)) AS s
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST((s - 1) // 60 AS BIGINT) AS chunk_idx,
+           substr(text, s, 120) AS chunk
+    FROM starts
+"""
+
 ORACLE_SQL["bpeish_planted"] = """
     -- closed-form truth for the planted BPE-ish corpus built by
     -- queries.bpeish_planted: doc d carries the 9-token template repeated
@@ -2398,6 +2472,8 @@ QUERIES = {
     "decontam_3gram": decontam_3gram,
     "pii_planted": pii_planted,
     "bpeish_planted": bpeish_planted,
+    "doc_chunks": doc_chunks,
+    "events_funnel": events_funnel,
     # -- green in r3, fell outside r4's 50-row window --
     "orders_enriched": orders_enriched,
     "events_lag": events_lag,

@@ -508,6 +508,48 @@ def train_split(
     return docs.map_batches(split_batch, batch_format="pyarrow")
 
 
+def chunk_documents(
+    docs: ray.data.Dataset,
+    size: int = 120,
+    stride: int = 60,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """Sliding-window document chunking — the corpus-prep pass that feeds
+    embedding / context-window pipelines: each doc becomes chunks of
+    ``size`` characters starting every ``stride`` characters (overlap =
+    ``size - stride``), short tail chunks kept, empty/null docs emit
+    nothing.
+
+    Offsets are CODEPOINT-based on both sides of the oracle contract
+    (Python slicing == DuckDB ``substr``), chunk ``i`` starts at
+    codepoint ``i*stride``. Stateless flat emission inside
+    ``map_batches`` — no shuffle, no state, output streams; the 100-TB
+    shape is a pure scan whose output is ~``size/stride``× the input
+    bytes (the caller controls the inflation)."""
+    if stride <= 0 or size <= 0:
+        raise ValueError("size and stride must be positive")
+
+    def emit(t: pa.Table) -> pa.Table:
+        ids_out, idx_out, chunk_out = [], [], []
+        ids = t.column(id_col).to_pylist()
+        for did, txt in zip(ids, t.column(text_col).to_pylist()):
+            txt = txt or ""
+            for i, off in enumerate(range(0, len(txt), stride)):
+                ids_out.append(did)
+                idx_out.append(i)
+                chunk_out.append(txt[off : off + size])
+        return pa.table(
+            {
+                id_col: pa.array(ids_out, type=t.column(id_col).type),
+                "chunk_idx": pa.array(idx_out, type=pa.int64()),
+                "chunk": pa.array(chunk_out, type=pa.string()),
+            }
+        )
+
+    return docs.map_batches(emit, batch_format="pyarrow")
+
+
 def token_count_percentiles(
     docs: ray.data.Dataset,
     qs: tuple = (0.5, 0.9, 0.99),

@@ -149,6 +149,66 @@ def session_windows(
     return events.groupby(key_col).map_groups(sessions, batch_format="pandas")
 
 
+def funnel(
+    events: ray.data.Dataset,
+    steps: tuple,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    within_sec: int | None = None,
+) -> ray.data.Dataset:
+    """Ordered-sequence funnel: per key, how many of ``steps`` were
+    completed IN ORDER with strictly increasing timestamps, matching
+    earliest-first (the standard greedy funnel semantics: stage k's
+    timestamp is the MIN ts of a step-k event strictly after stage
+    k-1's — and, when ``within_sec`` is set, no more than that many
+    seconds after it; the anchor stays the earliest qualifying event,
+    deterministic by construction). Output: (key, funnel_stage) for
+    keys that completed at least stage 1.
+
+    Greedy-earliest is exactly the chained-MIN SQL formulation, so the
+    oracle is a cascade of ``MIN(ts) ... WHERE ts > prev [AND ts <=
+    prev + INTERVAL]`` joins. One
+    shuffle of the (key, ts, type) projection groups each key's events;
+    per-group work is a vectorized argmin per step over an
+    already-sorted frame. Like sessionization, per-key event counts are
+    assumed to fit a group (true for user-event data; a key whose
+    events don't fit one machine needs pre-aggregation upstream)."""
+    if not steps:
+        raise ValueError("steps must be non-empty")
+
+    def stage_of(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(ts_col)
+        ts = g[ts_col].to_numpy()
+        types = g[type_col].to_numpy()
+        stage = 0
+        t = None
+        win = (
+            np.timedelta64(int(within_sec), "s") if within_sec is not None else None
+        )
+        for step in steps:
+            m = types == step
+            if t is not None:
+                m &= ts > t
+                if win is not None:
+                    m &= ts <= t + win
+            idx = np.flatnonzero(m)
+            if idx.size == 0:
+                break
+            t = ts[idx[0]]  # earliest qualifying event (frame is sorted)
+            stage += 1
+        if stage == 0:
+            return pd.DataFrame({key_col: [], "funnel_stage": []}).astype(
+                {key_col: g[key_col].dtype, "funnel_stage": np.int64}
+            )
+        return pd.DataFrame(
+            {key_col: [g[key_col].iloc[0]], "funnel_stage": [np.int64(stage)]}
+        )
+
+    proj = events.select_columns([key_col, ts_col, type_col])
+    return proj.groupby(key_col).map_groups(stage_of, batch_format="pandas")
+
+
 def running_total(
     ds: ray.data.Dataset,
     order_col: str,

@@ -644,3 +644,32 @@ def test_bpeish_template_linearity():
     template = "it's rock 42 ok!!  end."
     for k in range(1, 8):
         assert len(rx.findall(" ".join([template] * k))) == 9 * k
+
+
+def test_chunk_documents_edges():
+    import ray.data as rd
+
+    from engine.textstats import chunk_documents
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3, 4], type=pa.int64()),
+            "text": pa.array(
+                ["abcdefghij", "abc", "", None, "abcdef"], type=pa.string()
+            ),
+        }
+    )
+    out = (
+        chunk_documents(rd.from_arrow(tbl).repartition(2), size=4, stride=3)
+        .to_pandas()
+        .sort_values(["doc_id", "chunk_idx"])
+        .reset_index(drop=True)
+    )
+    got = list(zip(out["doc_id"], out["chunk_idx"], out["chunk"]))
+    assert got == [
+        (0, 0, "abcd"), (0, 1, "defg"), (0, 2, "ghij"), (0, 3, "j"),
+        (1, 0, "abc"),
+        (4, 0, "abcd"), (4, 1, "def"),
+    ]
+    with pytest.raises(ValueError):
+        chunk_documents(rd.from_arrow(tbl), size=0, stride=3)

@@ -167,3 +167,63 @@ def test_running_total_null_values_sql_semantics():
     np.testing.assert_array_equal(
         out["tb"].to_numpy(), np.array([0, 5, 5, 12, 12, 13])
     )
+
+
+def test_funnel_greedy_earliest():
+    import numpy as np
+    import pandas as pd
+    import pytest
+    import ray.data as rd
+
+    from engine.windows import funnel
+
+    def ev(uid, sec, et):
+        return {"user_id": uid, "ts": pd.Timestamp(sec, unit="s"), "event_type": et}
+
+    rows = [
+        # u1 completes all three in order
+        ev(1, 10, "view"), ev(1, 20, "click"), ev(1, 30, "purchase"),
+        # u2: purchase BEFORE click -> stage 2 only
+        ev(2, 10, "view"), ev(2, 15, "purchase"), ev(2, 20, "click"),
+        # u3: click only -> no stage-1 view -> absent from output
+        ev(3, 10, "click"), ev(3, 20, "purchase"),
+        # u4: equal timestamps -> strict > rejects same-instant next step
+        ev(4, 10, "view"), ev(4, 10, "click"),
+        # u5: greedy-earliest view at 10 (not 25) lets click at 20 count
+        ev(5, 25, "view"), ev(5, 10, "view"), ev(5, 20, "click"),
+        # u6: view only
+        ev(6, 99, "view"),
+    ]
+    ds = rd.from_pandas(pd.DataFrame(rows)).repartition(3)
+    out = funnel(ds, steps=("view", "click", "purchase")).to_pandas()
+    got = dict(zip(out["user_id"], out["funnel_stage"]))
+    assert got == {1: 3, 2: 2, 4: 1, 5: 2, 6: 1}
+    assert out["funnel_stage"].dtype == np.int64
+    with pytest.raises(ValueError):
+        funnel(ds, steps=())
+
+
+def test_funnel_within_window():
+    import pandas as pd
+    import ray.data as rd
+
+    from engine.windows import funnel
+
+    rows = [
+        # u1: click 100s after view -> within 60s window fails at stage 2
+        {"user_id": 1, "ts": pd.Timestamp(10, unit="s"), "event_type": "view"},
+        {"user_id": 1, "ts": pd.Timestamp(110, unit="s"), "event_type": "click"},
+        # u2: click 50s after view (inside), purchase 61s after click (outside)
+        {"user_id": 2, "ts": pd.Timestamp(10, unit="s"), "event_type": "view"},
+        {"user_id": 2, "ts": pd.Timestamp(60, unit="s"), "event_type": "click"},
+        {"user_id": 2, "ts": pd.Timestamp(121, unit="s"), "event_type": "purchase"},
+        # u3: boundary — exactly +60s is INSIDE (<=)
+        {"user_id": 3, "ts": pd.Timestamp(10, unit="s"), "event_type": "view"},
+        {"user_id": 3, "ts": pd.Timestamp(70, unit="s"), "event_type": "click"},
+    ]
+    ds = rd.from_pandas(pd.DataFrame(rows)).repartition(2)
+    out = funnel(
+        ds, steps=("view", "click", "purchase"), within_sec=60
+    ).to_pandas()
+    got = dict(zip(out["user_id"], out["funnel_stage"]))
+    assert got == {1: 1, 2: 2, 3: 2}
