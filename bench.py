@@ -132,8 +132,13 @@ def _cap_active(t8: float, t32: float) -> bool:
     individually absurd, so `t32 < t8` alone misses it. Encode the
     round-4 ledger's launch threshold instead: 32 actors must beat 8 by
     ≥1.5× AND 8 actors must clear an absolute floor (clean reference is
-    triad8 ≈ 31 / triad32 ≈ 90+ GB/s)."""
-    return t32 < 1.5 * t8 or t8 < 8.0
+    triad8 ≈ 31 / triad32 ≈ 90+ GB/s). The 1.5× ratio encodes THIS
+    host's measured clean curve (t32/t8 ≈ 2.9); a host whose memory
+    system legitimately saturates below 32 actors (t32 ≈ t8 even when
+    idle) should lower GRAFT_CAP_RATIO toward 1.0 or the guard will
+    flag every window."""
+    ratio = float(os.environ.get("GRAFT_CAP_RATIO", "1.5"))
+    return t32 < ratio * t8 or t8 < 8.0
 
 
 def run_scaling_child(op: str) -> dict:
@@ -776,7 +781,15 @@ def run_hunt() -> dict:
 
     probes = attempts = 0
     while time.time() < deadline:
-        probe = _child(["--probe"])
+        # a transient probe failure (Ray init hiccup in a contended
+        # window — exactly what the hunt exists to wait out) must not
+        # abort the multi-hour hunt; log it and retry next interval
+        try:
+            probe = _child(["--probe"])
+        except (subprocess.CalledProcessError, ValueError, KeyError) as e:
+            _log({"kind": "probe_crash", "err": repr(e)[-300:]})
+            time.sleep(interval)
+            continue
         probes += 1
         go = (not probe["capped"]) and probe["triad32"] >= t32_gate
         _log({"kind": "probe", "go": go, **probe})

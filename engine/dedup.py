@@ -204,18 +204,32 @@ def distinct_pairs(
     return ray.data.from_arrow_refs(final_refs)
 
 
+# Above this many pair rows the cluster pass routes to the BSP shard-actor
+# CC engine (no O(V) driver arrays, no per-round hash aggregate); below it
+# the broadcast min-label engine is cheaper (the pair graph's label vector
+# is a few MB and a BSPGraph build would dominate). At 100-TB dup rates the
+# pair graph is corpus-proportional and the BSP tier is the one that runs.
+BSP_PAIR_THRESHOLD = 2_000_000
+
+
 def cluster_pairs(
     pairs: ray.data.Dataset,
     id_col: str = "doc_id",
     cluster_col: str = "cluster",
+    num_shards: int | None = None,
 ) -> ray.data.Dataset:
     """Near-dup cluster assignment from a verified-pair Dataset: a
-    distributed min-label connected-components pass over the pair graph
-    (``engine.components``), root = smallest doc_id in the cluster — the
-    same fixpoint a union-find reaches, without collecting the pair list
-    on the driver. Only docs that appear in a pair get a row."""
-    from .components import connected_components_dataset
+    min-label connected-components pass over the pair graph, root =
+    smallest doc_id in the cluster — the same fixpoint a union-find
+    reaches, without collecting the pair list on the driver. Only docs
+    that appear in a pair get a row.
 
+    Tier routing: pair graphs under :data:`BSP_PAIR_THRESHOLD` rows run
+    the broadcast min-label engine (``engine.components`` — O(V) label
+    vector on the driver, fine at a few MB); larger ones run the fully
+    partitioned BSP shard-actor CC (``engine.bsp`` — no O(V) driver
+    state), since at a high dup rate the pair set is corpus-proportional.
+    """
     edges = pairs.map_batches(
         lambda t: pa.table(
             {"src": t.column("a").cast(pa.int64()),
@@ -226,13 +240,26 @@ def cluster_pairs(
     empty = pa.schema(
         [(id_col, pa.int64()), (cluster_col, pa.int64())]
     ).empty_table()
-    if edges.count() == 0:
+    n_pairs = edges.count()
+    if n_pairs == 0:
         return ray.data.from_arrow(empty)
-    labeled, _rounds = connected_components_dataset(edges)
+    if n_pairs >= BSP_PAIR_THRESHOLD:
+        from .bsp import bsp_connected_components_dataset
+        from .util import default_concurrency
+
+        labeled, _rounds = bsp_connected_components_dataset(
+            edges, num_shards=num_shards or default_concurrency()
+        )
+        lbl_col = "label_id"
+    else:
+        from .components import connected_components_dataset
+
+        labeled, _rounds = connected_components_dataset(edges)
+        lbl_col = "label"
     return labeled.map_batches(
         lambda t: pa.table(
             {id_col: t.column("id").cast(pa.int64()),
-             cluster_col: t.column("label").cast(pa.int64())}
+             cluster_col: t.column(lbl_col).cast(pa.int64())}
         ),
         batch_format="pyarrow",
     )

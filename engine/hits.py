@@ -130,8 +130,13 @@ def tree_merge_segment_refs(seg_refs: list, d: float = 1.0) -> list:
     engine/bsp.py). At or below the threshold returns the refs unchanged
     — the single-merge path stays bit-identical to the validated merge
     order. With ``d`` != 1 each segment is pre-scaled at level 1 (pass
-    d=1.0 to the downstream apply); raw summation (d=1) preserves
-    per-vertex left-to-right addition order exactly."""
+    d=1.0 to the downstream apply). Level-1 groups are consecutive
+    range-sorted blocks, so per-vertex addition ORDER is preserved —
+    but the grouping changes the ASSOCIATION for a vertex straddling a
+    group boundary (s1+(s2+s3) vs (s1+s2)+s3): exact for integer
+    iterates (HITS), a one-ulp class for float tiers. Callers needing
+    the strict left-fold (pagerank's reference-exact freeze mode) must
+    bypass the tree and pass the raw refs to the single merge."""
     if len(seg_refs) <= _TREE_MERGE_FANIN:
         return seg_refs
     g = int(np.ceil(np.sqrt(len(seg_refs))))

@@ -131,25 +131,14 @@ def kcore_bsp(
     pass it here; the graph is NOT shut down (the preparer owns it).
     ``edges``/``num_shards``/``dedupe`` are ignored when prepared is
     given."""
-    from .bsp import BSPGraph
-    from .util import default_concurrency
-
     if prepared is not None:
         g, ids = prepared
         alive_ds, rounds = g.kcore(k, max_rounds=max_rounds)
         return _decode_alive(alive_ds, ids), rounds
 
-    ids = G.vertex_ids(edges)
-    n = len(ids)
-    enc = G.encode_edges(edges, ids)
-    if dedupe:
-        enc = _canonical_undirected(enc, n)
-    g = BSPGraph(
-        enc,
-        n=n,
-        num_shards=num_shards or default_concurrency(),
-        symmetric_copy=True,
-    )
+    # one-shot path: same build recipe as prepare_kcore_bsp (delegated so
+    # the two paths cannot silently diverge), graph torn down after peel
+    g, ids = prepare_kcore_bsp(edges, num_shards=num_shards, dedupe=dedupe)
     alive_ds, rounds = g.kcore(k, max_rounds=max_rounds)
     out = _decode_alive(alive_ds, ids)
     g.shutdown()

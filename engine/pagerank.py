@@ -413,10 +413,20 @@ def pagerank(
             # level 1 pre-scales each segment by d, so the apply runs with
             # d=1 on the pre-damped partials; at or below the threshold
             # the refs pass through untouched and the apply stays
-            # bit-identical to the validated single-merge order.
+            # bit-identical to the validated single-merge order. The tree
+            # regroups the ASSOCIATION of float adds for vertices whose
+            # range straddles a level-1 group boundary (ulp-class), so the
+            # reference-exact freeze mode — whose 1e-16 per-vertex
+            # comparisons must match the strict left-fold that reproduces
+            # the golden iteration counts — always takes the single-merge
+            # path.
             from .hits import tree_merge_segment_refs
 
-            merged_refs = tree_merge_segment_refs(seg_refs, d=d)
+            merged_refs = (
+                seg_refs
+                if freeze_delta is not None
+                else tree_merge_segment_refs(seg_refs, d=d)
+            )
             d_apply = d if merged_refs is seg_refs else 1.0
             rank_ref, frozen_ref, stats_ref = _apply_segments.remote(
                 rank_ref, frozen_ref, sinks_ref, teleport_ref,

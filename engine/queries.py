@@ -1957,7 +1957,7 @@ ORACLE_SQL: dict[str, str] = {
         -- queries.minhash_planted: members doc_id % 4 < 3 of group
         -- doc_id // 4 share identical text; cluster root = smallest
         -- present member (union-find root); groups need >= 2 members
-        WITH m AS (SELECT doc_id, doc_id // 4 AS grp
+        WITH m AS MATERIALIZED (SELECT doc_id, doc_id // 4 AS grp
                    FROM documents WHERE doc_id % 4 < 3),
              g AS (SELECT grp, MIN(doc_id) AS root, COUNT(*) AS c
                    FROM m GROUP BY grp)
@@ -1972,7 +1972,7 @@ ORACLE_SQL: dict[str, str] = {
         -- every other pair has cosine <= 0.5 < 0.95 by the disjoint
         -- two-hot construction, so the IVF pipeline's verified pair set
         -- is exactly the within-group member pairs
-        WITH m AS (SELECT vec_id, vec_id // 4 AS grp
+        WITH m AS MATERIALIZED (SELECT vec_id, vec_id // 4 AS grp
                    FROM embeddings WHERE vec_id % 4 < 3)
         SELECT x.vec_id AS a, y.vec_id AS b, CAST(1.0 AS DOUBLE) AS cos_sim
         FROM m x JOIN m y ON x.grp = y.grp AND x.vec_id < y.vec_id

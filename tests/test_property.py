@@ -138,3 +138,99 @@ def test_running_total_property(vals, nblocks):
     )
     want = np.concatenate(([0], np.cumsum(vals)[:-1]))
     np.testing.assert_array_equal(out["rt"].to_numpy(), want)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab ", min_size=0, max_size=30), min_size=1, max_size=12
+    ),
+    size=st.integers(1, 8),
+    stride=st.integers(1, 8),
+)
+def test_chunk_documents_roundtrip_property(texts, size, stride):
+    """Chunks cover the doc: with stride <= size, stripping each chunk to
+    its first `stride` chars and concatenating reconstructs the text; and
+    every chunk equals the corresponding Python slice."""
+    from engine.textstats import chunk_documents
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+            "text": pa.array(texts, type=pa.string()),
+        }
+    )
+    out = chunk_documents(
+        ray.data.from_arrow(tbl), size=size, stride=stride
+    ).to_pandas()
+    # Ray 2.49 returns a column-less frame for an all-empty result
+    if len(out) == 0:
+        out = out.reindex(columns=["doc_id", "chunk_idx", "chunk"])
+    out = out.sort_values(["doc_id", "chunk_idx"])
+    by_doc = {d: g["chunk"].tolist() for d, g in out.groupby("doc_id")}
+    for i, t in enumerate(texts):
+        chunks = by_doc.get(i, [])
+        want = [t[o : o + size] for o in range(0, len(t), stride)]
+        assert chunks == want
+        if stride <= size and t:
+            assert "".join(c[:stride] for c in chunks) == t
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(0, 3),  # user
+            st.integers(0, 50),  # second
+            st.sampled_from(["a", "b", "c", "x"]),
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    within=st.one_of(st.none(), st.integers(1, 20)),
+)
+def test_funnel_matches_bruteforce_property(events, within):
+    import pandas as pd
+
+    from engine.windows import funnel
+
+    df = pd.DataFrame(
+        {
+            "user_id": [u for u, _, _ in events],
+            "ts": [pd.Timestamp(s, unit="s") for _, s, _ in events],
+            "event_type": [e for _, _, e in events],
+        }
+    )
+    out = funnel(
+        ray.data.from_pandas(df), steps=("a", "b", "c"), within_sec=within
+    ).to_pandas()
+    got = (
+        dict(zip(out["user_id"], out["funnel_stage"])) if len(out) else {}
+    )
+
+    want = {}
+    for u, g in df.groupby("user_id"):
+        g = g.sort_values("ts")
+        t, stage = None, 0
+        for step in ("a", "b", "c"):
+            cand = [
+                r.ts
+                for r in g.itertuples()
+                if r.event_type == step
+                and (t is None or (r.ts > t and (within is None or (r.ts - t).total_seconds() <= within)))
+            ]
+            if not cand:
+                break
+            t = min(cand)
+            stage += 1
+        if stage:
+            want[u] = stage
+    assert got == want
