@@ -673,3 +673,39 @@ def test_chunk_documents_edges():
     ]
     with pytest.raises(ValueError):
         chunk_documents(rd.from_arrow(tbl), size=0, stride=3)
+
+
+def test_pii_matches_re_bruteforce_property():
+    """Randomized planted strings: scanner counts == plain re on driver."""
+    import re as _re
+
+    import ray.data as rd
+
+    from engine.pii import EMAIL_RE, PHONE_RE, scan_pii
+
+    rng = np.random.default_rng(11)
+    words = ["foo", "bar", "a@b.cd", "x_1@y-z.org", "+1-555-0000",
+             "+1-555-12345", "1-555-1234", "no@tld", "a@b.c", "end."]
+    texts = [
+        " ".join(rng.choice(words, size=rng.integers(0, 12)))
+        for _ in range(80)
+    ]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+            "text": pa.array(texts, type=pa.string()),
+        }
+    )
+    out = (
+        scan_pii(rd.from_arrow(tbl).repartition(7))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    em, ph = _re.compile(EMAIL_RE), _re.compile(PHONE_RE)
+    for i, t in enumerate(texts):
+        assert out.loc[i, "n_emails"] == len(em.findall(t)), t
+        assert out.loc[i, "n_phones"] == len(ph.findall(t)), t
+        assert out.loc[i, "redacted"] == ph.sub(
+            "[PHONE]", em.sub("[EMAIL]", t)
+        ), t
