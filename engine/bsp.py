@@ -229,7 +229,11 @@ class ShardActor:
     # ---- PageRank -------------------------------------------------------
 
     def reset_ranks(self) -> None:
-        self.rank = np.full(self.n_owned, 1.0 / self.n_total)
+        self.rank = (
+            np.full(self.n_owned, 1.0 / self.n_total)
+            if self.n_total
+            else np.empty(0)
+        )
         self.frozen = np.zeros(self.n_owned, dtype=bool)
 
     def sink_rank_sum(self) -> float:
@@ -448,7 +452,11 @@ class ShardActor:
     def checkpoint_to(self, iter_dir: str, what: str = "rank") -> dict:
         """Write this shard's state parquet into ``iter_dir`` (the driver
         passes a tmp dir and renames it atomically once all shards and the
-        metadata are written)."""
+        metadata are written). Multi-node deployments must point
+        ``checkpoint_dir`` at SHARED storage (NFS / fuse-mounted object
+        store): shards write from their own node and the driver renames
+        from its — on node-local disks the published checkpoint would be
+        missing every remote shard."""
         os.makedirs(os.path.join(iter_dir, "ranks"), exist_ok=True)
         tbl = self.get_state(what)
         fn = os.path.join(iter_dir, "ranks", f"shard-{self.sid:05d}.parquet")
@@ -611,7 +619,10 @@ class BSPGraph:
             raise ValueError(
                 "freeze_delta is not combinable with checkpointing"
             )
+        if self.n == 0:
+            return self.state_dataset("rank"), 0, []
         start = 0
+        resumed = False
         if checkpoint_dir:
             from . import checkpoint as ckpt
 
@@ -635,6 +646,11 @@ class BSPGraph:
                         f"checkpoint holds {ck_n} vertices, graph has {self.n}"
                     )
                 ray.get([a.restore.remote(checkpoint_dir, start) for a in self.actors])
+                resumed = True
+        if not resumed:
+            # a prior pagerank() on this graph leaves rank/frozen state
+            # behind — a fresh (non-resumed) call must not warm-start
+            ray.get([a.reset_ranks.remote() for a in self.actors])
         metrics: list[dict] = []
         it = start
         sink_total = sum(ray.get([a.sink_rank_sum.remote() for a in self.actors]))
@@ -761,6 +777,10 @@ class BSPGraph:
         own BSPGraph, or expect a subsequent CC/LPA on this instance to
         start from distances instead of identity labels."""
         self._require_symmetric("bfs()", assume_symmetric)
+        if not (0 <= source_vid < self.n):
+            # a negative vid would silently mark shard P-1's LAST owned
+            # vertex as the source (python modulo/fancy-index semantics)
+            raise ValueError(f"source_vid {source_vid} out of range [0, {self.n})")
         ray.get([a.bfs_begin.remote(source_vid) for a in self.actors])
         rounds = 0
         while rounds < max_iters:
@@ -804,15 +824,26 @@ class BSPGraph:
                     for t, a in enumerate(self.actors)
                 ]
             )
-        tables = ray.get([a.kcore_alive_vids.remote() for a in self.actors])
-        return ray.data.from_arrow(tables), rounds
+        return (
+            ray.data.from_arrow_refs(
+                [a.kcore_alive_vids.remote() for a in self.actors]
+            ),
+            rounds,
+        )
 
-    def label_propagation(self, iterations: int = 5) -> ray.data.Dataset:
+    def label_propagation(
+        self, iterations: int = 5, assume_symmetric: bool = False
+    ) -> ray.data.Dataset:
         """Synchronous LPA (north-rule N5) on the shard actors: per-shard
         (dst, label)-count combine → exchange → per-vertex mode with
         smallest-label tie-break. The graph must be ingested as the DEDUPED
         symmetrized edge set (``graph.symmetrize``) — LPA counts are
-        multiplicity-sensitive, unlike the idempotent CC min."""
+        multiplicity-sensitive, unlike the idempotent CC min. Callers
+        that pre-symmetrized pass ``assume_symmetric=True``; building
+        with ``symmetric_copy=True`` over a deduped single-direction
+        edge set is equally valid (each neighbor counted once per
+        direction)."""
+        self._require_symmetric("label_propagation()", assume_symmetric)
         if self.n * (self.n + 1) >= 2**62:
             raise ValueError("packed (dst,label) key overflow guard")
         for _ in range(iterations):
@@ -826,8 +857,12 @@ class BSPGraph:
         return self.state_dataset("label")
 
     def state_dataset(self, what: str = "rank") -> ray.data.Dataset:
-        tables = ray.get([a.get_state.remote(what) for a in self.actors])
-        return ray.data.from_arrow(tables)
+        # from_arrow_refs, not ray.get + from_arrow: the shard tables stay
+        # in the object store (no O(V) driver heap copy); the refs are
+        # driver-owned task returns, so they outlive actor shutdown
+        return ray.data.from_arrow_refs(
+            [a.get_state.remote(what) for a in self.actors]
+        )
 
     def shutdown(self) -> None:
         """Kill the shard actors and release their CSR memory (actors hold
@@ -924,7 +959,7 @@ def bsp_label_propagation(
     enc = G.encode_edges(edges, ids)
     sym = G.symmetrize(enc)  # deduped simple graph, both directions
     g = BSPGraph(sym, n=len(ids), num_shards=num_shards)
-    ds = g.label_propagation(iterations=iterations)
+    ds = g.label_propagation(iterations=iterations, assume_symmetric=True)
     vid_all, lbl_all = [], []
     for b in ds.iter_batches(batch_format="pyarrow", batch_size=1 << 20):
         vid_all.append(b.column("vid").to_numpy(zero_copy_only=False).astype(np.int64))
@@ -942,11 +977,19 @@ def bsp_connected_components_dataset(
     driver arrays. Returns ((id, label_id) Dataset, rounds)."""
     from . import graph as G
 
+    if edges.count() == 0:
+        # the encode/join machinery (and Ray 2.49's hash shuffle) crashes
+        # on fully-empty inputs — short-circuit to an empty typed result
+        empty = pa.schema([("id", pa.int64()), ("label_id", pa.int64())])
+        return ray.data.from_arrow(empty.empty_table()), 0
     verts, n = G.vertices_dataset(edges)
     enc, _ = G.encode_edges_service(edges, vertices=verts)
     g = BSPGraph(enc, n=n, num_shards=num_shards, symmetric_copy=True)
     state, rounds = g.connected_components()
-    withid = G.decode_vids(state, verts)  # join on vid: uniform key
+    # join on vid: uniform key. Materialized: both the roots scan below
+    # and the returned map_batches consume it — lazy, the hash join would
+    # re-execute from lineage on the second consumption
+    withid = G.decode_vids(state, verts).materialize()
     # label decode: a join keyed on `label` would be skewed (few distinct
     # labels, one per component) AND trips Ray 2.49's empty-partition join
     # crash on small inputs. Instead: the component roots are exactly the
@@ -967,6 +1010,9 @@ def bsp_connected_components_dataset(
     ):
         root_lbl.append(b.column("label").to_numpy(zero_copy_only=False))
         root_id.append(np.asarray(b.column("id").to_pylist()))
+    if not root_lbl:  # empty edge input: no components, empty result
+        empty = pa.schema([("id", pa.int64()), ("label_id", pa.int64())])
+        return ray.data.from_arrow(empty.empty_table()), rounds
     lbl_arr = np.concatenate(root_lbl)
     id_arr = np.concatenate(root_id)
     order = np.argsort(lbl_arr)

@@ -172,7 +172,7 @@ def test_node_grouped_exchange_bit_identical():
         bsp_cc.shutdown()
 
         bsp_lpa = BSPGraph(sym, n=len(ids), num_shards=6, num_node_groups=g)
-        lpa = bsp_lpa.label_propagation(iterations=4)
+        lpa = bsp_lpa.label_propagation(iterations=4, assume_symmetric=True)
         lpa_l = lpa.sort("vid").to_pandas()["label"].to_numpy()
         bsp_lpa.shutdown()
 
@@ -204,3 +204,65 @@ def test_node_grouped_exchange_cross_bytes_scale_with_groups():
     # per-source: off-group slices sum to <= full array; with 4 groups the
     # ungrouped baseline is 3x full, so grouped <= ungrouped / 3
     assert s["grouped_cross_bytes"] * 3 <= s["ungrouped_cross_bytes"]
+
+
+def test_bsp_pagerank_repeat_call_is_idempotent():
+    """A second pagerank() on the same BSPGraph must reset state, not
+    warm-start from the first run's ranks/frozen mask."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from engine import graph as G
+    from engine.bsp import BSPGraph
+
+    path = FIXTURES["small"]
+    edges = read_snap(path)
+    ids = G.vertex_ids(edges)
+    enc = G.encode_edges(edges, ids)
+    g = BSPGraph(enc, n=len(ids), num_shards=3)
+    a = g.pagerank(iterations=7)[0].to_pandas().sort_values("vid")
+    b = g.pagerank(iterations=7)[0].to_pandas().sort_values("vid")
+    np.testing.assert_array_equal(
+        a["rank"].to_numpy(), b["rank"].to_numpy()
+    )
+    # freeze mode too: second run must converge at the same count
+    i1 = g.pagerank(freeze_delta=1e-16)[1]
+    i2 = g.pagerank(freeze_delta=1e-16)[1]
+    assert i1 == i2 and i1 > 2
+    g.shutdown()
+
+
+def test_bsp_bfs_rejects_bad_source_and_lpa_requires_symmetry():
+    from engine import graph as G
+    from engine.bsp import BSPGraph
+
+    edges = read_snap(FIXTURES["small"])
+    ids = G.vertex_ids(edges)
+    enc = G.encode_edges(edges, ids)
+    g = BSPGraph(enc, n=len(ids), num_shards=2, symmetric_copy=True)
+    with pytest.raises(ValueError, match="out of range"):
+        g.bfs(source_vid=-1)
+    with pytest.raises(ValueError, match="out of range"):
+        g.bfs(source_vid=len(ids))
+    g.shutdown()
+    # directed build: undirected algorithms must refuse
+    gd = BSPGraph(enc, n=len(ids), num_shards=2)
+    with pytest.raises(ValueError, match="undirected"):
+        gd.label_propagation(iterations=1)
+    gd.shutdown()
+
+
+def test_bsp_cc_dataset_empty_input():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from engine.bsp import bsp_connected_components_dataset
+
+    empty = rd.from_arrow(
+        pa.table(
+            {"src": pa.array([], type=pa.int64()),
+             "dst": pa.array([], type=pa.int64())}
+        )
+    )
+    ds, rounds = bsp_connected_components_dataset(empty, num_shards=2)
+    assert ds.count() == 0
