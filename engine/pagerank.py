@@ -65,7 +65,13 @@ def _attach_inv_and_sort(enc, inv_ref, global_sort: bool):
     ds = enc.map_batches(attach_inv, batch_format="pyarrow")
     if global_sort:
         return ds.sort("dst")
-    return ds.map_batches(_sort_block_by_dst, batch_format="pyarrow")
+    # batch_size=None: sort WHOLE blocks — the default 1024-row batches
+    # would leave each output block a concatenation of independently
+    # sorted runs, breaking the combiner's one-partial-per-dst-per-block
+    # bound (correct either way, but the combine stops combining)
+    return ds.map_batches(
+        _sort_block_by_dst, batch_format="pyarrow", batch_size=None
+    )
 
 
 @dataclass
@@ -112,6 +118,9 @@ class _PreparedGraph:
         dictionary: str = "auto",
     ):
         if dictionary == "auto":
+            # count() executes the (lazy) input; materialize first so the
+            # threshold probe + vertex/encode passes share one execution
+            edges = edges.materialize()
             if edges.count() >= G.join_dict_edge_threshold():
                 # the hash-sharded service routes by numeric-id hash; string
                 # ids must fall back to the pure-Dataset hash join
@@ -120,6 +129,8 @@ class _PreparedGraph:
                 dictionary = "broadcast"
         if dictionary in ("join", "service"):
             verts, _n = G.vertices_dataset(edges)
+            if _n == 0:
+                raise ValueError("pagerank: empty edge input (0 vertices)")
             encode = (
                 G.encode_edges_join
                 if dictionary == "join"
@@ -133,9 +144,14 @@ class _PreparedGraph:
         else:
             self.ids = G.vertex_ids(edges)
             self.n = len(self.ids)
+            if self.n == 0:
+                raise ValueError("pagerank: empty edge input (0 vertices)")
             enc = G.encode_edges(edges, self.ids)
         if num_blocks:
             enc = enc.repartition(num_blocks)
+        # materialize: dense_out_degrees AND the adjacency build both
+        # consume enc — lazy, the whole encode would execute twice
+        enc = enc.materialize()
         self.outdeg = G.dense_out_degrees(enc, self.n)
         self.sinks = G.sink_vids(self.outdeg)
         inv = np.zeros(self.n)
@@ -218,7 +234,13 @@ def _apply_segments(
     ``Dataset.to_arrow_refs``), identical to the former driver-side
     ``iter_batches`` merge — results are bit-identical."""
     sink_sum = coef / n
-    new = np.full(n, sink_sum) if teleport is None else coef * teleport
+    base = np.full(n, sink_sum) if teleport is None else coef * teleport
+    # accumulate RAW segment mass, then apply damping ONCE on the in-link
+    # total (new = base + d*acc) — per-segment d*seg would give a vertex
+    # straddling a block boundary d*a + d*b instead of d*(a+b), the exact
+    # ulp class the repo's 'multiply damping once' rule (and the SQL
+    # oracle's operation order) forbids
+    acc = np.zeros(n)
     for b in ray.get(list(seg_refs)):
         if b.num_rows == 0 or "lo" not in b.schema.names:
             continue  # the global sort emits empty (schemaless) blocks
@@ -231,7 +253,8 @@ def _apply_segments(
         for i in range(len(lo_arr)):
             s, e = offs[i], offs[i + 1]
             lo = lo_arr[i]
-            new[lo : lo + (e - s)] += d * flat[s:e]
+            acc[lo : lo + (e - s)] += flat[s:e]
+    new = base + d * acc
     if freeze_delta is None:
         l1 = float(np.abs(new - old_rank).sum())
         rank, new_frozen, n_active = new, None, n
@@ -351,19 +374,32 @@ def pagerank(
 
     heavy_ref = None
     if salted:
-        indeg = np.zeros(n, dtype=np.int64)
-        for b in g.adj.select_columns(["dst"]).iter_batches(
-            batch_format="pyarrow", batch_size=1 << 20
-        ):
-            np.add.at(indeg, b.column("dst").to_numpy(zero_copy_only=False).astype(np.int64), 1)
-        heavy = np.flatnonzero(indeg >= heavy_indeg_threshold).astype(np.uint64)
-        heavy_ref = ray.put(heavy)
+        # pure function of the materialized adjacency — cache on the
+        # prepared graph so repeated salted runs don't re-pull every dst
+        cached = getattr(g, "_heavy_cache", None)
+        if cached is not None and cached[0] == heavy_indeg_threshold:
+            heavy_ref = cached[1]
+        else:
+            indeg = np.zeros(n, dtype=np.int64)
+            for b in g.adj.select_columns(["dst"]).iter_batches(
+                batch_format="pyarrow", batch_size=1 << 20
+            ):
+                np.add.at(indeg, b.column("dst").to_numpy(zero_copy_only=False).astype(np.int64), 1)
+            heavy = np.flatnonzero(indeg >= heavy_indeg_threshold).astype(np.uint64)
+            heavy_ref = ray.put(heavy)
+            g._heavy_cache = (heavy_indeg_threshold, heavy_ref)
 
     start_iter = 0
     if checkpoint_dir:
         resumed = ckpt.load_latest(checkpoint_dir)
         if resumed is not None:
             start_iter, saved = resumed
+            if len(saved["rank"]) != n:
+                raise ValueError(
+                    f"checkpoint at {checkpoint_dir} holds "
+                    f"{len(saved['rank'])} vertices, graph has {n} — "
+                    "refusing to resume across different graphs"
+                )
             rank[saved["vid"]] = saved["rank"]
 
     metrics: list[dict] = []
@@ -440,7 +476,10 @@ def pagerank(
             coef = (1.0 - d) + d * rank[g.sinks].sum()
             sink_sum = coef / n
             rank_ref = ray.put(rank)
-            new = np.full(n, sink_sum) if teleport is None else coef * teleport
+            base = np.full(n, sink_sum) if teleport is None else coef * teleport
+            # raw in-link mass accumulated here; damping applied ONCE on
+            # the total below (repo rule / SQL-oracle operation order)
+            acc = np.zeros(n)
             contrib = _make_contrib_fn(rank_ref, heavy_ref)
             partials = g.adj.map_batches(
                 contrib, batch_format="pyarrow", batch_size=None
@@ -473,12 +512,13 @@ def pagerank(
                 # back to the exact scatter-add
                 diffs = np.diff(dv.astype(np.int64))
                 if np.all(diffs > 0):
-                    new[dv] += d * mv
+                    acc[dv] += mv
                 elif np.all(diffs >= 0):
                     starts = np.concatenate(([0], np.flatnonzero(diffs) + 1))
-                    new[dv[starts]] += d * np.add.reduceat(mv, starts)
+                    acc[dv[starts]] += np.add.reduceat(mv, starts)
                 else:
-                    np.add.at(new, dv, d * mv)
+                    np.add.at(acc, dv, mv)
+            new = base + d * acc
             if frozen is None:
                 l1 = float(np.abs(new - rank).sum())
                 rank = new
