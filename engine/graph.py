@@ -26,12 +26,18 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray
 import ray.data
-from ray.data.aggregate import Sum
 
 
 def _batch_unique_ids(batch: pa.Table) -> pa.Table:
     """Per-batch combiner: unique ids over src ∪ dst (shrinks the shuffle)."""
-    both = pa.chunked_array([batch.column("src"), batch.column("dst")])
+    s, d = batch.column("src"), batch.column("dst")
+    if s.type != d.type:
+        # a reader can infer different integer widths for the two columns;
+        # chunked_array refuses mixed types — promote both to int64
+        if not (pa.types.is_integer(s.type) and pa.types.is_integer(d.type)):
+            raise TypeError(f"src/dst type mismatch: {s.type} vs {d.type}")
+        s, d = pc.cast(s, pa.int64()), pc.cast(d, pa.int64())
+    both = pa.chunked_array([s, d])
     return pa.table({"id": pc.unique(both.combine_chunks())})
 
 
@@ -66,8 +72,26 @@ def encode_edges(
 
     def enc(batch: pa.Table) -> pa.Table:
         d = ray.get(ids_ref)
-        src = np.searchsorted(d, batch.column("src").to_numpy(zero_copy_only=False))
-        dst = np.searchsorted(d, batch.column("dst").to_numpy(zero_copy_only=False))
+
+        def look(col: str) -> np.ndarray:
+            v = batch.column(col).to_numpy(zero_copy_only=False)
+            if len(d) == 0:
+                raise KeyError(f"empty dictionary; cannot encode {col}")
+            pos = np.searchsorted(d, v)
+            # a partial/stale dictionary must fail loudly instead of
+            # silently encoding a clamped (wrong) vid — same contract as
+            # _DictShard.lookup
+            clipped = np.minimum(pos, len(d) - 1)
+            ok = d[clipped] == v
+            if not np.all(ok):
+                missing = np.asarray(v)[~np.asarray(ok, dtype=bool)][:5]
+                raise KeyError(
+                    f"{col} ids missing from the dictionary: {missing!r}"
+                )
+            return pos
+
+        src = look("src")
+        dst = look("dst")
         return pa.table(
             {
                 "src": pa.array(src.astype(np.uint64), type=pa.uint64()),
@@ -126,7 +150,10 @@ def _sorted_distinct_refs(
             t2, c2 = drop_leading.remote(tref, metas[i - 1][1])
             final_refs.append(t2)
             counts.append(c2)
-    counts = [c if isinstance(c, int) else ray.get(c) for c in counts]
+    pending = [(i, c) for i, c in enumerate(counts) if not isinstance(c, int)]
+    if pending:  # one batched get, not one driver round-trip per block
+        for (i, _), v in zip(pending, ray.get([c for _, c in pending])):
+            counts[i] = v
     return final_refs, counts
 
 
@@ -216,12 +243,13 @@ def join_partitions_for(edges: ray.data.Dataset) -> int:
     data spread can fill — Ray 2.49's hash join crashes on a partition
     that received no rows (schemaless empty table), so tiny inputs must
     stay at few partitions."""
-    try:
-        cpus = int(ray.cluster_resources().get("CPU", 4))
-    except Exception:
-        cpus = 4
+    from .util import default_concurrency
+
+    cap = default_concurrency(reserve=2, cap=1 << 20)
     rows = edges.count()
-    return max(2, min(max(2, cpus - 2), rows // 10_000 + 2))
+    # floor of 2: Ray's hash join needs >1 partition; hosts with < 4
+    # CPUs should prefer the broadcast/service encode paths
+    return max(2, min(cap, rows // 10_000 + 2))
 
 
 def encode_edges_join(
@@ -240,10 +268,16 @@ def encode_edges_join(
     """
     if vertices is None:
         vertices, n = vertices_dataset(edges)
+        vmat = vertices.materialize()
     else:
-        n = vertices.count()
+        # materialize BEFORE count: a lazy caller-supplied dictionary
+        # plan would otherwise execute twice (count, then the joins)
+        vmat = vertices.materialize()
+        n = vmat.count()
+    # materialize edges too: join_partitions_for counts them and both
+    # joins then read them — one execution instead of two
+    edges = edges.materialize()
     P = num_partitions or join_partitions_for(edges)
-    vmat = vertices.materialize()
 
     e1 = edges.join(
         vmat, join_type="inner", num_partitions=P, on=("src",), right_on=("id",)
@@ -336,13 +370,15 @@ def encode_edges_service(
     if vertices is None:
         vertices, n = vertices_dataset(edges)
     else:
+        vertices = vertices.materialize()
         n = vertices.count()
     if num_shards is None:
-        try:
-            cpus = int(ray.cluster_resources().get("CPU", 4))
-        except Exception:
-            cpus = 4
-        num_shards = max(2, cpus - 2)
+        from .util import default_concurrency
+
+        # reserve 2 CPUs for the routing/encode map_batches stages
+        # (CLAUDE.md deadlock rule — a pool holding every CPU starves
+        # them); uncapped above that so shards scale with host size
+        num_shards = default_concurrency(reserve=2, cap=1 << 20)
     P = num_shards
     actors = [_DictShard.remote() for _ in range(P)]
 
@@ -413,16 +449,6 @@ def decode_vids(
     return out
 
 
-def vertices_table(ids: np.ndarray) -> pa.Table:
-    """The vertex dictionary as a table (vid: uint64, id)."""
-    return pa.table(
-        {
-            "vid": pa.array(np.arange(len(ids), dtype=np.uint64), type=pa.uint64()),
-            "id": pa.array(ids),
-        }
-    )
-
-
 def _batch_outdeg_partial(batch: pa.Table) -> pa.Table:
     """Per-batch partial out-degree counts (combiner before the groupby)."""
     src = batch.column("src").to_numpy(zero_copy_only=False)
@@ -433,18 +459,6 @@ def _batch_outdeg_partial(batch: pa.Table) -> pa.Table:
             "cnt": pa.array(cnt.astype(np.int64)),
         }
     )
-
-
-def out_degree_ds(edges: ray.data.Dataset) -> ray.data.Dataset:
-    """Out-degree per source vertex as a Dataset (src, outdeg).
-
-    Pre-aggregated per batch (one row per distinct src per batch) so the
-    groupby shuffles partials, not edges. Vertices with no out-edges do not
-    appear (they are the sinks — see ``sink_mask``).
-    """
-    partial = edges.map_batches(_batch_outdeg_partial, batch_format="pyarrow")
-    agg = partial.groupby("src").aggregate(Sum("cnt", alias_name="outdeg"))
-    return agg
 
 
 def dense_out_degrees(edges_encoded: ray.data.Dataset, n: int) -> np.ndarray:
@@ -488,7 +502,14 @@ def undirected_edges(edges: ray.data.Dataset) -> ray.data.Dataset:
         s, d = s[keep], d[keep]
         a = np.minimum(s, d)
         b = np.maximum(s, d)
-        # per-batch dedup (combiner); packed key assumes dense vids < 2^32
+        # per-batch dedup (combiner); the packed key REQUIRES dense vids
+        # < 2^32 — beyond that a's low bits and b's high bits would
+        # collide and silently merge distinct edges
+        if len(b) and int(b.max()) >= 1 << 32:
+            raise ValueError(
+                "undirected_edges packed key supports vids < 2^32; "
+                "use a wider key for larger graphs"
+            )
         key = (a.astype(np.uint64) << np.uint64(32)) | b.astype(np.uint64)
         return pa.table({"k": pa.array(np.unique(key), type=pa.uint64())})
 

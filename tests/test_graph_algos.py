@@ -646,3 +646,40 @@ def test_tree_merge_apply_matches_single_merge(monkeypatch):
     np.testing.assert_array_equal(hub0, hub1)
     np.testing.assert_array_equal(w0, w1)  # raw sums, same add order
     np.testing.assert_allclose(pr0.ranks, pr1.ranks, rtol=0, atol=1e-15)
+
+
+def test_encode_edges_rejects_missing_ids():
+    """A partial dictionary must fail loudly, not encode clamped vids."""
+    import numpy as np
+    import pyarrow as pa
+    import pytest
+    import ray.data as rd
+
+    from engine import graph as G
+
+    edges = rd.from_arrow(
+        pa.table(
+            {"src": pa.array([10, 25], type=pa.int64()),
+             "dst": pa.array([20, 30], type=pa.int64())}
+        )
+    )
+    with pytest.raises(Exception, match="missing from the dictionary"):
+        G.encode_edges(edges, np.array([10, 20, 30])).materialize()
+    with pytest.raises(Exception, match="missing from the dictionary"):
+        # id beyond the last dictionary entry (searchsorted returns n)
+        G.encode_edges(edges, np.array([10, 20, 25])).materialize()
+
+
+def test_vertex_ids_mixed_integer_widths():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from engine import graph as G
+
+    edges = rd.from_arrow(
+        pa.table(
+            {"src": pa.array([3, 1], type=pa.int32()),
+             "dst": pa.array([2, 3], type=pa.int64())}
+        )
+    )
+    assert G.vertex_ids(edges).tolist() == [1, 2, 3]
