@@ -29,6 +29,8 @@ import ray
 import ray.data
 from ray.data.aggregate import Count
 
+from .util import nonempty_block_refs
+
 _MERSENNE = (1 << 61) - 1
 _M61 = np.uint64(_MERSENNE)
 
@@ -154,11 +156,7 @@ def distinct_pairs(
     slower than its sort at size)."""
     arrow = pair_rows.map_batches(lambda t: t, batch_format="pyarrow")
     s = arrow.sort(["a", "b"]).materialize()
-    refs = []
-    for rb in s.iter_internal_ref_bundles():
-        for blk, meta in rb.blocks:
-            if meta.num_rows:
-                refs.append(blk)
+    refs = nonempty_block_refs(s)
     if not refs:
         return _empty_pairs(value_col, value_type)
 

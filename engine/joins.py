@@ -43,6 +43,8 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
+from .util import nonempty_block_refs
+
 _SIDE = "__side"
 _TIE = "__tie"
 _BUCKET = "__bucket"
@@ -75,9 +77,21 @@ def _unify(
         raise ValueError(
             f"suffixed right columns collide with left columns: {clash}"
         )
+    dunder = [c for c in lpay + rpay + [key_col, on_col] if c.startswith("__")]
+    if dunder:
+        raise ValueError(
+            f"column names starting with '__' are reserved internals: {dunder}"
+        )
+    for c in (key_col, on_col):
+        if ltypes[c] != rtypes[c]:
+            raise ValueError(
+                f"{c!r} dtype differs between sides: {ltypes[c]} vs {rtypes[c]}"
+            )
 
     def tag_left(t: pa.Table) -> pa.Table:
         n = len(t)
+        if t.column(key_col).null_count or t.column(on_col).null_count:
+            raise ValueError("asof/range join: null key/on values")
         cols = {
             key_col: t.column(key_col),
             on_col: t.column(on_col),
@@ -92,6 +106,8 @@ def _unify(
 
     def tag_right(t: pa.Table) -> pa.Table:
         n = len(t)
+        if t.column(key_col).null_count or t.column(on_col).null_count:
+            raise ValueError("asof/range join: null key/on values")
         if tie_col is not None:
             tie = pc.cast(t.column(tie_col), pa.int64())
         else:
@@ -162,11 +178,7 @@ def asof_join(
     )
     s = uni.sort([key_col, on_col, _SIDE, _TIE]).materialize()
 
-    refs = []
-    for rb in s.iter_internal_ref_bundles():
-        for blk, meta in rb.blocks:
-            if meta.num_rows:
-                refs.append(blk)
+    refs = nonempty_block_refs(s)
     if not refs:
         return ray.data.from_arrow(out_schema.empty_table())
 
@@ -265,14 +277,26 @@ def range_join(
         raise ValueError(
             f"suffixed right columns collide with left columns: {clash}"
         )
+    dunder = [c for c in lpay + rpay + [key_col, on_col] if c.startswith("__")]
+    if dunder:
+        raise ValueError(
+            f"column names starting with '__' are reserved internals: {dunder}"
+        )
     w = np.int64(window)
 
     rschema = right.schema()
     rtypes = {n: t for n, t in zip(rschema.names, rschema.types)}
     lschema = left.schema()
     ltypes = {n: t for n, t in zip(lschema.names, lschema.types)}
+    for c in (key_col, on_col):
+        if ltypes[c] != rtypes[c]:
+            raise ValueError(
+                f"{c!r} dtype differs between sides: {ltypes[c]} vs {rtypes[c]}"
+            )
 
     def tag_left(t: pa.Table) -> pa.Table:
+        if t.column(key_col).null_count or t.column(on_col).null_count:
+            raise ValueError("asof/range join: null key/on values")
         on = t.column(on_col).to_numpy(zero_copy_only=False).astype(np.int64)
         cols = {
             key_col: t.column(key_col),
@@ -288,6 +312,8 @@ def range_join(
 
     def tag_right(t: pa.Table) -> pa.Table:
         n = len(t)
+        if t.column(key_col).null_count or t.column(on_col).null_count:
+            raise ValueError("asof/range join: null key/on values")
         on = t.column(on_col).to_numpy(zero_copy_only=False).astype(np.int64)
         b = np.floor_divide(on, w)
         rep = np.repeat(np.arange(n), 3)
@@ -378,8 +404,6 @@ def broadcast_join(
     ``join_type`` is restricted to the batch-local-correct set: the join
     runs once per LEFT batch, so right-outer/full-outer would emit each
     unmatched right row once per batch instead of once overall."""
-    import pyarrow as _pa
-
     batch_local_safe = {"inner", "left outer", "left semi", "left anti"}
     if join_type not in batch_local_safe:
         raise ValueError(
@@ -387,15 +411,19 @@ def broadcast_join(
             f"broadcast join (allowed: {sorted(batch_local_safe)})"
         )
     cols = [on] + [c for c in right_cols if c != on]
-    rt = _pa.concat_tables(
-        right_small.select_columns(cols).iter_batches(
-            batch_format="pyarrow", batch_size=1 << 20
-        )
-    )
-    if rt.num_rows > 50_000_000:
-        raise ValueError(
-            f"broadcast side has {rt.num_rows} rows — use a shuffle join"
-        )
+    batches, total = [], 0
+    for b in right_small.select_columns(cols).iter_batches(
+        batch_format="pyarrow", batch_size=1 << 20
+    ):
+        total += b.num_rows
+        if total > 50_000_000:
+            # bail BEFORE concatenating the rest into driver heap — the
+            # guard must fire before the OOM it exists to prevent
+            raise ValueError(
+                f"broadcast side exceeds 50M rows — use a shuffle join"
+            )
+        batches.append(b)
+    rt = pa.concat_tables(batches)
     ref = ray.put(rt.combine_chunks())
 
     def f(batch: pa.Table) -> pa.Table:
@@ -422,15 +450,15 @@ def lag_per_key(
     tuple via the driver (no accumulation chain needed — the predecessor
     of a block head is always the previous block's tail)."""
     sort_cols = [key_col, order_col] + ([tie_col] if tie_col else [])
+    if out_col in ds.schema().names:
+        raise ValueError(
+            f"out_col {out_col!r} already exists in the input schema"
+        )
     # normalize block format: a pandas-blocked input (e.g. from_pandas)
     # would otherwise surface pandas blocks from the sort
     arrow = ds.map_batches(lambda t: t, batch_format="pyarrow")
     s = arrow.sort(sort_cols).materialize()
-    refs = []
-    for rb in s.iter_internal_ref_bundles():
-        for blk, meta in rb.blocks:
-            if meta.num_rows:
-                refs.append(blk)
+    refs = nonempty_block_refs(s)
     sch = ds.schema()
     vtype = dict(zip(sch.names, sch.types))[value_col]
     out_fields = [(n, t) for n, t in zip(sch.names, sch.types)] + [
@@ -453,6 +481,10 @@ def lag_per_key(
 
     @ray.remote
     def emit(tbl: pa.Table, carry) -> pa.Table:
+        if tbl.column(key_col).null_count:
+            # nulls coerce the int64 key array to float64, where distinct
+            # keys > 2^53 compare equal — refuse instead
+            raise ValueError("lag_per_key: null partition keys")
         key = tbl.column(key_col).to_numpy(zero_copy_only=False)
         n = len(key)
         same = np.concatenate(([False], key[1:] == key[:-1]))
@@ -520,13 +552,7 @@ def lookup_join_sorted(
 
     def _blocks(ds, key):
         arrow = ds.map_batches(lambda t: t, batch_format="pyarrow")
-        s = arrow.sort(key).materialize()
-        refs = []
-        for rb in s.iter_internal_ref_bundles():
-            for blk, meta in rb.blocks:
-                if meta.num_rows:
-                    refs.append(blk)
-        return refs
+        return nonempty_block_refs(arrow.sort(key).materialize())
 
     def _as_table(blk) -> pa.Table:
         if isinstance(blk, pa.Table):
@@ -541,6 +567,8 @@ def lookup_join_sorted(
     @ray.remote
     def key_range(blk, col: str, check_unique: bool):
         tbl = _as_table(blk)
+        if tbl.column(col).null_count:
+            raise ValueError(f"lookup_join_sorted: null keys in {col!r}")
         k = tbl.column(col).to_numpy(zero_copy_only=False)
         if check_unique and len(np.unique(k)) != len(k):
             raise ValueError(f"duplicate dim keys inside a block ({col})")

@@ -25,6 +25,8 @@ import pyarrow as pa
 import ray
 import ray.data
 
+from .util import nonempty_block_refs
+
 _SIDE = "__side"
 
 
@@ -62,11 +64,7 @@ def set_op_keys(
     uni = _tag(a, col, 0).union(_tag(b, col, 1))
     s = uni.sort([col, _SIDE]).materialize()
 
-    refs = []
-    for rb in s.iter_internal_ref_bundles():
-        for blk, meta in rb.blocks:
-            if meta.num_rows:
-                refs.append(blk)
+    refs = nonempty_block_refs(s)
     sch = a.schema()
     key_type = dict(zip(sch.names, sch.types))[col]
     out_schema = pa.schema([(col, key_type)])

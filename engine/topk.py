@@ -24,6 +24,8 @@ import pyarrow as pa
 import ray
 import ray.data
 
+from .util import nonempty_block_refs
+
 
 def _run_ranks(keys: np.ndarray) -> np.ndarray:
     """Position of each row within its contiguous same-key run."""
@@ -83,11 +85,7 @@ def topk_per_group(
     pruned = ds.map_batches(partial, batch_format="pyarrow")
     s = pruned.sort(sort_cols, descending=sort_desc).materialize()
 
-    refs = []
-    for rb in s.iter_internal_ref_bundles():
-        for blk, meta in rb.blocks:
-            if meta.num_rows:
-                refs.append(blk)
+    refs = nonempty_block_refs(s)
     if not refs:
         return s
 

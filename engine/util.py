@@ -18,3 +18,15 @@ def default_concurrency(reserve: int = 2, cap: int = 16) -> int:
     except Exception:
         total = 4
     return max(1, min(cap, total - reserve))
+
+
+def nonempty_block_refs(ds) -> list:
+    """Object refs of a materialized Dataset's non-empty blocks — the
+    house idiom for block-parallel operators (empty blocks from a global
+    sort are schemaless in Ray 2.49 and must be skipped)."""
+    refs = []
+    for rb in ds.iter_internal_ref_bundles():
+        for blk, meta in rb.blocks:
+            if meta.num_rows:
+                refs.append(blk)
+    return refs

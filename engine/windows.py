@@ -15,6 +15,8 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
+
+from .util import nonempty_block_refs
 from ray.data.aggregate import Count, Sum
 
 
@@ -229,11 +231,7 @@ def running_total(
     integer-exact under any block split for int inputs)."""
     arrow = ds.map_batches(lambda t: t, batch_format="pyarrow")
     s = arrow.sort(order_col).materialize()
-    refs = []
-    for rb in s.iter_internal_ref_bundles():
-        for blk, meta in rb.blocks:
-            if meta.num_rows:
-                refs.append(blk)
+    refs = nonempty_block_refs(s)
     sch = ds.schema()
     out_fields = list(zip(sch.names, sch.types)) + [(out_col, pa.int64())]
     out_schema = pa.schema(out_fields)
