@@ -89,7 +89,14 @@ class TextAnalyzer:
         safe_counts = np.maximum(counts, 1).astype(np.float64)
 
         if flat_list:
-            flat = np.array(flat_list)
+            # fixed-width unicode is fastest, but its per-element width is
+            # the LONGEST token in the batch — one adversarial 100k-char
+            # letter run would inflate every slot (tokens x maxlen x 4 B);
+            # fall back to object dtype past a sane width
+            if max(map(len, flat_list)) > 64:
+                flat = np.array(flat_list, dtype=object)
+            else:
+                flat = np.array(flat_list)
             uw, inv = np.unique(flat, return_inverse=True)
             # per-language stopword score: membership on unique words only
             scores = np.empty((n, len(self.langs)))
@@ -98,7 +105,11 @@ class TextAnalyzer:
                 scores[:, j] = (
                     np.bincount(tok_doc, weights=member, minlength=n) / safe_counts
                 )
-            wlen = np.char.str_len(uw)[inv].astype(np.float64)
+            if uw.dtype == object:  # np.char.str_len rejects object arrays
+                ulen = np.fromiter(map(len, uw), dtype=np.int64, count=len(uw))
+            else:
+                ulen = np.char.str_len(uw)
+            wlen = ulen[inv].astype(np.float64)
             mean_wlen = np.bincount(tok_doc, weights=wlen, minlength=n) / safe_counts
             mean_wlen[counts == 0] = 0.0
         else:
@@ -322,6 +333,9 @@ def tfidf_scores(
 
     from ray.data.aggregate import Sum
 
+    # materialize before count: a lazy input would otherwise execute its
+    # full upstream plan twice (once for count, once for postings)
+    docs = docs.materialize()
     n_docs = docs.count()
     tf = docs.map_batches(postings, batch_format="pyarrow").materialize()
     df = (
@@ -337,18 +351,22 @@ def tfidf_scores(
         .groupby("token")
         .aggregate(Sum("one", alias_name="df"))
     )
-    # collect the aggregated vocabulary (small side) and broadcast once
-    vocab_parts = []
+    # collect the aggregated vocabulary (small side) and broadcast once;
+    # the guard fires DURING collection — checking after concat would let
+    # an oversized vocabulary OOM the driver before the ValueError
+    vocab_parts, vocab_rows = [], 0
     for b in df.iter_batches(batch_format="pyarrow"):
+        vocab_rows += b.num_rows
+        if vocab_rows > max_broadcast_vocab:
+            raise ValueError(
+                f"vocabulary exceeds the {max_broadcast_vocab}-token "
+                "broadcast guard — hash-bucket postings and df by token "
+                "instead"
+            )
         vocab_parts.append(b)
     vocab = pa.concat_tables(vocab_parts) if vocab_parts else pa.table(
         {"token": pa.array([], type=pa.string()), "df": pa.array([], type=pa.int64())}
     )
-    if vocab.num_rows > max_broadcast_vocab:
-        raise ValueError(
-            f"vocabulary ({vocab.num_rows} tokens) exceeds the broadcast "
-            "guard — hash-bucket postings and df by token instead"
-        )
     vtok = np.asarray(vocab.column("token").to_pylist(), dtype=object)
     vdf = vocab.column("df").to_numpy(zero_copy_only=False).astype(np.int64)
     order = np.argsort(vtok, kind="stable")
@@ -562,9 +580,11 @@ def token_count_percentiles(
 
     def nt(t: pa.Table) -> pa.Table:
         texts = t.column(text_col).to_pylist()
+        # null texts are EXCLUDED from the population — SQL's
+        # percentile_disc ignores NULL rows, and counting them as 0
+        # would shift every reported percentile vs the oracle
         n = [
-            len(re.split(r"\s+", x.strip())) if x is not None else 0
-            for x in texts
+            len(re.split(r"\s+", x.strip())) for x in texts if x is not None
         ]
         return pa.table({"n": pa.array(n, type=pa.int64())})
 
@@ -576,6 +596,10 @@ def token_count_percentiles(
                 refs.append(blk)
                 counts.append(int(meta.num_rows))
     total = int(sum(counts))
+    if total == 0:
+        raise ValueError(
+            "token_count_percentiles: empty population (no non-null text)"
+        )
     bounds = np.cumsum([0] + counts)
 
     @ray.remote

@@ -709,3 +709,59 @@ def test_pii_matches_re_bruteforce_property():
         assert out.loc[i, "redacted"] == ph.sub(
             "[PHONE]", em.sub("[EMAIL]", t)
         ), t
+
+
+def test_analyze_adversarial_long_token():
+    """A single huge token must not blow up the fixed-width numpy path
+    (object-dtype fallback) and statistics stay exact."""
+    import ray.data as rd
+
+    from engine.textstats import analyze
+
+    long_tok = "x" * 100_000
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([0, 1], type=pa.int64()),
+            "text": pa.array([f"the {long_tok} end", "the and of to that"]),
+        }
+    )
+    out = (
+        analyze(rd.from_arrow(tbl), concurrency=1)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out.loc[0, "n_words"] == 3
+    assert out.loc[0, "mean_word_len"] == (3 + 100_000 + 3) / 3
+    assert out.loc[1, "lang_id"] == "en"
+
+
+def test_token_percentiles_null_text_skipped():
+    """Nulls are excluded from the percentile population (SQL
+    percentile_disc semantics), not counted as 0."""
+    import duckdb
+    import ray.data as rd
+
+    from engine.textstats import token_count_percentiles
+
+    texts = ["a b c", None, "a b c d e", "a", None, "a b"]
+    tbl = pa.table(
+        {"doc_id": pa.array(range(len(texts)), type=pa.int64()),
+         "text": pa.array(texts, type=pa.string())}
+    )
+    got = token_count_percentiles(rd.from_arrow(tbl)).to_pandas().iloc[0]
+    want = duckdb.sql(
+        r"""WITH n AS (SELECT len(regexp_split_to_array(trim(text), '\s+')) AS n
+             FROM (SELECT unnest(['a b c', NULL, 'a b c d e', 'a', NULL, 'a b']) AS text))
+            SELECT percentile_disc(0.5) WITHIN GROUP (ORDER BY n),
+                   percentile_disc(0.9) WITHIN GROUP (ORDER BY n),
+                   percentile_disc(0.99) WITHIN GROUP (ORDER BY n) FROM n"""
+    ).fetchone()
+    assert (got["p50"], got["p90"], got["p99"]) == want
+
+    empty = pa.table(
+        {"doc_id": pa.array([0], type=pa.int64()),
+         "text": pa.array([None], type=pa.string())}
+    )
+    with pytest.raises(Exception, match="empty population"):
+        token_count_percentiles(rd.from_arrow(empty)).to_pandas()
