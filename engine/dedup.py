@@ -310,7 +310,9 @@ def minhash_lsh_dedup(
         batch_format="pyarrow",
         concurrency=concurrency,
     ).materialize()  # consumed twice below — never recompute the actor stage
-    buckets = sig.groupby(["band", "band_hash"]).aggregate(Count(alias_name="sz"))
+    buckets = sig.groupby(["band", "band_hash"]).aggregate(
+        Count(alias_name="sz")
+    ).materialize()
     cand = buckets.map_batches(
         lambda t: t.filter(
             pa.compute.and_(
@@ -320,9 +322,24 @@ def minhash_lsh_dedup(
         ),
         batch_format="pyarrow",
     ).materialize()
+    # NO SILENT CAPS (same contract as simhash_near_dups): buckets past
+    # max_bucket lose recall for their members, so the drop is COUNTED
+    # and returned for the caller to alert on
+    dropped_buckets = 0
+    dropped_doc_slots = 0
+    for t in buckets.map_batches(
+        lambda t: t.filter(pa.compute.greater(t.column("sz"), max_bucket)),
+        batch_format="pyarrow",
+    ).iter_batches(batch_format="pyarrow"):
+        dropped_buckets += t.num_rows
+        dropped_doc_slots += int(
+            pa.compute.sum(t.column("sz")).as_py() or 0
+        )
 
     def _empty_result() -> dict:
         return {
+            "dropped_buckets": dropped_buckets,
+            "dropped_doc_slots": dropped_doc_slots,
             "pairs": _empty_pairs("j", pa.float64()),
             "clusters": ray.data.from_arrow(
                 pa.schema(
@@ -448,7 +465,12 @@ def minhash_lsh_dedup(
     # distributed finish: distinct pairs (same pair verified in several
     # bands), then clusters as a min-label CC pass — no driver pair loop
     pairs = distinct_pairs(pair_rows, "j", pa.float64()).materialize()
-    return {"pairs": pairs, "clusters": cluster_pairs(pairs)}
+    return {
+        "pairs": pairs,
+        "clusters": cluster_pairs(pairs),
+        "dropped_buckets": dropped_buckets,
+        "dropped_doc_slots": dropped_doc_slots,
+    }
 
 
 class SimHasher:
@@ -457,12 +479,14 @@ class SimHasher:
     64-bit SimHash over word unigrams (md5-stable token hashes). LSH keys
     are 2-of-6 CHUNK PAIRS: the fingerprint splits into 6 chunks
     (11+11+11+11+10+10 bits) and each of the C(6,2)=15 pairs emits a
-    combined ≤22-bit key. Two docs within Hamming distance h differ in at
-    most h chunks, so for h ≤ 4 at least two chunks are untouched and the
-    docs share ≥1 pair key (pigeonhole) — guaranteed recall at h ≤ 4.
-    Versus single 16-bit chunks this widens the key space from 4·2^16 to
-    15·2^22 buckets, which keeps bucket sizes sub-``max_bucket`` at corpus
-    scale instead of silently saturating."""
+    combined key (chunk_i shifted left 22 | chunk_j — injective; the
+    populated key space per pair is 2^(w_i + w_j) ≤ 2^22 combinations).
+    Two docs within Hamming distance h differ in at most h chunks, so for
+    h ≤ 4 at least two chunks are untouched and the docs share ≥1 pair
+    key (pigeonhole) — guaranteed recall at h ≤ 4. Versus single 16-bit
+    chunks this widens the populated key space from 4·2^16 to ~15·2^22
+    buckets, which keeps bucket sizes sub-``max_bucket`` at corpus scale
+    instead of silently saturating."""
 
     CHUNK_OFFSETS = np.array([0, 11, 22, 33, 44, 54], dtype=np.uint64)
     CHUNK_WIDTHS = np.array([11, 11, 11, 11, 10, 10], dtype=np.uint64)
@@ -662,11 +686,16 @@ def embedding_near_dups(
     (bucketed, no full broadcast)."""
     from .annsearch import _batch_matrix
 
+    # materialize: the broadcast-matrix pass and the pairs pass both
+    # consume ds — lazy, the upstream plan would execute twice
+    ds = ds.materialize()
     rows = []
     ids = []
     for b in ds.iter_batches(batch_format="pyarrow", batch_size=1 << 16):
         rows.append(_batch_matrix(b, col))
         ids.append(b.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64))
+    if not rows:
+        return _empty_pairs("cos_sim", pa.float64())
     m = np.concatenate(rows)
     all_ids = np.concatenate(ids)
     m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
@@ -689,7 +718,10 @@ def embedding_near_dups(
             }
         )
 
-    return ds.map_batches(pairs_batch, batch_format="pyarrow")
+    # bound the per-task sims buffer (batch x n float64): at n = 1e7 an
+    # unbounded batch would allocate tens of GB in one matmul
+    bs = int(max(64, min(1 << 16, (2 * 10**8) // max(len(all_ids), 1))))
+    return ds.map_batches(pairs_batch, batch_format="pyarrow", batch_size=bs)
 
 
 def embedding_near_dups_ivf(
@@ -748,14 +780,31 @@ def embedding_near_dups_ivf(
             return empty
         ids_ = g[id_col].to_numpy(dtype=np.int64)
         m = np.stack([np.asarray(v, dtype=np.float64) for v in g[col].tolist()])
-        sims = m @ m.T
-        ai, bj = np.nonzero(np.triu(sims >= thr, k=1))
-        if len(ai) == 0:
+        # blocked upper-triangle matmul: a dup-heavy corpus concentrates
+        # near-identical vectors into one centroid's bucket, and a k x k
+        # sims matrix in one shot is O(k^2) memory — block rows so the
+        # live buffer stays ~rows_per_block x k
+        k = len(ids_)
+        blk = int(max(64, min(k, (2 * 10**8) // max(k, 1))))
+        outs = []
+        for s in range(0, k, blk):
+            e = min(s + blk, k)
+            sims = m[s:e] @ m.T
+            ai, bj = np.nonzero(sims >= thr)
+            keep = (ai + s) < bj  # upper triangle only, no self-pairs
+            if keep.any():
+                a_ids, b_ids = ids_[ai[keep] + s], ids_[bj[keep]]
+                swap = a_ids > b_ids  # group order != id order
+                a_ids[swap], b_ids[swap] = b_ids[swap], a_ids[swap]
+                outs.append(
+                    pd.DataFrame(
+                        {"a": a_ids, "b": b_ids,
+                         "cos_sim": sims[ai[keep], bj[keep]]}
+                    )
+                )
+        if not outs:
             return empty
-        a_ids, b_ids = ids_[ai], ids_[bj]
-        swap = a_ids > b_ids
-        a_ids[swap], b_ids[swap] = b_ids[swap], a_ids[swap]
-        return pd.DataFrame({"a": a_ids, "b": b_ids, "cos_sim": sims[ai, bj]})
+        return pd.concat(outs, ignore_index=True)
 
     pair_rows = bucketed.groupby("bucket").map_groups(
         bucket_pairs, batch_format="pandas"
