@@ -10,7 +10,7 @@ pipelines. ``--scaling`` reruns the headline in fresh processes at 8
 and 32 CPUs (taskset-pinned) and reports throughput + scaling
 efficiency.
 
-Usage: python bench.py [--scaling] [--quick] [--tune] [--exchange]
+Usage: python bench.py [--scaling] [--quick] [--tune] [--exchange] [--probe] [--hunt]
 Env:   GRAFT_SF_DIR (input dir), RAY_GRAFT_CPUS (num_cpus, default 32)
 """
 
@@ -64,8 +64,9 @@ def _scaled_graph_edges(rounds: int | None = None):
     dst = (uk & np.uint64(0xFFFFFFFF)).astype(np.uint64)
     edges = gen.scaled_edges((src, dst), rounds=r)
     ds = ray.data.from_arrow(edges).repartition(max(NUM_CPUS, 8))
+    ds = ds.materialize()  # a real failure here must surface, not be
+    # swallowed as a cache miss and re-executed inside a TIMED section
     try:
-        ds = ds.materialize()
         # crash-safe cache write: write into a tmp dir and rename into
         # place atomically. Writing straight into `cache` is corrupting —
         # a run that dies between write_parquet and _DONE leaves parquet
@@ -260,21 +261,23 @@ def run_scaling_child(op: str) -> dict:
     return out
 
 
-def _settle(target_load: float = 4.0, timeout_sec: float = 180.0) -> None:
+def _settle(target_load: float = 4.0, timeout_sec: float = 180.0) -> bool:
     """Wait for the host's 1-min load to decay before a timed section —
     this host's noise arrives in multi-minute bursts and the same
-    pipeline measures 3 s quiet vs 13 s under a draining load."""
+    pipeline measures 3 s quiet vs 13 s under a draining load. Returns
+    False when the window never settled (callers flag the run)."""
     t0 = time.time()
     while time.time() - t0 < timeout_sec:
         if os.getloadavg()[0] < target_load:
-            return
+            return True
         time.sleep(5)
+    return False
 
 
 def run_bench(quick: bool = False) -> dict:
     import ray
 
-    _settle()
+    settled = _settle()
     ray.init(
         address="local",
         num_cpus=NUM_CPUS,
@@ -296,6 +299,9 @@ def run_bench(quick: bool = False) -> dict:
 
     queries: dict[str, float] = {}
     extra: dict = {}
+    # a run that starts in a never-settling window is suspect end to end
+    # (only the ds headline carries its own triad brackets)
+    extra["settle_timed_out"] = not settled
 
     # ---- build scaled graph ------------------------------------------
     t0 = time.perf_counter()
@@ -315,7 +321,7 @@ def run_bench(quick: bool = False) -> dict:
     t0 = time.perf_counter()
     pagerank(edges, iterations=1, prepared=g)
     queries["pagerank_ds_warmup_1"] = round(time.perf_counter() - t0, 3)
-    # two timed runs, BOTH recorded; headline = min (this path runs 10
+    # three timed runs, ALL recorded; headline = min (this path runs 10
     # independent Dataset executions and is the most host-noise-sensitive
     # stage in the suite — see BASELINE.md)
     import statistics
@@ -387,6 +393,7 @@ def run_bench(quick: bool = False) -> dict:
     step_times = [m["wall_sec"] for m in metrics]
     eps_bsp = bsp.num_edges / _st.median(step_times)
     extra["pagerank_bsp_edges_per_sec_per_superstep"] = round(eps_bsp)
+    bsp.shutdown()  # ~GBs of shard arrays must not sit through the suite
 
     # ---- distributed dictionary encodes (the 10^12-file paths) ----
     t0 = time.perf_counter()
@@ -407,6 +414,7 @@ def run_bench(quick: bool = False) -> dict:
         _, rounds = bsp_cc.connected_components()
         queries["cc_bsp"] = round(time.perf_counter() - t0, 3)
         extra["cc_rounds"] = rounds
+        bsp_cc.shutdown()
 
         # ---- driver-contract pipelines at this sf --------------------
         from engine.queries import (
@@ -489,15 +497,10 @@ def run_scaling() -> dict:
     rounds = os.environ.get("GRAFT_TRIPLE_ROUNDS", "5")
     have_taskset = shutil.which("taskset") is not None
 
-    def settle(target_load: float = 4.0, timeout_sec: float = 240.0) -> None:
-        """Wait for the host's 1-min load to decay before measuring — a
-        child that starts while the previous 32-CPU run's load is still
-        draining reads garbage (superlinear 'efficiency')."""
-        t0 = time.time()
-        while time.time() - t0 < timeout_sec:
-            if os.getloadavg()[0] < target_load:
-                return
-            time.sleep(10)
+    def settle() -> None:
+        # a child that starts while the previous 32-CPU run's load is
+        # still draining reads garbage (superlinear 'efficiency')
+        _settle(target_load=4.0, timeout_sec=240.0)
 
     # Pre-launch gate (VERDICT r4 #2): probe triad8 AND triad32
     # back-to-back with the SAME predicate the probe JSON reports
@@ -574,13 +577,17 @@ def run_scaling() -> dict:
         or bool(prelaunch and prelaunch["capped"])
     )
     return {
-        "contaminated": contaminated,
+        "contaminated": contaminated or not have_taskset,
+        "taskset_pinned": have_taskset,
         "prelaunch_probe": prelaunch,
         "metric": "scaling_efficiency_8_to_32_cores",
         "value": round(eff_mh, 3),
         "unit": "efficiency",
         "note": (
-            "cores pinned with taskset (ray.init(num_cpus) alone does not "
+            ("cores pinned with taskset" if have_taskset else
+             "TASKSET UNAVAILABLE — cores NOT physically restricted; "
+             "efficiency numbers are invalid")
+            + " (ray.init(num_cpus) alone does not "
             "restrict physical cores). Headline efficiency is the CPU-bound "
             "minhash stage (differential over two workload sizes so fixed "
             "startup costs cancel). PageRank is the RAW median superstep "
@@ -725,13 +732,17 @@ def run_probe() -> dict:
     )
     t8 = _triad_probe(8)
     t32 = _triad_probe(min(32, NUM_CPUS))
+    # the 1.5x ratio test is only meaningful when t32 really ran ~32
+    # actors; at RAY_GRAFT_CPUS <= 16 both probes measure the same pool
+    # and the ratio never clears — fall back to the absolute floor
+    capped = _cap_active(t8, t32) if NUM_CPUS >= 32 else (t8 < 8.0)
     out = {
         "metric": "triad_probe_gbps",
         "value": t32,
         "unit": "GB/s",
         "triad8": t8,
         "triad32": t32,
-        "capped": bool(_cap_active(t8, t32)),
+        "capped": bool(capped),
         "loadavg_1m": round(os.getloadavg()[0], 2),
         "num_cpus": NUM_CPUS,
     }
@@ -788,15 +799,17 @@ def run_hunt() -> dict:
     while time.time() < deadline:
         # a transient probe failure (Ray init hiccup in a contended
         # window — exactly what the hunt exists to wait out) must not
-        # abort the multi-hour hunt; log it and retry next interval
+        # abort the multi-hour hunt; log it and retry next interval.
+        # The guard covers the field ACCESS too — a foreign last stdout
+        # line can parse as JSON yet lack the probe keys
         try:
             probe = _child(["--probe"])
+            go = (not probe["capped"]) and probe["triad32"] >= t32_gate
         except (subprocess.CalledProcessError, ValueError, KeyError) as e:
             _log({"kind": "probe_crash", "err": repr(e)[-300:]})
             time.sleep(interval)
             continue
         probes += 1
-        go = (not probe["capped"]) and probe["triad32"] >= t32_gate
         _log({"kind": "probe", "go": go, **probe})
         if go:
 
@@ -805,13 +818,16 @@ def run_hunt() -> dict:
                 art = os.path.join(hunt_dir, f"bench_{mode}_{stamp}.json")
                 try:
                     result = _child(argv)
-                except subprocess.CalledProcessError as e:
+                    clean = not result.get("headline_contaminated", True)
+                    result["queries"]  # fail HERE, inside the guard,
+                    # if a stray post-JSON stdout line corrupted the parse
+                except (subprocess.CalledProcessError, ValueError,
+                        KeyError, TypeError) as e:
                     _log({"kind": "attempt_crash", "mode": mode,
-                          "stderr": (e.stderr or "")[-500:]})
+                          "err": repr(getattr(e, "stderr", e))[-500:]})
                     return None, None
                 with open(art, "w") as f:
                     json.dump(result, f, indent=1)
-                clean = not result.get("headline_contaminated", True)
                 _log(
                     {
                         "kind": "attempt",
