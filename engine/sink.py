@@ -13,7 +13,9 @@ compatible), stable under any repartitioning or reordering of the input.
 from __future__ import annotations
 
 import hashlib
+import json
 import os
+import re
 import shutil
 
 import numpy as np
@@ -35,16 +37,22 @@ def _bucket_of(values, num_buckets: int) -> np.ndarray:
     )
 
 
+_BUCKET_RE = re.compile(r"^bucket=(\d+)$")
+
+
 def finished_buckets(out_dir: str) -> set[int]:
-    """Buckets already committed by a previous (possibly failed) run."""
+    """Buckets already committed by a previous (possibly failed) run.
+    Strict name match: a crash can leave ``bucket=K.tmp`` behind (even
+    with its _SUCCESS written, pre-rename), and parsing it as a bucket
+    id would brick resume with a ValueError — exactly the crash window
+    the sink exists to survive."""
     done = set()
     if not os.path.isdir(out_dir):
         return done
     for name in os.listdir(out_dir):
-        if name.startswith("bucket=") and os.path.exists(
-            os.path.join(out_dir, name, "_SUCCESS")
-        ):
-            done.add(int(name.split("=", 1)[1]))
+        m = _BUCKET_RE.match(name)
+        if m and os.path.exists(os.path.join(out_dir, name, "_SUCCESS")):
+            done.add(int(m.group(1)))
     return done
 
 
@@ -59,8 +67,35 @@ def write_parquet_resumable(
     committed buckets entirely (rows are dropped before the co-locating
     shuffle). Partially-written buckets (no ``_SUCCESS``) are discarded
     and rewritten, so output is exactly-once per bucket. Returns
-    ``{"written": [...], "skipped": [...], "rows_written": int}``."""
+    ``{"written": [...], "skipped": [...], "rows_written": int}``.
+
+    A ``_manifest.json`` records (key_col, num_buckets) on first write;
+    resuming with DIFFERENT values raises — the old bucket space and the
+    new one are incompatible, and mixing them silently drops and
+    duplicates rows. Size ``num_buckets`` so one bucket's rows fit a
+    worker: each bucket is written by one task as one file (total_bytes /
+    num_buckets ≲ a few GB; raise num_buckets for bigger outputs).
+    Single-node semantics here; on a cluster point ``out_dir`` at shared
+    storage."""
     os.makedirs(out_dir, exist_ok=True)
+    manifest_fn = os.path.join(out_dir, "_manifest.json")
+    manifest = {"key_col": key_col, "num_buckets": num_buckets}
+    if os.path.exists(manifest_fn):
+        with open(manifest_fn) as f:
+            prev = json.load(f)
+        if prev != manifest:
+            raise ValueError(
+                f"resume mismatch: {out_dir} was written with {prev}, "
+                f"rerun requests {manifest} — a different bucketing would "
+                "silently drop/duplicate rows; use a fresh out_dir"
+            )
+    else:
+        with open(manifest_fn, "w") as f:
+            json.dump(manifest, f)
+    # stale .tmp dirs from a crashed run are dead weight — clear them now
+    for name in os.listdir(out_dir):
+        if name.endswith(".tmp") and name.startswith("bucket="):
+            shutil.rmtree(os.path.join(out_dir, name), ignore_errors=True)
     done = finished_buckets(out_dir)
 
     def bucketize(t: pa.Table) -> pa.Table:
@@ -83,10 +118,24 @@ def write_parquet_resumable(
         shutil.rmtree(tmp, ignore_errors=True)
         shutil.rmtree(d, ignore_errors=True)  # discard partial writes
         os.makedirs(tmp)
-        pq.write_table(tbl, os.path.join(tmp, "part.parquet"))
+        part = os.path.join(tmp, "part.parquet")
+        pq.write_table(tbl, part)
+        # fsync data + marker before the rename publishes them: rename
+        # without fsync can survive a host crash while the file contents
+        # do not, leaving a _SUCCESS over truncated parquet that resume
+        # would then skip forever
+        with open(part, "rb") as f:
+            os.fsync(f.fileno())
         with open(os.path.join(tmp, "_SUCCESS"), "w") as f:
             f.write("")
+            f.flush()
+            os.fsync(f.fileno())
         os.replace(tmp, d)
+        dfd = os.open(out_dir, os.O_RDONLY)
+        try:
+            os.fsync(dfd)  # make the rename itself durable
+        finally:
+            os.close(dfd)
         return pd.DataFrame({"bucket": [k], "rows": [len(tbl)]})
 
     stats = bucketed.groupby("__bucket").map_groups(
@@ -109,4 +158,9 @@ def read_partitioned(out_dir: str) -> ray.data.Dataset:
         os.path.join(out_dir, f"bucket={k}", "part.parquet")
         for k in sorted(finished_buckets(out_dir))
     ]
+    if not files:
+        raise ValueError(
+            f"no committed buckets under {out_dir!r} (missing dir, or the "
+            "producing run failed before its first bucket commit)"
+        )
     return ray.data.read_parquet(files)

@@ -40,6 +40,41 @@ def test_sink_roundtrip(tmp_path):
     assert (df["val"].to_numpy() == np.arange(200) * 3).all()
 
 
+def test_sink_manifest_rejects_incompatible_resume(tmp_path):
+    import pytest
+
+    out = str(tmp_path / "out")
+    write_parquet_resumable(_ds(), out, key_col="doc_id", num_buckets=8)
+    with pytest.raises(ValueError, match="resume mismatch"):
+        write_parquet_resumable(_ds(), out, key_col="doc_id", num_buckets=4)
+    with pytest.raises(ValueError, match="resume mismatch"):
+        write_parquet_resumable(_ds(), out, key_col="val", num_buckets=8)
+    # same parameters still resume fine
+    stats = write_parquet_resumable(_ds(), out, key_col="doc_id", num_buckets=8)
+    assert stats["written"] == [] and stats["rows_written"] == 0
+
+
+def test_sink_ignores_stale_tmp_dirs(tmp_path):
+    out = str(tmp_path / "out")
+    first = write_parquet_resumable(_ds(), out, key_col="doc_id", num_buckets=8)
+    # a crashed run can leave bucket=K.tmp behind, even with _SUCCESS inside
+    stale = os.path.join(out, "bucket=3.tmp")
+    os.makedirs(stale)
+    open(os.path.join(stale, "_SUCCESS"), "w").close()
+    assert finished_buckets(out) == set(first["written"])  # .tmp not parsed
+    second = write_parquet_resumable(_ds(), out, key_col="doc_id", num_buckets=8)
+    assert second["written"] == []
+    assert not os.path.exists(stale)  # swept on resume
+    assert _read_sorted(out)["doc_id"].tolist() == list(range(200))
+
+
+def test_read_partitioned_empty_raises(tmp_path):
+    import pytest
+
+    with pytest.raises(ValueError, match="no committed buckets"):
+        read_partitioned(str(tmp_path / "never_written"))
+
+
 def test_sink_resume_skips_finished(tmp_path):
     out = str(tmp_path / "out")
     first = write_parquet_resumable(_ds(), out, key_col="doc_id", num_buckets=8)
