@@ -569,15 +569,28 @@ def run_scaling() -> dict:
     # 09:39 r4 session produced a flag-clean run with eff_pr = 1.43 that
     # way). Treat it as contamination of the denominator.
     superlinear = eff_bsp > 1.05 or eff_mh > 1.1
+    # cross-run reproduction guard: the 32-core superstep on this exact
+    # decomposition (437M edges, P=32) reproduced 894-994M edges/s across
+    # four independent clean windows (r3 + r4 ledger, BASELINE.md). A
+    # reading far below that band cannot be an engine property — it means
+    # in-window interference that the bracketing probes missed (the r4
+    # 09:58 / r5 04:07 shape: probes fine, superstep 7-16x slow). Default
+    # floor 250M eps (>3.5x below the reproduced band) — loose enough
+    # that any genuine engine regression inside it would also show in
+    # the headline bench, tight enough to catch the observed pathology.
+    eps32_floor = float(os.environ.get("GRAFT_BSP32_EPS_FLOOR", "2.5e8"))
+    below_repro_band = out[32]["bsp_edges_per_sec"] < eps32_floor
     contaminated = (
         tri32 < tri8
         or skew(out[8]) > 0.25
         or skew(out[32]) > 0.25
         or superlinear
+        or below_repro_band
         or bool(prelaunch and prelaunch["capped"])
     )
     return {
         "contaminated": contaminated or not have_taskset,
+        "below_repro_band_32": bool(below_repro_band),
         "taskset_pinned": have_taskset,
         "prelaunch_probe": prelaunch,
         "metric": "scaling_efficiency_8_to_32_cores",
