@@ -800,6 +800,28 @@ def text_quality(sf_dir: str) -> ray.data.Dataset:
     return out.map_batches(rounder, batch_format="pyarrow")
 
 
+def repetition_stats(sf_dir: str) -> ray.data.Dataset:
+    """Gopher-style repetition quality signals (top-token share, top-bigram
+    share, duplicated-trigram fraction) per document, through the
+    ``textstats.repetition`` actor-pool pipeline. Fractions are integer
+    micro-units (floor(x*1e6+0.5)) so the DuckDB compare is exact — same
+    arithmetic on both sides (int64 division in float64, half-up floor)."""
+    from .textstats import repetition
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return repetition(ds).select_columns(
+        [
+            "doc_id",
+            "n_words",
+            "top_token_frac_micro",
+            "top_bigram_frac_micro",
+            "dup_trigram_frac_micro",
+        ]
+    )
+
+
 def pr_superstep1_salted(sf_dir: str) -> ray.data.Dataset:
     """One superstep through the salted two-phase aggregation path
     (north-rule N9) — must equal pr_superstep1 exactly, and shares its SQL
@@ -2178,6 +2200,52 @@ def _text_quality_sql() -> str:
 
 
 ORACLE_SQL["text_quality"] = _text_quality_sql()
+# Mirror of textstats.RepetitionStats: same [^\W\d_]+ lowercased tokens,
+# zipped-unnest positions, LEAD-built bigrams/trigrams, and the identical
+# floor(num/den * 1e6 + 0.5) micro-unit arithmetic (int64 ratios divided in
+# float64 are bit-identical between numpy and DuckDB).
+ORACLE_SQL["repetition_stats"] = r"""
+    WITH base AS MATERIALIZED (
+        SELECT doc_id, regexp_extract_all(lower(text), '[^\W\d_]+') AS l
+        FROM documents),
+    toks AS MATERIALIZED (
+        SELECT doc_id, unnest(l) AS tok, unnest(range(len(l))) AS pos
+        FROM base),
+    seq AS MATERIALIZED (
+        SELECT doc_id, tok,
+               LEAD(tok, 1) OVER w AS t2,
+               LEAD(tok, 2) OVER w AS t3
+        FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+    uni AS MATERIALIZED (
+        SELECT doc_id, MAX(c) AS top_cnt, SUM(c) AS total
+        FROM (SELECT doc_id, tok, COUNT(*) AS c FROM seq
+              GROUP BY doc_id, tok)
+        GROUP BY doc_id),
+    bi AS MATERIALIZED (
+        SELECT doc_id, MAX(c) AS top_cnt, SUM(c) AS total
+        FROM (SELECT doc_id, tok, t2, COUNT(*) AS c FROM seq
+              WHERE t2 IS NOT NULL GROUP BY doc_id, tok, t2)
+        GROUP BY doc_id),
+    tri AS MATERIALIZED (
+        SELECT doc_id, SUM(c) - COUNT(*) AS dup_cnt, SUM(c) AS total
+        FROM (SELECT doc_id, tok, t2, t3, COUNT(*) AS c FROM seq
+              WHERE t3 IS NOT NULL GROUP BY doc_id, tok, t2, t3)
+        GROUP BY doc_id)
+    SELECT d.doc_id,
+           COALESCE(uni.total, 0) AS n_words,
+           CAST(FLOOR(COALESCE(uni.top_cnt, 0)
+                / GREATEST(COALESCE(uni.total, 0), 1) * 1000000 + 0.5)
+                AS BIGINT) AS top_token_frac_micro,
+           CAST(FLOOR(COALESCE(bi.top_cnt, 0)
+                / GREATEST(COALESCE(bi.total, 0), 1) * 1000000 + 0.5)
+                AS BIGINT) AS top_bigram_frac_micro,
+           CAST(FLOOR(COALESCE(tri.dup_cnt, 0)
+                / GREATEST(COALESCE(tri.total, 0), 1) * 1000000 + 0.5)
+                AS BIGINT) AS dup_trigram_frac_micro
+    FROM documents d
+    LEFT JOIN uni USING (doc_id) LEFT JOIN bi USING (doc_id)
+    LEFT JOIN tri USING (doc_id)
+"""
 ORACLE_SQL["embedding_near_dup_ivf_full"] = ORACLE_SQL["embedding_near_dup"]
 _SH_FP = ORACLE_SQL["simhash_fingerprints"]
 ORACLE_SQL["simhash_near_dup_pairs"] = f"""
@@ -2474,6 +2542,7 @@ QUERIES = {
     "bpeish_planted": bpeish_planted,
     "doc_chunks": doc_chunks,
     "events_funnel": events_funnel,
+    "repetition_stats": repetition_stats,
     # -- green in r3, fell outside r4's 50-row window --
     "orders_enriched": orders_enriched,
     "events_lag": events_lag,

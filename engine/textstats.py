@@ -616,3 +616,128 @@ def token_count_percentiles(
     return ray.data.from_arrow(
         pa.table({k: pa.array([v], type=pa.int64()) for k, v in vals.items()})
     )
+
+
+def _grouped_ngram_stats(
+    tok_doc: np.ndarray, inv: np.ndarray, width: int, n_docs: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Per-document n-gram occurrence statistics over the flat token
+    stream: (max single-n-gram count, total n-grams, distinct n-grams),
+    each an ``n_docs``-length int64 vector.
+
+    Fully vectorized: the (doc, tok_0..tok_{w-1}) composite keys are
+    lexsorted so equal n-grams are adjacent, then run-length grouped with
+    bincount — no Python loop over tokens, no key-packing overflow risk
+    (columns are compared, never multiplied together)."""
+    m = len(inv)
+    starts = m - (width - 1)
+    if m == 0 or starts <= 0:
+        z = np.zeros(n_docs, dtype=np.int64)
+        return z, z.copy(), z.copy()
+    cols = [inv[k : starts + k].astype(np.int64) for k in range(width)]
+    doc = tok_doc[:starts]
+    valid = np.ones(starts, dtype=bool)
+    for k in range(1, width):
+        # n-gram must not straddle a document boundary
+        valid &= tok_doc[k : starts + k] == doc
+    doc = doc[valid]
+    cols = [c[valid] for c in cols]
+    if len(doc) == 0:
+        z = np.zeros(n_docs, dtype=np.int64)
+        return z, z.copy(), z.copy()
+    # lexsort: any priority order groups identical (doc, gram) tuples
+    order = np.lexsort(tuple(cols) + (doc,))
+    keys = np.stack([doc] + cols, axis=1)[order]
+    new = np.ones(len(keys), dtype=bool)
+    if len(keys) > 1:
+        new[1:] = np.any(keys[1:] != keys[:-1], axis=1)
+    grp = np.cumsum(new) - 1
+    grp_cnt = np.bincount(grp).astype(np.int64)
+    gdoc = keys[new, 0]
+    top = np.zeros(n_docs, dtype=np.int64)
+    np.maximum.at(top, gdoc, grp_cnt)
+    total = np.bincount(doc, minlength=n_docs).astype(np.int64)
+    distinct = np.bincount(gdoc, minlength=n_docs).astype(np.int64)
+    return top, total, distinct
+
+
+class RepetitionStats:
+    """Actor-pool stage: Gopher-style repetition quality signals (Rae et
+    al. 2021, "Scaling Language Models", appendix A1.1) per document —
+    the share of tokens taken by the single most frequent token, the
+    share of bigrams taken by the most frequent bigram, and the fraction
+    of trigram occurrences that are duplicates of an earlier trigram.
+    High values flag boilerplate / machine-generated text for filtering.
+
+    Tokens are the same ``[^\\W\\d_]+`` lowercased word tokens as
+    ``TextAnalyzer`` (exactly SQL-expressible). Fractions are emitted as
+    integer micro-units ``floor(x * 1e6 + 0.5)`` — int64 division and the
+    half-up floor are bit-identical between numpy and DuckDB, so the
+    oracle compare is exact. Documents with no tokens / bigrams /
+    trigrams get 0 for the corresponding fraction."""
+
+    def __init__(self, text_col: str = "text"):
+        self.text_col = text_col
+        self.word = re.compile(r"[^\W\d_]+", re.U)
+
+    @staticmethod
+    def _frac_micro(num: np.ndarray, den: np.ndarray) -> np.ndarray:
+        f = num / np.maximum(den, 1)
+        return np.floor(f * 1e6 + 0.5).astype(np.int64)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = [t or "" for t in batch.column(self.text_col).to_pylist()]
+        n = len(texts)
+        words_per_doc = [self.word.findall(t.lower()) for t in texts]
+        counts = np.fromiter(
+            (len(w) for w in words_per_doc), dtype=np.int64, count=n
+        )
+        flat_list = [w for ws in words_per_doc for w in ws]
+        tok_doc = np.repeat(np.arange(n, dtype=np.int64), counts)
+        if flat_list:
+            if max(map(len, flat_list)) > 64:
+                flat = np.array(flat_list, dtype=object)
+            else:
+                flat = np.array(flat_list)
+            _, inv = np.unique(flat, return_inverse=True)
+        else:
+            inv = np.zeros(0, dtype=np.int64)
+
+        top1, tot1, _ = _grouped_ngram_stats(tok_doc, inv, 1, n)
+        top2, tot2, _ = _grouped_ngram_stats(tok_doc, inv, 2, n)
+        _, tot3, dis3 = _grouped_ngram_stats(tok_doc, inv, 3, n)
+
+        out = batch
+        for name, arr in [
+            ("n_words", pa.array(counts)),
+            ("top_token_frac_micro", pa.array(self._frac_micro(top1, tot1))),
+            ("top_bigram_frac_micro", pa.array(self._frac_micro(top2, tot2))),
+            (
+                "dup_trigram_frac_micro",
+                pa.array(self._frac_micro(tot3 - dis3, tot3)),
+            ),
+        ]:
+            out = out.append_column(name, arr)
+        return out
+
+
+def repetition(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    concurrency: int | tuple | None = None,
+    batch_size: int = 1024,
+) -> ray.data.Dataset:
+    """documents → documents + (n_words, top_token_frac_micro,
+    top_bigram_frac_micro, dup_trigram_frac_micro). Gopher-style
+    repetition filter signals; see :class:`RepetitionStats`."""
+    from .util import default_concurrency
+
+    if concurrency is None:
+        concurrency = default_concurrency()
+    return ds.map_batches(
+        RepetitionStats,
+        fn_constructor_kwargs=dict(text_col=text_col),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )

@@ -765,3 +765,77 @@ def test_token_percentiles_null_text_skipped():
     )
     with pytest.raises(Exception, match="empty population"):
         token_count_percentiles(rd.from_arrow(empty)).to_pandas()
+
+
+def test_repetition_stats_brute_and_oracle():
+    """RepetitionStats == a Counter brute force AND the registered DuckDB
+    oracle SQL, including null/empty/mixed-case/short-doc edges."""
+    import re
+    from collections import Counter
+
+    import duckdb
+
+    from engine.queries import ORACLE_SQL
+    from engine.textstats import RepetitionStats
+
+    rng = np.random.default_rng(13)
+    vocab = ["a", "b", "the", "dog", "cat", "lorem"]
+    docs = [
+        " ".join(rng.choice(vocab, size=int(k)))
+        for k in rng.integers(0, 15, size=60)
+    ]
+    docs += ["", "x", "y y", "z z z", "the the the the", None,
+             "Mixed CASE the THE tHe", "a b a b a b a b"]
+    n = len(docs)
+    tbl = pa.table(
+        {"doc_id": pa.array(range(n), type=pa.int64()),
+         "text": pa.array(docs, type=pa.string())}
+    )
+    out = RepetitionStats()(tbl)
+
+    word = re.compile(r"[^\W\d_]+", re.U)
+    for i, t in enumerate(docs):
+        ws = word.findall((t or "").lower())
+        for col, width, kind in (
+            ("top_token_frac_micro", 1, "top"),
+            ("top_bigram_frac_micro", 2, "top"),
+            ("dup_trigram_frac_micro", 3, "dup"),
+        ):
+            grams = Counter(
+                tuple(ws[j:j + width]) for j in range(len(ws) - width + 1)
+            )
+            total = sum(grams.values())
+            num = (max(grams.values()) if grams else 0) if kind == "top" \
+                else total - len(grams)
+            want = int(np.floor(num / max(total, 1) * 1e6 + 0.5))
+            assert out.column(col)[i].as_py() == want, (i, col)
+
+    con = duckdb.connect()
+    con.register("documents", tbl)
+    oracle = (
+        con.execute(ORACLE_SQL["repetition_stats"] + " ORDER BY doc_id")
+        .fetch_arrow_table()
+    )
+    mine = out.select(
+        ["doc_id", "n_words", "top_token_frac_micro",
+         "top_bigram_frac_micro", "dup_trigram_frac_micro"]
+    ).sort_by("doc_id")
+    assert mine.equals(oracle.cast(mine.schema))
+
+
+def test_repetition_actor_pipeline(docs_ds):
+    """The repetition() actor-pool path over a multi-block Dataset agrees
+    with a single direct batch call on the same rows."""
+    from engine.textstats import RepetitionStats, repetition
+
+    got = (
+        repetition(docs_ds, batch_size=5)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    direct = RepetitionStats()(_docs_table()).to_pandas()
+    direct = direct.sort_values("doc_id").reset_index(drop=True)
+    for col in ("n_words", "top_token_frac_micro",
+                "top_bigram_frac_micro", "dup_trigram_frac_micro"):
+        assert (got[col] == direct[col]).all(), col
