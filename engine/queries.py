@@ -2232,7 +2232,9 @@ ORACLE_SQL["repetition_stats"] = r"""
               WHERE t3 IS NOT NULL GROUP BY doc_id, tok, t2, t3)
         GROUP BY doc_id)
     SELECT d.doc_id,
-           COALESCE(uni.total, 0) AS n_words,
+           -- SUM() is HUGEINT in DuckDB; surface as BIGINT so the driver's
+           -- dtype-sensitive hash compare sees int64 on both sides
+           CAST(COALESCE(uni.total, 0) AS BIGINT) AS n_words,
            CAST(FLOOR(COALESCE(uni.top_cnt, 0)
                 / GREATEST(COALESCE(uni.total, 0), 1) * 1000000 + 0.5)
                 AS BIGINT) AS top_token_frac_micro,
