@@ -647,24 +647,13 @@ def minhash_dedup(sf_dir: str) -> ray.data.Dataset:
     return minhash_lsh_dedup(ds, threshold=0.8)["clusters"]
 
 
-def minhash_planted(sf_dir: str) -> ray.data.Dataset:
-    """Hard-checkable MinHash-LSH gate: a synthetic corpus derived
-    CLOSED-FORM from the documents table's doc_ids — doc_id group
-    ``doc_id // 4``, members with ``doc_id % 4 < 3`` share an identical
-    text unique to their group, member 3 gets a unique text — run through
-    the FULL minhash_lsh_dedup pipeline (signatures → banding → bucket
-    groupby → in-group exact verify → union-find). Identical texts have
-    Jaccard 1 ≥ threshold and distinct groups share no token, so the true
-    cluster table is known exactly: every present member with
-    ``doc_id % 4 < 3`` whose group has ≥2 such members, cluster = the
-    smallest present member id. This gives the approximate-dedup pipeline
-    a deterministic SQL oracle (the heuristic-corpus variant
-    ``minhash_dedup`` stays rows-only by design)."""
-    from .dedup import minhash_lsh_dedup
-
-    ids = ray.data.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["doc_id"]
-    )
+def _planted_dup_corpus(ids: ray.data.Dataset) -> ray.data.Dataset:
+    """Synthetic near-dup corpus derived CLOSED-FORM from a doc_id
+    column: members with ``doc_id % 4 < 3`` of group ``doc_id // 4``
+    share an identical 12-token text unique to their group; member 3
+    gets a unique text. Identical texts have Jaccard 1 and distinct
+    groups share no token, so the true near-dup cluster table is known
+    exactly (used by ``minhash_planted`` / ``minhash_dedup_corpus``)."""
 
     def synth(batch: pa.Table) -> pa.Table:
         did = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
@@ -678,8 +667,60 @@ def minhash_planted(sf_dir: str) -> ray.data.Dataset:
             {"doc_id": pa.array(did), "text": pa.array(texts, type=pa.string())}
         )
 
-    corpus = ids.map_batches(synth, batch_format="pyarrow")
+    return ids.map_batches(synth, batch_format="pyarrow")
+
+
+def minhash_planted(sf_dir: str) -> ray.data.Dataset:
+    """Hard-checkable MinHash-LSH gate: the planted corpus
+    (:func:`_planted_dup_corpus`) run through the FULL
+    minhash_lsh_dedup pipeline (signatures → banding → bucket
+    groupby → in-group exact verify → union-find). The true cluster
+    table is known exactly: every present member with
+    ``doc_id % 4 < 3`` whose group has ≥2 such members, cluster = the
+    smallest present member id. This gives the approximate-dedup pipeline
+    a deterministic SQL oracle (the heuristic-corpus variant
+    ``minhash_dedup`` stays rows-only by design)."""
+    from .dedup import minhash_lsh_dedup
+
+    ids = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    )
+    corpus = _planted_dup_corpus(ids)
     return minhash_lsh_dedup(corpus, threshold=0.8)["clusters"]
+
+
+def minhash_dedup_corpus(sf_dir: str) -> ray.data.Dataset:
+    """End-to-end dedup MATERIALIZATION — the step a training pipeline
+    actually consumes: full MinHash-LSH over the planted corpus →
+    cluster table → drop list (members that are not their cluster's
+    canonical min-id root) → remove it from the corpus key set with the
+    distributed sort-based EXCEPT (engine/setops.py). Output: the
+    surviving ``doc_id`` keep-list.
+
+    Scale note (100 TB): with a high dup rate the drop list is
+    O(corpus), so this must NOT be a broadcast filter (drop list may
+    not fit a worker) and must NOT be a Bloom anti-join (false
+    positives would silently drop unique documents); the sort-based
+    EXCEPT is one all-to-all sort with O(blocks) driver metadata —
+    exact, streaming, and key-partitioned. Closed form on the planted
+    corpus: drop every non-minimal ``%4<3`` member of a group with ≥2
+    such members present."""
+    from .dedup import minhash_lsh_dedup
+    from .setops import except_keys
+
+    ids = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    )
+    clusters = minhash_lsh_dedup(_planted_dup_corpus(ids), threshold=0.8)[
+        "clusters"
+    ]
+
+    def drops(t: pa.Table) -> pa.Table:
+        nonroot = pc.invert(pc.equal(t.column("doc_id"), t.column("cluster")))
+        return pa.table({"doc_id": t.filter(nonroot).column("doc_id")})
+
+    drop_ids = clusters.map_batches(drops, batch_format="pyarrow")
+    return except_keys(ids, drop_ids, "doc_id")
 
 
 def simhash_fingerprints(sf_dir: str) -> ray.data.Dataset:
@@ -1986,6 +2027,20 @@ ORACLE_SQL: dict[str, str] = {
         SELECT m.doc_id, g.root AS cluster
         FROM m JOIN g USING (grp) WHERE g.c >= 2
     """,
+    "minhash_dedup_corpus": """
+        -- closed-form keep-list for the planted-dup corpus
+        -- (queries._planted_dup_corpus): drop every non-minimal
+        -- doc_id % 4 < 3 member of a group (doc_id // 4) that has >= 2
+        -- such members present; everything else survives
+        WITH m AS MATERIALIZED (SELECT doc_id, doc_id // 4 AS grp
+                   FROM documents WHERE doc_id % 4 < 3),
+             g AS (SELECT grp, MIN(doc_id) AS root, COUNT(*) AS c
+                   FROM m GROUP BY grp),
+             drops AS (SELECT m.doc_id FROM m JOIN g USING (grp)
+                       WHERE g.c >= 2 AND m.doc_id <> g.root)
+        SELECT doc_id FROM documents
+        WHERE doc_id NOT IN (SELECT doc_id FROM drops)
+    """,
     "embedding_near_dup_ivf": None,
     "embedding_near_dup_ivf_planted": """
         -- closed-form truth for the planted-clusters corpus built by
@@ -2545,6 +2600,7 @@ QUERIES = {
     "doc_chunks": doc_chunks,
     "events_funnel": events_funnel,
     "repetition_stats": repetition_stats,
+    "minhash_dedup_corpus": minhash_dedup_corpus,
     # -- green in r3, fell outside r4's 50-row window --
     "orders_enriched": orders_enriched,
     "events_lag": events_lag,

@@ -198,6 +198,40 @@ def test_minhash_dedup_large_corpus():
     assert roots == {None}
 
 
+def test_minhash_dedup_corpus_closed_form():
+    """End-to-end dedup materialization (minhash clusters → drop list →
+    sort-based EXCEPT keep-list) matches the brute-force closed form of
+    the planted corpus on the real sf0.001 doc_id population."""
+    from collections import defaultdict
+
+    import pyarrow.parquet as pq
+
+    from engine.queries import minhash_dedup_corpus
+
+    sf = "/root/testdata/sf0.001"
+    kept = sorted(
+        minhash_dedup_corpus(sf).to_pandas()["doc_id"].astype(int).tolist()
+    )
+    ids = sorted(
+        pq.read_table(f"{sf}/documents.parquet", columns=["doc_id"])
+        .column("doc_id")
+        .to_pylist()
+    )
+    groups = defaultdict(list)
+    for d in ids:
+        if d % 4 < 3:
+            groups[d // 4].append(d)
+    drops = {
+        m
+        for g in groups.values()
+        if len(g) >= 2
+        for m in g
+        if m != min(g)
+    }
+    assert drops, "planted corpus produced no duplicate groups"
+    assert kept == [d for d in ids if d not in drops]
+
+
 def test_embedding_near_dups_ivf_matches_brute():
     """assign_top == num_centroids is exhaustive (every pair shares every
     bucket) and must equal the brute-force pair set; a 2-probe assignment
