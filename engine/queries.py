@@ -1012,6 +1012,43 @@ def train_val_test_split(sf_dir: str) -> ray.data.Dataset:
     return train_split(ds)
 
 
+# source-mixture rates (parts per million) for the mixture_sample query:
+# exercises keep-all, three partial rates, drop-all, and the default
+_MIXTURE_PPM = {
+    "src0": 1_000_000,
+    "src1": 750_000,
+    "src2": 500_000,
+    "src3": 250_000,
+    "src4": 0,
+}
+
+
+def mixture_sample(sf_dir: str) -> ray.data.Dataset:
+    """Deterministic source-mixture reweighting (Pile/Dolma-style): keep
+    each document iff md5-low-64(doc_id) % 1e6 < its source's ppm rate
+    (sources outside _MIXTURE_PPM get 100_000 ppm). Stateless md5
+    filter, exactly SQL-checkable."""
+    from .textstats import mixture_sample as _mix
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]
+    )
+    return _mix(ds, _MIXTURE_PPM, default_ppm=100_000)
+
+
+def epoch_shuffle(sf_dir: str) -> ray.data.Dataset:
+    """Deterministic epoch-shuffle training order (seed 7): global
+    0-based pos in md5-low-64("7:"+doc_id)%2^63 order, assigned from
+    O(blocks) sorted-block metadata — one sort, bit-reproducible across
+    partitionings (unlike Dataset.random_shuffle)."""
+    from .textstats import epoch_shuffle as _sh
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    )
+    return _sh(ds, seed=7)
+
+
 def token_percentiles(sf_dir: str) -> ray.data.Dataset:
     """Exact p50/p90/p99 whitespace-token-count percentiles via
     distributed sort + block-metadata indexing (percentile_disc
@@ -2041,6 +2078,27 @@ ORACLE_SQL: dict[str, str] = {
         SELECT doc_id FROM documents
         WHERE doc_id NOT IN (SELECT doc_id FROM drops)
     """,
+    "mixture_sample": """
+        -- queries._MIXTURE_PPM rates; sources outside the dict get the
+        -- 100_000 ppm default
+        SELECT doc_id, source FROM documents
+        WHERE md5_number_lower(CAST(doc_id AS VARCHAR)) % 1000000 <
+              CASE source WHEN 'src0' THEN 1000000
+                          WHEN 'src1' THEN 750000
+                          WHEN 'src2' THEN 500000
+                          WHEN 'src3' THEN 250000
+                          WHEN 'src4' THEN 0
+                          ELSE 100000 END
+    """,
+    "epoch_shuffle": """
+        -- engine masks the 64-bit md5-low hash to 63 bits == % 2^63
+        SELECT doc_id,
+               ROW_NUMBER() OVER (
+                   ORDER BY md5_number_lower('7:' || CAST(doc_id AS VARCHAR))
+                            % 9223372036854775808,
+                            doc_id) - 1 AS pos
+        FROM documents
+    """,
     "embedding_near_dup_ivf": None,
     "embedding_near_dup_ivf_planted": """
         -- closed-form truth for the planted-clusters corpus built by
@@ -2601,6 +2659,8 @@ QUERIES = {
     "events_funnel": events_funnel,
     "repetition_stats": repetition_stats,
     "minhash_dedup_corpus": minhash_dedup_corpus,
+    "mixture_sample": mixture_sample,
+    "epoch_shuffle": epoch_shuffle,
     # -- green in r3, fell outside r4's 50-row window --
     "orders_enriched": orders_enriched,
     "events_lag": events_lag,

@@ -741,3 +741,124 @@ def repetition(
         batch_size=batch_size,
         concurrency=concurrency,
     )
+
+
+def mixture_sample(
+    docs: ray.data.Dataset,
+    rates_ppm: dict,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    default_ppm: int = 0,
+) -> ray.data.Dataset:
+    """Deterministic source-mixture sampling (the Pile/Dolma-style
+    corpus reweighting pass): keep a row iff
+    ``md5-low-64(str(id)) % 1_000_000 < rates_ppm[source]`` — rates are
+    integer parts-per-million so both sides of the oracle contract
+    compare exact integers (== DuckDB ``md5_number_lower``). Stateless,
+    repartition/reorder-stable, resumable (no RNG state, no global
+    pass); sources absent from ``rates_ppm`` get ``default_ppm``.
+
+    The id hash (not a per-source hash) means the SAME document keeps
+    its fate if its source label is re-binned upstream only when the
+    rate is unchanged — rates are the single knob, by design."""
+    import hashlib
+
+    for s, r in rates_ppm.items():
+        if not (0 <= int(r) <= 1_000_000):
+            raise ValueError(f"mixture_sample: rate for {s!r} not in [0, 1e6]: {r}")
+    if not (0 <= int(default_ppm) <= 1_000_000):
+        raise ValueError(f"mixture_sample: default_ppm not in [0, 1e6]: {default_ppm}")
+
+    def f(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_pylist()
+        src = t.column(source_col).to_pylist()
+        h = np.fromiter(
+            (
+                int.from_bytes(hashlib.md5(str(i).encode()).digest()[8:], "little")
+                % 1_000_000
+                for i in ids
+            ),
+            dtype=np.int64,
+            count=len(ids),
+        )
+        thr = np.fromiter(
+            (int(rates_ppm.get(s, default_ppm)) for s in src),
+            dtype=np.int64,
+            count=len(src),
+        )
+        return t.filter(pa.array(h < thr))
+
+    return docs.map_batches(f, batch_format="pyarrow")
+
+
+def epoch_shuffle(
+    ds: ray.data.Dataset, seed: int, id_col: str = "doc_id"
+) -> ray.data.Dataset:
+    """Deterministic global training-order shuffle: every row gets a
+    contiguous 0-based ``pos`` in the order of
+    ``md5-low-64(f"{seed}:{id}")`` masked to 63 bits (== DuckDB
+    ``md5_number_lower(...) % 2**63``), ties broken by id. Changing
+    ``seed`` gives an independent epoch order; the same seed is
+    bit-reproducible across runs/partitionings — the property a
+    resumable multi-epoch 100-TB training job needs (Ray's
+    ``random_shuffle`` is neither seeded-stable across partitionings
+    nor cheap — this is ONE sort).
+
+    Positions are assigned from O(blocks) sorted-block row-count
+    metadata (offset = exclusive prefix sum), per-block vectorized
+    ``offset + arange`` — the running_total/set-ops house pattern; the
+    driver never touches rows."""
+    import hashlib
+
+    _HK = "__hkey"
+    mask = (1 << 63) - 1
+
+    def key(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_pylist()
+        h = np.fromiter(
+            (
+                int.from_bytes(
+                    hashlib.md5(f"{seed}:{i}".encode()).digest()[8:], "little"
+                )
+                & mask
+                for i in ids
+            ),
+            dtype=np.int64,
+            count=len(ids),
+        )
+        return pa.table({id_col: t.column(id_col), _HK: pa.array(h)})
+
+    sch = ds.schema()
+    id_type = dict(zip(sch.names, sch.types))[id_col]
+    out_schema = pa.schema([(id_col, id_type), ("pos", pa.int64())])
+
+    s = (
+        ds.map_batches(key, batch_format="pyarrow")
+        .sort([_HK, id_col])
+        .materialize()
+    )
+    refs, counts = [], []
+    for rb in s.iter_internal_ref_bundles():
+        for blk, meta in rb.blocks:
+            if meta.num_rows:
+                refs.append(blk)
+                counts.append(int(meta.num_rows))
+    if not refs:
+        return ray.data.from_arrow(out_schema.empty_table())
+    offsets = np.concatenate(([0], np.cumsum(counts[:-1]))).astype(np.int64)
+
+    @ray.remote
+    def emit(blk, offset: int) -> pa.Table:
+        tbl = (
+            blk
+            if isinstance(blk, pa.Table)
+            else pa.Table.from_pandas(blk, preserve_index=False)
+        )
+        pos = offset + np.arange(len(tbl), dtype=np.int64)
+        return pa.table(
+            {id_col: tbl.column(id_col), "pos": pa.array(pos)},
+            schema=out_schema,
+        )
+
+    out_refs = [emit.remote(r, int(o)) for r, o in zip(refs, offsets)]
+    return ray.data.from_arrow_refs(out_refs)

@@ -232,6 +232,75 @@ def test_minhash_dedup_corpus_closed_form():
     assert kept == [d for d in ids if d not in drops]
 
 
+def test_mixture_sample_rates_and_determinism():
+    import hashlib
+
+    ids = list(range(200))
+    src = [
+        "keep" if i % 3 == 0 else ("drop" if i % 3 == 1 else "other")
+        for i in ids
+    ]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {"doc_id": pa.array(ids, type=pa.int64()), "source": pa.array(src)}
+        )
+    )
+    rates = {"keep": 1_000_000, "drop": 0}
+    kept = set(
+        textstats.mixture_sample(ds, rates, default_ppm=500_000)
+        .to_pandas()["doc_id"]
+        .tolist()
+    )
+    for i in ids:
+        if src[i] == "keep":
+            assert i in kept
+        elif src[i] == "drop":
+            assert i not in kept
+        else:  # default rate follows the md5 closed form exactly
+            h = (
+                int.from_bytes(hashlib.md5(str(i).encode()).digest()[8:], "little")
+                % 1_000_000
+            )
+            assert (i in kept) == (h < 500_000), i
+    # repartition/reorder-stable
+    kept2 = set(
+        textstats.mixture_sample(ds.repartition(7), rates, default_ppm=500_000)
+        .to_pandas()["doc_id"]
+        .tolist()
+    )
+    assert kept2 == kept
+    with pytest.raises(ValueError):
+        textstats.mixture_sample(ds, {"keep": 2_000_000})
+
+
+def test_epoch_shuffle_deterministic_permutation():
+    import hashlib
+
+    ids = list(range(500))
+    ds = ray.data.from_arrow(pa.table({"doc_id": pa.array(ids, type=pa.int64())}))
+
+    def hk(i):
+        return (
+            int.from_bytes(hashlib.md5(f"7:{i}".encode()).digest()[8:], "little")
+            & ((1 << 63) - 1)
+        )
+
+    want = sorted(ids, key=lambda i: (hk(i), i))
+    out = textstats.epoch_shuffle(ds, seed=7).to_pandas().sort_values("pos")
+    assert out["pos"].tolist() == ids  # contiguous 0..n-1
+    assert out["doc_id"].tolist() == want
+    # bit-stable under a different partitioning
+    out2 = (
+        textstats.epoch_shuffle(ds.repartition(9), seed=7)
+        .to_pandas()
+        .sort_values("pos")
+    )
+    assert out2["doc_id"].tolist() == want
+    # a different seed is an (overwhelmingly) different permutation
+    out3 = textstats.epoch_shuffle(ds, seed=8).to_pandas().sort_values("pos")
+    assert out3["doc_id"].tolist() != want
+
+
 def test_embedding_near_dups_ivf_matches_brute():
     """assign_top == num_centroids is exhaustive (every pair shares every
     bucket) and must equal the brute-force pair set; a 2-probe assignment
