@@ -385,6 +385,13 @@ def run_bench(quick: bool = False) -> dict:
     # shards at this graph size (more shards != faster on one node)
     bsp = BSPGraph(enc, n=len(ids), num_shards=min(16, NUM_CPUS))
     queries["pagerank_bsp_prepare"] = round(time.perf_counter() - t0, 3)
+    # bracket the BSP window with its OWN probes: the ds brackets end
+    # ~60-75 s earlier (pagerank_ds_shuffle_3 + the BSP prepare sit in
+    # between), so a window that collapses in that gap would otherwise
+    # record a garbage bsp_10 inside a "clean" artifact — observed 05:16z
+    # r5: bsp 5.07 s right beside a ds bracket that read 43.5 GB/s
+    bsp_pre_t8 = _triad_probe(8)
+    bsp_pre_t32 = _triad_probe(NUM_CPUS) if NUM_CPUS >= 32 else None
     t0 = time.perf_counter()
     _, _, metrics = bsp.pagerank(iterations=SUPERSTEPS)
     queries["pagerank_bsp_10"] = round(time.perf_counter() - t0, 3)
@@ -394,6 +401,19 @@ def run_bench(quick: bool = False) -> dict:
     eps_bsp = bsp.num_edges / _st.median(step_times)
     extra["pagerank_bsp_edges_per_sec_per_superstep"] = round(eps_bsp)
     bsp.shutdown()  # ~GBs of shard arrays must not sit through the suite
+    bsp_post_t8 = _triad_probe(8)
+    bsp_post_t32 = _triad_probe(NUM_CPUS) if NUM_CPUS >= 32 else None
+    bsp_skew = abs(bsp_pre_t8 - bsp_post_t8) / max(bsp_pre_t8, bsp_post_t8)
+    extra["bsp_triad_gbps"] = [bsp_pre_t8, bsp_post_t8]
+    bsp_cap = False
+    if bsp_pre_t32 is not None:
+        extra["bsp_triad32_gbps"] = [bsp_pre_t32, bsp_post_t32]
+        bsp_cap = _cap_active(bsp_pre_t8, bsp_pre_t32) or _cap_active(
+            bsp_post_t8, bsp_post_t32
+        )
+    extra["bsp_contaminated"] = bool(
+        bsp_skew > 0.25 or max(bsp_pre_t8, bsp_post_t8) < 8.0 or bsp_cap
+    )
 
     # ---- distributed dictionary encodes (the 10^12-file paths) ----
     t0 = time.perf_counter()
@@ -831,7 +851,11 @@ def run_hunt() -> dict:
                 art = os.path.join(hunt_dir, f"bench_{mode}_{stamp}.json")
                 try:
                     result = _child(argv)
-                    clean = not result.get("headline_contaminated", True)
+                    # both windows must hold: ds (headline brackets) AND
+                    # bsp (its own brackets — the sections are ~60 s apart)
+                    clean = not result.get(
+                        "headline_contaminated", True
+                    ) and not result.get("bsp_contaminated", True)
                     result["queries"]  # fail HERE, inside the guard,
                     # if a stray post-JSON stdout line corrupted the parse
                 except (subprocess.CalledProcessError, ValueError,
@@ -855,6 +879,8 @@ def run_hunt() -> dict:
                         "headline_triad32_gbps": result.get(
                             "headline_triad32_gbps"
                         ),
+                        "bsp_triad_gbps": result.get("bsp_triad_gbps"),
+                        "bsp_triad32_gbps": result.get("bsp_triad32_gbps"),
                     }
                 )
                 return (art if clean else None), result
