@@ -1036,6 +1036,17 @@ def mixture_sample(sf_dir: str) -> ray.data.Dataset:
     return _mix(ds, _MIXTURE_PPM, default_ppm=100_000)
 
 
+def token_histogram(sf_dir: str) -> ray.data.Dataset:
+    """Whitespace-token-count histogram, 50-token bins — corpus length
+    profile via per-batch partial bincounts + one tiny groupby Sum."""
+    from .textstats import token_histogram as _th
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["text"]
+    )
+    return _th(ds, bin_width=50)
+
+
 def epoch_shuffle(sf_dir: str) -> ray.data.Dataset:
     """Deterministic epoch-shuffle training order (seed 7): global
     0-based pos in md5-low-64("7:"+doc_id)%2^63 order, assigned from
@@ -2090,6 +2101,14 @@ ORACLE_SQL: dict[str, str] = {
                           WHEN 'src4' THEN 0
                           ELSE 100000 END
     """,
+    "token_histogram": r"""
+        SELECT CAST(len(regexp_split_to_array(trim(text), '\s+')) // 50
+                    AS BIGINT) AS bin,
+               CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM documents
+        WHERE text IS NOT NULL
+        GROUP BY 1
+    """,
     "epoch_shuffle": """
         -- engine masks the 64-bit md5-low hash to 63 bits == % 2^63
         SELECT doc_id,
@@ -2661,6 +2680,7 @@ QUERIES = {
     "minhash_dedup_corpus": minhash_dedup_corpus,
     "mixture_sample": mixture_sample,
     "epoch_shuffle": epoch_shuffle,
+    "token_histogram": token_histogram,
     # -- green in r3, fell outside r4's 50-row window --
     "orders_enriched": orders_enriched,
     "events_lag": events_lag,

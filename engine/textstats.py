@@ -791,6 +791,48 @@ def mixture_sample(
     return docs.map_batches(f, batch_format="pyarrow")
 
 
+def token_histogram(
+    docs: ray.data.Dataset, bin_width: int = 50, text_col: str = "text"
+) -> ray.data.Dataset:
+    """Whitespace-token-count histogram with fixed-width bins — the
+    corpus length-distribution profile a curation run reports before
+    choosing packing / filtering thresholds. Output: (bin, n_docs) with
+    ``bin = n_tokens // bin_width``; NULL texts excluded (they have no
+    count, matching SQL's COUNT over a WHERE text IS NOT NULL).
+
+    Scale shape: each batch emits one PARTIAL bincount — O(occupied
+    bins) rows, not O(docs) — so the groupby Sum sees only
+    O(blocks × bins) tiny rows (hash-agg is fine at that size,
+    CLAUDE.md); the driver never touches per-doc rows and the output is
+    O(bins)."""
+    if bin_width <= 0:
+        raise ValueError(f"token_histogram: bin_width must be > 0: {bin_width}")
+    from ray.data.aggregate import Sum
+
+    empty = pa.schema([("bin", pa.int64()), ("n_docs", pa.int64())])
+
+    def part(t: pa.Table) -> pa.Table:
+        texts = t.column(text_col).to_pylist()
+        n = [len(re.split(r"\s+", x.strip())) for x in texts if x is not None]
+        if not n:
+            return empty.empty_table()
+        bins = np.asarray(n, dtype=np.int64) // bin_width
+        cnt = np.bincount(bins)
+        nz = np.flatnonzero(cnt)
+        return pa.table(
+            {
+                "bin": pa.array(nz.astype(np.int64)),
+                "n_docs": pa.array(cnt[nz].astype(np.int64)),
+            }
+        )
+
+    return (
+        docs.map_batches(part, batch_format="pyarrow")
+        .groupby("bin")
+        .aggregate(Sum("n_docs", alias_name="n_docs"))
+    )
+
+
 def epoch_shuffle(
     ds: ray.data.Dataset, seed: int, id_col: str = "doc_id"
 ) -> ray.data.Dataset:

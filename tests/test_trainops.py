@@ -273,6 +273,36 @@ def test_mixture_sample_rates_and_determinism():
         textstats.mixture_sample(ds, {"keep": 2_000_000})
 
 
+def test_token_histogram_exact():
+    import re as _re
+
+    texts = ["a b c", None, "", "x " * 120, "one two", "a b  c d e", "w"]
+    ds = ray.data.from_arrow(pa.table({"text": pa.array(texts, type=pa.string())}))
+    out = (
+        textstats.token_histogram(ds, bin_width=3)
+        .to_pandas()
+        .set_index("bin")["n_docs"]
+        .to_dict()
+    )
+    want = {}
+    for t in texts:
+        if t is None:
+            continue
+        b = len(_re.split(r"\s+", t.strip())) // 3
+        want[b] = want.get(b, 0) + 1
+    assert out == want
+    # partition-stable (partials combine exactly)
+    out2 = (
+        textstats.token_histogram(ds.repartition(5), bin_width=3)
+        .to_pandas()
+        .set_index("bin")["n_docs"]
+        .to_dict()
+    )
+    assert out2 == want
+    with pytest.raises(ValueError):
+        textstats.token_histogram(ds, bin_width=0)
+
+
 def test_epoch_shuffle_deterministic_permutation():
     import hashlib
 
