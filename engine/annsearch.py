@@ -177,3 +177,75 @@ def ivf_topk(
 
     sub = index.bucketed.map_batches(keep_probed, batch_format="pyarrow")
     return brute_force_topk(sub, q, k=k, id_col=id_col, col=col)
+
+
+def group_centroids(
+    ds: ray.data.Dataset,
+    group_col: str = "label",
+    vec_col: str = "embedding",
+    decimals: int = 6,
+) -> ray.data.Dataset:
+    """Per-group mean embedding — the class-prototype / cluster-seed pass
+    a curation pipeline runs before IVF list assignment, semantic dedup
+    tiering, or per-domain drift monitoring. Output: one row per
+    (group, dim) with ``c`` = mean of that vector component, dim 1-based,
+    rounded to ``decimals`` (matching the SQL oracle's ROUND).
+
+    Scale shape: each batch emits one PARTIAL (group, dim, s, cnt) table —
+    O(groups × dim) rows per block via a single label-sort +
+    ``np.add.reduceat`` over the float64 matrix, never per-row — so the
+    final hash groupby only sees tiny partials (fine at that size,
+    CLAUDE.md) and the output is O(groups × dim). Accumulation is float64
+    regardless of the stored vector dtype (the testdata stores float32)."""
+    from ray.data.aggregate import Sum
+
+    empty = pa.schema(
+        [
+            (group_col, pa.int64()),
+            ("dim", pa.int64()),
+            ("s", pa.float64()),
+            ("cnt", pa.int64()),
+        ]
+    )
+
+    def part(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty.empty_table()
+        g = t.column(group_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        m = _batch_matrix(t, vec_col)  # float64 (rows, dim)
+        order = np.argsort(g, kind="stable")
+        gs = g[order]
+        starts = np.concatenate(([0], np.flatnonzero(np.diff(gs)) + 1))
+        sums = np.add.reduceat(m[order], starts, axis=0)
+        cnts = np.diff(np.append(starts, len(gs))).astype(np.int64)
+        ug = gs[starts]
+        dim = m.shape[1]
+        return pa.table(
+            {
+                group_col: pa.array(np.repeat(ug, dim)),
+                "dim": pa.array(
+                    np.tile(np.arange(1, dim + 1, dtype=np.int64), len(ug))
+                ),
+                "s": pa.array(sums.ravel()),
+                "cnt": pa.array(np.repeat(cnts, dim)),
+            }
+        )
+
+    agg = (
+        ds.map_batches(part, batch_format="pyarrow")
+        .groupby([group_col, "dim"])
+        .aggregate(Sum("s", alias_name="s"), Sum("cnt", alias_name="cnt"))
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        s = t.column("s").to_numpy(zero_copy_only=False)
+        cnt = t.column("cnt").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                group_col: t.column(group_col),
+                "dim": t.column("dim"),
+                "c": pa.array(np.round(s / cnt, decimals)),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")

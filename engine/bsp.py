@@ -53,6 +53,7 @@ import ray
 import ray.data
 
 DAMPING = 0.85
+SSSP_SENTINEL = np.int64(2**62)  # unreached marker for weighted SSSP
 
 
 @ray.remote
@@ -331,6 +332,39 @@ class ShardActor:
         changed = int((new != self.label).sum())
         self.label = new
         return changed
+
+    # ---- Weighted SSSP (min-plus with per-edge integer weights) ---------
+
+    def sssp_begin(self, source_vid: int, wmod: int = 9) -> None:
+        """Init single-source shortest paths. Per-edge integer weights are
+        derived in-shard from the UNORDERED dense-vid pair —
+        ``w = 1 + ((min(s,t) % 97) * 31 + max(s,t) % 89) % wmod`` — so the
+        weighting is symmetric (a true undirected weighted graph even
+        though the symmetrized edge set stores both directions), needs no
+        ingest-path changes, and is exactly reproducible in SQL via a
+        ROW_NUMBER dense-rank CTE. Distances live in ``label`` (same
+        shared-state caveat as bfs); sentinel 2**62 marks unreached —
+        any real path is ≤ (n-1)·wmod, and sentinel + w never beats the
+        owned sentinel in the min-apply."""
+        s = self.edge_src_local * self.P + self.sid
+        t = self.uniq_dst[self.edge_dst_idx]
+        a, b = np.minimum(s, t), np.maximum(s, t)
+        self.edge_w = 1 + ((a % 97) * 31 + b % 89) % wmod
+        self.label = np.full(self.n_owned, SSSP_SENTINEL, dtype=np.int64)
+        if source_vid % self.P == self.sid:
+            self.label[source_vid // self.P] = 0
+
+    def emit_min_plus(self):
+        """SSSP emit: per compact dst, min over local edges of
+        dist[src] + w — the weighted analog of ``emit_min_label``; the
+        apply half is ``apply_min_label`` verbatim (pure min, the +w
+        already happened here)."""
+        vals = self.label[self.edge_src_local] + self.edge_w
+        if len(vals):
+            mins = np.minimum.reduceat(vals, self.edge_starts)
+        else:
+            mins = np.empty(0, np.int64)
+        return self._group_slices(mins)
 
     # ---- Label propagation (per-shard label-count combine) --------------
 
@@ -790,6 +824,44 @@ class BSPGraph:
                 ray.get(
                     [
                         a.apply_min_dist.remote(self._incoming_for(emits, t))
+                        for t, a in enumerate(self.actors)
+                    ]
+                )
+            )
+            if changed == 0:
+                break
+        return self.state_dataset("label"), rounds
+
+    def sssp(
+        self,
+        source_vid: int,
+        wmod: int = 9,
+        max_iters: int = 10_000,
+        assume_symmetric: bool = False,
+    ) -> tuple[ray.data.Dataset, int]:
+        """Single-source WEIGHTED shortest paths (distributed Bellman-Ford:
+        min-plus propagation to fixpoint on the same static combine
+        structure as CC/BFS — two actor waves per round, no driver vertex
+        state). Edge weights are the deterministic symmetric in-shard
+        derivation documented on ``ShardActor.sssp_begin`` (integer
+        1..wmod), so distances are exact integers and SQL-oracle-checkable.
+        Requires symmetric_copy=True. Returns (Dataset (vid, label=dist;
+        unreached carry SSSP_SENTINEL), rounds) — the last round confirms
+        the fixpoint. Same shared ``label`` state caveat as bfs()."""
+        self._require_symmetric("sssp()", assume_symmetric)
+        if not (0 <= source_vid < self.n):
+            raise ValueError(f"source_vid {source_vid} out of range [0, {self.n})")
+        if wmod <= 0:
+            raise ValueError(f"wmod must be > 0: {wmod}")
+        ray.get([a.sssp_begin.remote(source_vid, wmod) for a in self.actors])
+        rounds = 0
+        while rounds < max_iters:
+            rounds += 1
+            emits = self._emit("emit_min_plus")
+            changed = sum(
+                ray.get(
+                    [
+                        a.apply_min_label.remote(self._incoming_for(emits, t))
                         for t, a in enumerate(self.actors)
                     ]
                 )

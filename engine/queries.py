@@ -31,6 +31,9 @@ ROUND = 9  # decimals for float compare columns
 _CC_ORACLE_ROUNDS = 14  # unroll depth of the cc_labels SQL oracle
 _KCORE_ORACLE_ROUNDS = 8  # unroll depth of the kcore_3 SQL oracle
 _BFS_ORACLE_ROUNDS = 16  # unroll depth of the bfs_hops SQL oracle
+_SSSP_ORACLE_ROUNDS = 32  # unroll depth of the sssp_weighted SQL oracle
+#   (weighted min paths take more hops than BFS when cheap long routes
+#   beat expensive short ones; depth is guarded at query time)
 
 
 def _li(sf_dir: str, columns):
@@ -233,6 +236,43 @@ def bfs_hops(sf_dir: str) -> ray.data.Dataset:
         vid = t.column("vid").to_numpy(zero_copy_only=False).astype(np.int64)
         dist = t.column("label").to_numpy(zero_copy_only=False)
         reached = dist < n  # sentinel n = unreached
+        return pa.table(
+            {
+                "vid": pa.array(ids_int[vid[reached]], type=pa.int64()),
+                "dist": pa.array(dist[reached], type=pa.int64()),
+            }
+        )
+
+    return ds.map_batches(decode, batch_format="pyarrow")
+
+
+def sssp_weighted(sf_dir: str) -> ray.data.Dataset:
+    """Single-source WEIGHTED shortest paths (distributed Bellman-Ford on
+    the BSP shard actors — min-plus to fixpoint, two actor waves per
+    round, no driver vertex state) over the undirected bipartite graph,
+    from the smallest vertex id. Per-edge integer weights 1..9 are the
+    deterministic symmetric dense-vid derivation of ShardActor.sssp_begin,
+    so every distance is an exact integer and the unrolled min-plus SQL
+    oracle reproduces it bit-for-bit; unreached vertices are omitted on
+    both sides."""
+    from .bsp import BSPGraph, SSSP_SENTINEL
+
+    edges, ids, enc, n, _ = _graph_arrays(sf_dir)
+    g = BSPGraph(enc, n=n, num_shards=4, symmetric_copy=True)
+    ds, rounds = g.sssp(source_vid=0, wmod=9)
+    g.shutdown()
+    if rounds - 1 > _SSSP_ORACLE_ROUNDS:
+        raise RuntimeError(
+            f"sssp_weighted needed {rounds - 1} propagation rounds but the "
+            f"SQL oracle unrolls only {_SSSP_ORACLE_ROUNDS} — raise "
+            "_SSSP_ORACLE_ROUNDS"
+        )
+    ids_int = ids.astype(np.int64)
+
+    def decode(t: pa.Table) -> pa.Table:
+        vid = t.column("vid").to_numpy(zero_copy_only=False).astype(np.int64)
+        dist = t.column("label").to_numpy(zero_copy_only=False)
+        reached = dist < SSSP_SENTINEL
         return pa.table(
             {
                 "vid": pa.array(ids_int[vid[reached]], type=pa.int64()),
@@ -455,6 +495,19 @@ def ann_topk(sf_dir: str) -> ray.data.Dataset:
     query = np.asarray(q_tbl[0]["embedding"], dtype=np.float64)
     out = brute_force_topk(ds, query, k=10, round_decimals=6)
     return out
+
+
+def embedding_centroids(sf_dir: str) -> ray.data.Dataset:
+    """Per-label mean embedding (class prototypes): one row per
+    (label, dim) with the float64 mean of that component rounded to 6
+    decimals — per-batch (label, dim) partial sums, tiny hash groupby,
+    O(labels × dim) output."""
+    from .annsearch import group_centroids
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["label", "embedding"]
+    )
+    return group_centroids(ds, group_col="label", vec_col="embedding")
 
 
 def embedding_near_dup(sf_dir: str) -> ray.data.Dataset:
@@ -1382,6 +1435,52 @@ def _bfs_unrolled_sql(rounds: int) -> str:
     )
 
 
+def _sssp_unrolled_sql(rounds: int) -> str:
+    """DuckDB oracle for single-source WEIGHTED shortest paths from the
+    smallest vertex id: ``rounds`` unrolled min-plus steps (dist_k =
+    min(dist_{k-1}, min over in-neighbors of dist_{k-1} + w)) over the
+    symmetrized edge set. Weights reproduce the engine's in-shard
+    derivation exactly: dense vid = 0-based rank of the original id
+    (ROW_NUMBER over ORDER BY vid — the engine's dictionary is sorted),
+    then w = 1 + ((min(dv) % 97) * 31 + max(dv) % 89) % 9 per unordered
+    pair. NULL = unreached; fixpoints are stable so extra rounds are
+    no-ops (depth guarded at query time in sssp_weighted)."""
+    parts = [
+        f"""e AS MATERIALIZED (SELECT DISTINCT l_orderkey AS src,
+                 l_partkey + {PART_OFFSET} AS dst FROM lineitem),
+        ue AS MATERIALIZED (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+        v AS MATERIALIZED (SELECT src AS vid FROM e UNION SELECT dst FROM e),
+        vm AS MATERIALIZED (SELECT vid,
+                 ROW_NUMBER() OVER (ORDER BY vid) - 1 AS dv FROM v),
+        we AS MATERIALIZED (SELECT ue.src, ue.dst,
+                 1 + ((LEAST(s.dv, t.dv) % 97) * 31
+                      + GREATEST(s.dv, t.dv) % 89) % 9 AS w
+                 FROM ue JOIN vm s ON ue.src = s.vid
+                         JOIN vm t ON ue.dst = t.vid),
+        d0 AS MATERIALIZED (SELECT vid,
+                 CASE WHEN vid = (SELECT MIN(vid) FROM v) THEN 0 END AS dist
+                 FROM v)"""
+    ]
+    for k in range(1, rounds + 1):
+        p = k - 1
+        parts.append(
+            f"""d{k} AS MATERIALIZED (SELECT vid, MIN(dist) AS dist FROM (
+                    SELECT vid, dist FROM d{p}
+                    UNION ALL
+                    SELECT we.dst AS vid, d.dist + we.w
+                    FROM we JOIN d{p} d ON we.src = d.vid
+                    WHERE d.dist IS NOT NULL
+                 ) AS t GROUP BY vid)"""
+        )
+    return (
+        "WITH "
+        + ",\n        ".join(parts)
+        + f"""
+        SELECT vid, CAST(dist AS BIGINT) AS dist
+        FROM d{rounds} WHERE dist IS NOT NULL"""
+    )
+
+
 def _lpa_unrolled_sql(rounds: int) -> str:
     """DuckDB oracle for synchronous label propagation, ``rounds`` unrolled
     steps. Mirrors engine/labelprop.py exactly: each round every vertex
@@ -1971,6 +2070,7 @@ ORACLE_SQL: dict[str, str] = {
     "ppr10": _ppr_unrolled_sql(10),
     "cc_labels": _cc_unrolled_sql(14),  # depth guarded in cc_labels()
     "bfs_hops": _bfs_unrolled_sql(_BFS_ORACLE_ROUNDS),  # depth guarded
+    "sssp_weighted": _sssp_unrolled_sql(_SSSP_ORACLE_ROUNDS),  # depth guarded
     "hits_3": _hits_unrolled_sql(3),
     "wpr10": _wpr_unrolled_sql(10),
     "triangles_tripartite": f"""
@@ -2100,6 +2200,14 @@ ORACLE_SQL: dict[str, str] = {
                           WHEN 'src3' THEN 250000
                           WHEN 'src4' THEN 0
                           ELSE 100000 END
+    """,
+    "embedding_centroids": """
+        SELECT label, dim, ROUND(SUM(x) / COUNT(*), 6) AS c
+        FROM (SELECT CAST(label AS BIGINT) AS label,
+                     unnest(generate_series(1, len(embedding))) AS dim,
+                     CAST(unnest(embedding) AS DOUBLE) AS x
+              FROM embeddings)
+        GROUP BY 1, 2
     """,
     "token_histogram": r"""
         SELECT CAST(len(regexp_split_to_array(trim(text), '\s+')) // 50
@@ -2681,6 +2789,8 @@ QUERIES = {
     "mixture_sample": mixture_sample,
     "epoch_shuffle": epoch_shuffle,
     "token_histogram": token_histogram,
+    "sssp_weighted": sssp_weighted,
+    "embedding_centroids": embedding_centroids,
     # -- green in r3, fell outside r4's 50-row window --
     "orders_enriched": orders_enriched,
     "events_lag": events_lag,

@@ -411,6 +411,72 @@ def test_bfs_path_and_unreached_component():
     assert rounds == 5  # 4 propagation rounds + the no-change pass
 
 
+def test_sssp_weighted_matches_dijkstra():
+    """BSP weighted SSSP (Bellman-Ford min-plus) vs driver-side Dijkstra
+    with the identical deterministic dense-vid-pair weight formula —
+    exact integer distances, unreached vertices absent."""
+    import heapq
+
+    from engine.bsp import SSSP_SENTINEL
+
+    rng = np.random.default_rng(5)
+    m = 300
+    edges = sorted(
+        {(int(a), int(b)) for a, b in zip(rng.integers(0, 50, m),
+                                          rng.integers(50, 100, m))}
+    )
+    g, ids = _bsp_from_edges(edges, num_shards=4)
+    ds, rounds = g.sssp(source_vid=0, wmod=9)
+    g.shutdown()
+    df = ds.to_pandas()
+    got = {
+        int(ids[v]): int(d)
+        for v, d in zip(df["vid"], df["label"])
+        if d < SSSP_SENTINEL
+    }
+    dv = {int(x): i for i, x in enumerate(ids)}
+
+    def w(u_, t_):
+        a, b = sorted((dv[u_], dv[t_]))
+        return 1 + ((a % 97) * 31 + b % 89) % 9
+
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, []).append(b)
+        adj.setdefault(b, []).append(a)
+    src = int(ids[0])
+    dist = {src: 0}
+    h = [(0, src)]
+    while h:
+        d0, u = heapq.heappop(h)
+        if d0 > dist.get(u, 1 << 62):
+            continue
+        for t_ in adj.get(u, []):
+            nd = d0 + w(u, t_)
+            if nd < dist.get(t_, 1 << 62):
+                dist[t_] = nd
+                heapq.heappush(h, (nd, t_))
+    assert got == dist
+    assert rounds >= 2  # at least one propagation + the fixpoint pass
+
+
+def test_sssp_rejects_directed_build_and_bad_args():
+    from engine import graph as G
+    from engine.bsp import BSPGraph
+
+    ds = _ds([(0, 1), (1, 2)])
+    ids = G.vertex_ids(ds)
+    enc = G.encode_edges(ds, ids)
+    gd = BSPGraph(enc, n=len(ids), num_shards=2)
+    with pytest.raises(ValueError, match="undirected"):
+        gd.sssp(source_vid=0)
+    with pytest.raises(ValueError, match="out of range"):
+        gd.sssp(source_vid=-1, assume_symmetric=True)
+    with pytest.raises(ValueError, match="wmod"):
+        gd.sssp(source_vid=0, wmod=0, assume_symmetric=True)
+    gd.shutdown()
+
+
 def test_bfs_matches_python_bfs_random():
     from collections import deque
 

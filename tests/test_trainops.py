@@ -972,3 +972,37 @@ def test_repetition_actor_pipeline(docs_ds):
     for col in ("n_words", "top_token_frac_micro",
                 "top_bigram_frac_micro", "dup_trigram_frac_micro"):
         assert (got[col] == direct[col]).all(), col
+
+
+def test_group_centroids_exact_and_partition_stable():
+    """group_centroids vs a numpy brute-force mean per (label, dim):
+    exact after the shared 6-decimal round, stable across partitionings,
+    and empty-batch-safe."""
+    from engine.annsearch import group_centroids
+
+    rng = np.random.default_rng(3)
+    n, dim = 40, 5
+    labels = rng.integers(0, 4, n).astype(np.int32)
+    vecs = rng.normal(size=(n, dim)).astype(np.float32)
+    tbl = pa.table(
+        {
+            "label": pa.array(labels),
+            "embedding": pa.array(
+                [v for v in vecs.tolist()], type=pa.list_(pa.float32())
+            ),
+        }
+    )
+    want = {}
+    for lab in np.unique(labels):
+        m = vecs[labels == lab].astype(np.float64).mean(axis=0)
+        for d in range(dim):
+            want[(int(lab), d + 1)] = round(float(m[d]), 6)
+
+    for parts in (1, 7):
+        ds = ray.data.from_arrow(tbl).repartition(parts)
+        df = group_centroids(ds).to_pandas()
+        got = {
+            (int(l), int(d)): round(float(c), 6)
+            for l, d, c in zip(df["label"], df["dim"], df["c"])
+        }
+        assert got == want
