@@ -1100,6 +1100,18 @@ def token_histogram(sf_dir: str) -> ray.data.Dataset:
     return _th(ds, bin_width=50)
 
 
+def cms_registers_tokens(sf_dir: str) -> ray.data.Dataset:
+    """Count-min sketch (depth 4 × width 1024) of document token
+    frequencies — the bounded-state frequency sketch; registers are
+    exactly SQL-reproducible (md5-low-64 of "r:token" per row)."""
+    from .sketch import cms_registers
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["text"]
+    )
+    return cms_registers(ds, depth=4, width=1024)
+
+
 def epoch_shuffle(sf_dir: str) -> ray.data.Dataset:
     """Deterministic epoch-shuffle training order (seed 7): global
     0-based pos in md5-low-64("7:"+doc_id)%2^63 order, assigned from
@@ -2201,6 +2213,19 @@ ORACLE_SQL: dict[str, str] = {
                           WHEN 'src4' THEN 0
                           ELSE 100000 END
     """,
+    "cms_registers_tokens": r"""
+        WITH tok AS MATERIALIZED (
+            SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS t
+            FROM documents WHERE text IS NOT NULL
+        ),
+        tc AS MATERIALIZED (SELECT t, COUNT(*) AS cnt FROM tok GROUP BY 1)
+        SELECT CAST(u.r AS BIGINT) AS r,
+               CAST(md5_number_lower(CAST(u.r AS VARCHAR) || ':' || tc.t)
+                    % 1024 AS BIGINT) AS c,
+               CAST(SUM(tc.cnt) AS BIGINT) AS cnt
+        FROM tc, range(4) AS u(r)
+        GROUP BY 1, 2
+    """,
     "embedding_centroids": """
         SELECT label, dim, ROUND(SUM(x) / COUNT(*), 6) AS c
         FROM (SELECT CAST(label AS BIGINT) AS label,
@@ -2791,6 +2816,7 @@ QUERIES = {
     "token_histogram": token_histogram,
     "sssp_weighted": sssp_weighted,
     "embedding_centroids": embedding_centroids,
+    "cms_registers_tokens": cms_registers_tokens,
     # -- green in r3, fell outside r4's 50-row window --
     "orders_enriched": orders_enriched,
     "events_lag": events_lag,

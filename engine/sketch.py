@@ -110,3 +110,91 @@ def approx_distinct(
     idx = np.array([r["idx"] for r in regs], dtype=np.int64)
     rho = np.array([r["rho"] for r in regs], dtype=np.int64)
     return hll_estimate_from_registers(idx, rho, p)
+
+
+# ---- Count-min sketch (approximate frequencies) --------------------------
+#
+# The frequency analog of the HLL above: where exact per-token counts would
+# shuffle the whole vocabulary (engine/textstats.py heavy_hitter_tokens is
+# the exact path), a count-min sketch caps state at depth × width counters
+# with one-sided error (estimates only overcount, by ≤ εN with
+# ε ≈ e/width at the usual depth ≈ ln(1/δ)). Same determinism contract as
+# the HLL: row r's hash is md5-low-64 of "r:token" (== DuckDB
+# md5_number_lower), so the register table is exactly SQL-reproducible.
+# Per-batch combine builds the dense depth × width partial and emits only
+# touched counters — O(depth · width) rows per block, never O(tokens).
+
+import re as _re
+
+_CMS_WS = _re.compile(r"\s+")
+
+
+def _cms_hash(r: int, token: str, width: int) -> int:
+    return (
+        int.from_bytes(
+            hashlib.md5(f"{r}:{token}".encode()).digest()[8:], "little"
+        )
+        % width
+    )
+
+
+def cms_register_partial(depth: int, width: int, text_col: str = "text"):
+    """Per-batch combiner: tokenize (whitespace split of the stripped
+    text, NULLs skipped — the house token contract), count tokens once
+    per batch via np.unique, then scatter counts into the dense
+    depth × width partial; emit one (r, c, cnt) row per touched cell."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        toks: list = []
+        for x in batch.column(text_col).to_pylist():
+            if x is not None:
+                toks.extend(_CMS_WS.split(x.strip()))
+        empty = pa.table(
+            {
+                "r": pa.array([], type=pa.int64()),
+                "c": pa.array([], type=pa.int64()),
+                "cnt": pa.array([], type=pa.int64()),
+            }
+        )
+        if not toks:
+            return empty
+        uniq, counts = np.unique(np.asarray(toks, dtype=object), return_counts=True)
+        regs = np.zeros((depth, width), dtype=np.int64)
+        for tok, cnt in zip(uniq, counts):
+            for r in range(depth):
+                regs[r, _cms_hash(r, tok, width)] += int(cnt)
+        rr, cc = np.nonzero(regs)
+        return pa.table(
+            {
+                "r": pa.array(rr.astype(np.int64)),
+                "c": pa.array(cc.astype(np.int64)),
+                "cnt": pa.array(regs[rr, cc]),
+            }
+        )
+
+    return fn
+
+
+def cms_registers(
+    ds: ray.data.Dataset, depth: int = 4, width: int = 1024,
+    text_col: str = "text",
+) -> ray.data.Dataset:
+    """Final (r, c, cnt) counter table — at most depth × width rows; the
+    groupby input is O(depth × width) per block (small-output hash
+    aggregate, the CLAUDE.md-sanctioned shape)."""
+    from ray.data.aggregate import Sum
+
+    partial = ds.map_batches(
+        cms_register_partial(depth, width, text_col), batch_format="pyarrow"
+    )
+    return partial.groupby(["r", "c"]).aggregate(Sum("cnt", alias_name="cnt"))
+
+
+def cms_estimate(
+    registers: dict, token: str, depth: int = 4, width: int = 1024
+) -> int:
+    """Point estimate: min over rows of the token's counter. ``registers``
+    maps (r, c) -> cnt (missing cells are 0). One-sided: ≥ true count."""
+    return min(
+        registers.get((r, _cms_hash(r, token, width)), 0) for r in range(depth)
+    )

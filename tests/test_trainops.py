@@ -1006,3 +1006,48 @@ def test_group_centroids_exact_and_partition_stable():
             for l, d, c in zip(df["label"], df["dim"], df["c"])
         }
         assert got == want
+
+
+def test_cms_registers_and_estimate_properties():
+    """CMS registers vs a driver brute-force sketch (exact, partition
+    stable); point estimates are one-sided (>= true count) and exact for
+    tokens whose counters carry no collision mass."""
+    import re as _re
+    from collections import Counter
+
+    from engine.sketch import _cms_hash, cms_estimate, cms_registers
+
+    depth, width = 4, 64
+    texts = ["a b a c", None, "", "b  b\tc", "d e f g a", "zz zz"]
+    true = Counter()
+    for t in texts:
+        if t is not None:
+            # the engine/SQL token contract: regex split of the stripped
+            # text — an empty doc contributes ONE empty token
+            true.update(_re.split(r"\s+", t.strip()))
+    # brute-force register table with the identical hash
+    want = Counter()
+    for tok, cnt in true.items():
+        for r in range(depth):
+            want[(r, _cms_hash(r, tok, width))] += cnt
+
+    ds = ray.data.from_arrow(pa.table({"text": pa.array(texts, type=pa.string())}))
+    for parts in (1, 5):
+        regs = {
+            (int(x["r"]), int(x["c"])): int(x["cnt"])
+            for x in cms_registers(
+                ds.repartition(parts), depth=depth, width=width
+            ).take_all()
+        }
+        assert regs == dict(want)
+
+    for tok, cnt in true.items():
+        est = cms_estimate(regs, tok, depth=depth, width=width)
+        assert est >= cnt
+        # exact when some row's counter holds only this token's mass
+        if any(
+            want[(r, _cms_hash(r, tok, width))] == cnt for r in range(depth)
+        ):
+            assert est == cnt
+    # absent token estimates only collision mass (possibly 0)
+    assert cms_estimate(regs, "absent-token", depth=depth, width=width) >= 0
