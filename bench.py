@@ -372,11 +372,6 @@ def run_bench(quick: bool = False) -> dict:
     extra["num_vertices"] = int(g.n)
     extra["l1_after_10"] = res.metrics[-1]["l1_residual"]
 
-    # same engine through the full groupby-aggregate shuffle per superstep
-    t0 = time.perf_counter()
-    pagerank(edges, iterations=3, prepared=g, shuffle_aggregate=True)
-    queries["pagerank_ds_shuffle_3"] = round(time.perf_counter() - t0, 3)
-
     # ---- BSP-engine PageRank (partitioned scale path) ----------------
     t0 = time.perf_counter()
     ids = G.vertex_ids(edges)
@@ -386,10 +381,14 @@ def run_bench(quick: bool = False) -> dict:
     bsp = BSPGraph(enc, n=len(ids), num_shards=min(16, NUM_CPUS))
     queries["pagerank_bsp_prepare"] = round(time.perf_counter() - t0, 3)
     # bracket the BSP window with its OWN probes: the ds brackets end
-    # ~60-75 s earlier (pagerank_ds_shuffle_3 + the BSP prepare sit in
-    # between), so a window that collapses in that gap would otherwise
-    # record a garbage bsp_10 inside a "clean" artifact — observed 05:16z
-    # r5: bsp 5.07 s right beside a ds bracket that read 43.5 GB/s
+    # ~15 s earlier (only the BSP prepare sits in between —
+    # pagerank_ds_shuffle_3 was moved AFTER this section precisely to
+    # compress the joint ds+bsp clean window the hunt waits for; this
+    # host's bandwidth swings on sub-minute timescales, so every second
+    # of gap between the two bracketed sections costs clean-window
+    # probability). A window that collapses in the gap would otherwise
+    # record a garbage bsp_10 inside a "clean" artifact — observed
+    # 05:16z r5: bsp 5.07 s right beside a ds bracket reading 43.5 GB/s
     bsp_pre_t8 = _triad_probe(8)
     bsp_pre_t32 = _triad_probe(NUM_CPUS) if NUM_CPUS >= 32 else None
     t0 = time.perf_counter()
@@ -414,6 +413,15 @@ def run_bench(quick: bool = False) -> dict:
     extra["bsp_contaminated"] = bool(
         bsp_skew > 0.25 or max(bsp_pre_t8, bsp_post_t8) < 8.0 or bsp_cap
     )
+
+    # same ds engine through the full groupby-aggregate shuffle per
+    # superstep (runs after BOTH bracketed headline sections — it is not
+    # part of the clean-window criterion and 57 s of it between the
+    # brackets was the main reason ds-clean and bsp-clean never
+    # coincided)
+    t0 = time.perf_counter()
+    pagerank(edges, iterations=3, prepared=g, shuffle_aggregate=True)
+    queries["pagerank_ds_shuffle_3"] = round(time.perf_counter() - t0, 3)
 
     # ---- distributed dictionary encodes (the 10^12-file paths) ----
     t0 = time.perf_counter()
