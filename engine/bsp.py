@@ -309,14 +309,17 @@ class ShardActor:
 
     # ---- BFS hop distance (min-plus over the same combine structure) ----
 
-    def bfs_begin(self, source_vid: int) -> None:
-        """Init single-source BFS: distances live in ``label`` (the CC
+    def bfs_begin(self, source_vid) -> None:
+        """Init BFS from one source vid or an array of them (multi-source
+        BFS = distance-to-nearest-landmark, the primitive under landmark /
+        seed-set distance sketches): distances live in ``label`` (the CC
         min-label machinery is reused verbatim for the emit half —
         min-plus propagation is min-label with a +1 on apply). Sentinel
         ``n_total`` marks unreached (hop counts are < n_total always)."""
         self.label = np.full(self.n_owned, self.n_total, dtype=np.int64)
-        if source_vid % self.P == self.sid:
-            self.label[source_vid // self.P] = 0
+        srcs = np.atleast_1d(np.asarray(source_vid, dtype=np.int64))
+        mine = srcs[srcs % self.P == self.sid]
+        self.label[mine // self.P] = 0
 
     def apply_min_dist(self, refs: list) -> int:
         """BFS apply: dist = min(dist, min over in-neighbors of dist + 1).
@@ -794,28 +797,32 @@ class BSPGraph:
 
     def bfs(
         self,
-        source_vid: int,
+        source_vid,
         max_iters: int = 10_000,
         assume_symmetric: bool = False,
     ) -> tuple[ray.data.Dataset, int]:
-        """Single-source BFS hop distances (min-plus label propagation to
+        """BFS hop distances from one source vid or an array of them
+        (multi-source: dist = hops to the NEAREST source — the landmark /
+        seed-set distance primitive); min-plus label propagation to
         fixpoint on the same static combine structure as CC — each round
         is two actor waves, O(E/P + distinct-dst/P) per shard, no driver
-        vertex state). Requires symmetric_copy=True for undirected
+        vertex state. Requires symmetric_copy=True for undirected
         semantics. Returns (Dataset (vid, label=dist; unreached carry the
-        sentinel n), rounds). ``rounds - 1`` is the source's eccentricity
-        within its component (the last round confirms the fixpoint).
+        sentinel n), rounds). ``rounds - 1`` is the eccentricity of the
+        source set within its components (the last round confirms the
+        fixpoint).
 
         NOTE: distances live in the shared per-vertex ``label`` state (the
         same array CC / LPA use and checkpoints restore) — run BFS on its
         own BSPGraph, or expect a subsequent CC/LPA on this instance to
         start from distances instead of identity labels."""
         self._require_symmetric("bfs()", assume_symmetric)
-        if not (0 <= source_vid < self.n):
+        srcs = np.atleast_1d(np.asarray(source_vid, dtype=np.int64))
+        if srcs.size == 0 or not ((srcs >= 0) & (srcs < self.n)).all():
             # a negative vid would silently mark shard P-1's LAST owned
             # vertex as the source (python modulo/fancy-index semantics)
-            raise ValueError(f"source_vid {source_vid} out of range [0, {self.n})")
-        ray.get([a.bfs_begin.remote(source_vid) for a in self.actors])
+            raise ValueError(f"source vids {srcs} out of range [0, {self.n})")
+        ray.get([a.bfs_begin.remote(srcs) for a in self.actors])
         rounds = 0
         while rounds < max_iters:
             rounds += 1

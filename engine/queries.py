@@ -246,6 +246,67 @@ def bfs_hops(sf_dir: str) -> ray.data.Dataset:
     return ds.map_batches(decode, batch_format="pyarrow")
 
 
+def degree_histogram(sf_dir: str) -> ray.data.Dataset:
+    """Out-degree histogram (outdeg, n_vertices) of the distinct edge
+    graph — the graph-profile pass (power-law check, partitioner input):
+    per-batch partial np.bincount over the out-degree table, tiny groupby
+    Sum; sinks (no out-edges) absent on both sides."""
+    from ray.data.aggregate import Sum
+
+    deg = out_degree(sf_dir)
+
+    def part(t: pa.Table) -> pa.Table:
+        d = t.column("outdeg").to_numpy(zero_copy_only=False)
+        cnt = np.bincount(d)
+        nz = np.flatnonzero(cnt)
+        return pa.table(
+            {
+                "outdeg": pa.array(nz.astype(np.int64)),
+                "n_vertices": pa.array(cnt[nz].astype(np.int64)),
+            }
+        )
+
+    return (
+        deg.map_batches(part, batch_format="pyarrow")
+        .groupby("outdeg")
+        .aggregate(Sum("n_vertices", alias_name="n_vertices"))
+    )
+
+
+def bfs_multi3(sf_dir: str) -> ray.data.Dataset:
+    """Multi-source BFS (distance to the NEAREST of the 3 smallest vertex
+    ids — the landmark-distance primitive) on the BSP shard actors; same
+    min-plus machinery and unrolled-SQL oracle shape as bfs_hops,
+    unreached vertices omitted on both sides."""
+    from .bsp import BSPGraph
+
+    edges, ids, enc, n, _ = _graph_arrays(sf_dir)
+    g = BSPGraph(enc, n=n, num_shards=4, symmetric_copy=True)
+    # dense vids 0,1,2 == the 3 smallest original ids (sorted dictionary)
+    ds, rounds = g.bfs(source_vid=np.array([0, 1, 2]))
+    g.shutdown()
+    if rounds - 1 > _BFS_ORACLE_ROUNDS:
+        raise RuntimeError(
+            f"bfs_multi3 needed {rounds - 1} propagation rounds but the SQL "
+            f"oracle unrolls only {_BFS_ORACLE_ROUNDS} — raise "
+            "_BFS_ORACLE_ROUNDS"
+        )
+    ids_int = ids.astype(np.int64)
+
+    def decode(t: pa.Table) -> pa.Table:
+        vid = t.column("vid").to_numpy(zero_copy_only=False).astype(np.int64)
+        dist = t.column("label").to_numpy(zero_copy_only=False)
+        reached = dist < n  # sentinel n = unreached
+        return pa.table(
+            {
+                "vid": pa.array(ids_int[vid[reached]], type=pa.int64()),
+                "dist": pa.array(dist[reached], type=pa.int64()),
+            }
+        )
+
+    return ds.map_batches(decode, batch_format="pyarrow")
+
+
 def sssp_weighted(sf_dir: str) -> ray.data.Dataset:
     """Single-source WEIGHTED shortest paths (distributed Bellman-Ford on
     the BSP shard actors — min-plus to fixpoint, two actor waves per
@@ -1409,22 +1470,25 @@ def _hits_unrolled_sql(iters: int) -> str:
     )
 
 
-def _bfs_unrolled_sql(rounds: int) -> str:
-    """DuckDB oracle for single-source BFS from the smallest vertex id:
-    ``rounds`` unrolled min-plus steps (dist_{k} = min(dist_{k-1}, 1 +
-    min over in-neighbors' dist_{k-1})) over the symmetrized edge set.
-    NULL = unreached (MIN ignores NULLs; an all-NULL group stays NULL),
-    so the final projection drops unreached vertices — matching the
-    engine's sentinel filter. Fixpoints are stable, so extra rounds are
-    no-ops whenever the true eccentricity ≤ ``rounds`` (guarded at query
-    time in bfs_hops)."""
+def _bfs_unrolled_sql(rounds: int, source_pred: str | None = None) -> str:
+    """DuckDB oracle for BFS from the smallest vertex id (default) or any
+    SQL source predicate over ``vid`` (multi-source = distance to the
+    nearest matching source): ``rounds`` unrolled min-plus steps
+    (dist_{k} = min(dist_{k-1}, 1 + min over in-neighbors' dist_{k-1}))
+    over the symmetrized edge set. NULL = unreached (MIN ignores NULLs;
+    an all-NULL group stays NULL), so the final projection drops
+    unreached vertices — matching the engine's sentinel filter. Fixpoints
+    are stable, so extra rounds are no-ops whenever the true eccentricity
+    ≤ ``rounds`` (guarded at query time in bfs_hops / bfs_multi3)."""
+    if source_pred is None:
+        source_pred = "vid = (SELECT MIN(vid) FROM v)"
     parts = [
         f"""e AS MATERIALIZED (SELECT DISTINCT l_orderkey AS src,
                  l_partkey + {PART_OFFSET} AS dst FROM lineitem),
         ue AS MATERIALIZED (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
         v AS MATERIALIZED (SELECT src AS vid FROM e UNION SELECT dst FROM e),
         d0 AS MATERIALIZED (SELECT vid,
-                 CASE WHEN vid = (SELECT MIN(vid) FROM v) THEN 0 END AS dist
+                 CASE WHEN {source_pred} THEN 0 END AS dist
                  FROM v)"""
     ]
     for k in range(1, rounds + 1):
@@ -2047,6 +2111,14 @@ ORACLE_SQL: dict[str, str] = {
                         l_partkey + {PART_OFFSET} AS dst FROM lineitem)
         SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src
     """,
+    "degree_histogram": f"""
+        WITH e AS (SELECT DISTINCT l_orderkey AS src,
+                        l_partkey + {PART_OFFSET} AS dst FROM lineitem),
+             d AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src)
+        SELECT CAST(outdeg AS BIGINT) AS outdeg,
+               CAST(COUNT(*) AS BIGINT) AS n_vertices
+        FROM d GROUP BY 1
+    """,
     "sinks": f"""
         WITH e AS (SELECT DISTINCT l_orderkey AS src,
                         l_partkey + {PART_OFFSET} AS dst FROM lineitem),
@@ -2083,6 +2155,10 @@ ORACLE_SQL: dict[str, str] = {
     "cc_labels": _cc_unrolled_sql(14),  # depth guarded in cc_labels()
     "bfs_hops": _bfs_unrolled_sql(_BFS_ORACLE_ROUNDS),  # depth guarded
     "sssp_weighted": _sssp_unrolled_sql(_SSSP_ORACLE_ROUNDS),  # depth guarded
+    "bfs_multi3": _bfs_unrolled_sql(
+        _BFS_ORACLE_ROUNDS,
+        source_pred="vid IN (SELECT vid FROM v ORDER BY vid LIMIT 3)",
+    ),  # depth guarded in bfs_multi3
     "hits_3": _hits_unrolled_sql(3),
     "wpr10": _wpr_unrolled_sql(10),
     "triangles_tripartite": f"""
@@ -2817,6 +2893,8 @@ QUERIES = {
     "sssp_weighted": sssp_weighted,
     "embedding_centroids": embedding_centroids,
     "cms_registers_tokens": cms_registers_tokens,
+    "degree_histogram": degree_histogram,
+    "bfs_multi3": bfs_multi3,
     # -- green in r3, fell outside r4's 50-row window --
     "orders_enriched": orders_enriched,
     "events_lag": events_lag,

@@ -749,3 +749,23 @@ def test_vertex_ids_mixed_integer_widths():
         )
     )
     assert G.vertex_ids(edges).tolist() == [1, 2, 3]
+
+
+def test_bfs_multi_source_nearest_landmark():
+    """Multi-source BFS = hop distance to the NEAREST source: seeding a
+    path end and an isolated pair covers both components in one run;
+    single-source behavior is unchanged (the suite's other bfs tests)."""
+    edges = [(0, 1), (1, 2), (2, 3), (3, 4), (4, 5), (20, 21)]
+    g, ids = _bsp_from_edges(edges)
+    assert list(ids) == [0, 1, 2, 3, 4, 5, 20, 21]
+    ds, rounds = g.bfs(source_vid=np.array([0, 6]))  # dense vids: ids 0, 20
+    n = len(ids)
+    df = ds.to_pandas()
+    got = {int(ids[v]): int(d) for v, d in zip(df["vid"], df["label"]) if d < n}
+    assert got == {0: 0, 1: 1, 2: 2, 3: 3, 4: 4, 5: 5, 20: 0, 21: 1}
+    assert rounds == 6  # ecc-from-source-set 5 + the no-change pass
+    with pytest.raises(ValueError, match="out of range"):
+        g.bfs(source_vid=np.array([], dtype=np.int64))
+    with pytest.raises(ValueError, match="out of range"):
+        g.bfs(source_vid=np.array([0, 99]))
+    g.shutdown()
