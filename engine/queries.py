@@ -1161,6 +1161,19 @@ def token_histogram(sf_dir: str) -> ray.data.Dataset:
     return _th(ds, bin_width=50)
 
 
+def token_percentiles_by_source(sf_dir: str) -> ray.data.Dataset:
+    """Per-source exact token-count percentiles (p50/p90/p99,
+    percentile_disc) — one global (source, n) sort; the driver touches
+    only per-block run-length summaries and 3 single-row picks per
+    source."""
+    from .textstats import grouped_token_percentiles
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["text", "source"]
+    )
+    return grouped_token_percentiles(ds, group_col="source")
+
+
 def cms_registers_tokens(sf_dir: str) -> ray.data.Dataset:
     """Count-min sketch (depth 4 × width 1024) of document token
     frequencies — the bounded-state frequency sketch; registers are
@@ -2289,6 +2302,19 @@ ORACLE_SQL: dict[str, str] = {
                           WHEN 'src4' THEN 0
                           ELSE 100000 END
     """,
+    "token_percentiles_by_source": r"""
+        WITH n AS (SELECT source,
+                        len(regexp_split_to_array(trim(text), '\s+')) AS n
+                   FROM documents)
+        SELECT source,
+               CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY n)
+                    AS BIGINT) AS p50,
+               CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY n)
+                    AS BIGINT) AS p90,
+               CAST(percentile_disc(0.99) WITHIN GROUP (ORDER BY n)
+                    AS BIGINT) AS p99
+        FROM n GROUP BY source
+    """,
     "cms_registers_tokens": r"""
         WITH tok AS MATERIALIZED (
             SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS t
@@ -2895,6 +2921,7 @@ QUERIES = {
     "cms_registers_tokens": cms_registers_tokens,
     "degree_histogram": degree_histogram,
     "bfs_multi3": bfs_multi3,
+    "token_percentiles_by_source": token_percentiles_by_source,
     # -- green in r3, fell outside r4's 50-row window --
     "orders_enriched": orders_enriched,
     "events_lag": events_lag,

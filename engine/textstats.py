@@ -904,3 +904,95 @@ def epoch_shuffle(
 
     out_refs = [emit.remote(r, int(o)) for r, o in zip(refs, offsets)]
     return ray.data.from_arrow_refs(out_refs)
+
+
+def grouped_token_percentiles(
+    docs: ray.data.Dataset,
+    group_col: str = "source",
+    qs: tuple = (0.5, 0.9, 0.99),
+    text_col: str = "text",
+) -> ray.data.Dataset:
+    """Per-group exact token-count percentiles (percentile_disc
+    semantics) — the grouped generalization of token_count_percentiles:
+    ONE global sort by (group, n), then the driver reads only per-block
+    RUN-LENGTH summaries of the group column (O(blocks ×
+    groups-per-block) tiny rows, never data) and issues one single-row
+    remote pick per (group, quantile). No per-group shuffle, no group
+    materialization; a group of any size costs the same driver state.
+    Null texts are excluded (SQL percentile_disc ignores NULLs); a group
+    whose texts are ALL null is absent from the output (the SQL side
+    would emit a NULL row — don't feed one)."""
+
+    def nt(t: pa.Table) -> pa.Table:
+        texts = t.column(text_col).to_pylist()
+        gg = t.column(group_col).to_pylist()
+        n, g = [], []
+        for x, s in zip(texts, gg):
+            if x is not None:
+                n.append(len(re.split(r"\s+", x.strip())))
+                g.append(s)
+        return pa.table(
+            {
+                "g": pa.array(g, type=pa.string()),
+                "n": pa.array(n, type=pa.int64()),
+            }
+        )
+
+    s = (
+        docs.map_batches(nt, batch_format="pyarrow")
+        .sort(["g", "n"])
+        .materialize()
+    )
+
+    @ray.remote
+    def block_group_runs(tbl: pa.Table):
+        """Run-length (group, count) of one sorted block."""
+        arr = np.asarray(tbl.column("g").to_pylist(), dtype=object)
+        if len(arr) == 0:
+            return [], []
+        new = np.ones(len(arr), dtype=bool)
+        new[1:] = arr[1:] != arr[:-1]
+        starts = np.flatnonzero(new)
+        counts = np.diff(np.append(starts, len(arr))).astype(np.int64)
+        return arr[starts].tolist(), counts.tolist()
+
+    refs = []
+    for rb in s.iter_internal_ref_bundles():
+        for blk, meta in rb.blocks:
+            if meta.num_rows:
+                refs.append(blk)
+    runs = ray.get([block_group_runs.remote(r) for r in refs])
+    # per-group spans in global sorted order: (block idx, start row, count)
+    spans: dict = {}
+    for bi, (vals, counts) in enumerate(runs):
+        row = 0
+        for v, c in zip(vals, counts):
+            spans.setdefault(v, []).append((bi, row, c))
+            row += c
+    if not spans:
+        raise ValueError(
+            "grouped_token_percentiles: empty population (no non-null text)"
+        )
+
+    @ray.remote
+    def pick(tbl: pa.Table, row: int) -> int:
+        return int(tbl.column("n")[row].as_py())
+
+    pending = {}
+    for gval, sp in sorted(spans.items()):
+        cum = np.cumsum([0] + [c for _, _, c in sp])
+        total = int(cum[-1])
+        for q in qs:
+            # percentile_disc: value at cumulative count ceil(q * total)
+            idx = max(0, int(np.ceil(q * total)) - 1)
+            j = int(np.searchsorted(cum, idx, side="right")) - 1
+            bi, start, _ = sp[j]
+            pending[(gval, q)] = pick.remote(refs[bi], start + idx - int(cum[j]))
+    resolved = dict(zip(pending.keys(), ray.get(list(pending.values()))))
+    groups = sorted(spans)
+    cols: dict = {group_col: pa.array(groups, type=pa.string())}
+    for q in qs:
+        cols[f"p{int(q * 100)}"] = pa.array(
+            [resolved[(g, q)] for g in groups], type=pa.int64()
+        )
+    return ray.data.from_arrow(pa.table(cols))

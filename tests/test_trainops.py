@@ -1051,3 +1051,41 @@ def test_cms_registers_and_estimate_properties():
             assert est == cnt
     # absent token estimates only collision mass (possibly 0)
     assert cms_estimate(regs, "absent-token", depth=depth, width=width) >= 0
+
+
+def test_grouped_token_percentiles_brute_and_partition_stable():
+    """grouped_token_percentiles vs a driver brute-force percentile_disc
+    per group (smallest value with cumulative count >= ceil(q*total)),
+    including a group of size 1 and null-text exclusion."""
+    import re as _re
+
+    rng = np.random.default_rng(9)
+    groups = ["a"] * 17 + ["b"] * 30 + ["c"]
+    texts = ["w " * int(k) for k in rng.integers(1, 40, len(groups))]
+    texts[3] = None  # null text in group a: excluded from its population
+    tbl = pa.table(
+        {
+            "source": pa.array(groups, type=pa.string()),
+            "text": pa.array(texts, type=pa.string()),
+        }
+    )
+    want = {}
+    by_g: dict = {}
+    for g, t in zip(groups, texts):
+        if t is not None:
+            by_g.setdefault(g, []).append(len(_re.split(r"\s+", t.strip())))
+    for g, ns in by_g.items():
+        ns.sort()
+        row = {}
+        for q in (0.5, 0.9, 0.99):
+            row[f"p{int(q * 100)}"] = ns[max(0, int(np.ceil(q * len(ns))) - 1)]
+        want[g] = row
+
+    for parts in (1, 6):
+        ds = ray.data.from_arrow(tbl).repartition(parts)
+        df = textstats.grouped_token_percentiles(ds).to_pandas()
+        got = {
+            r["source"]: {k: int(r[k]) for k in ("p50", "p90", "p99")}
+            for _, r in df.iterrows()
+        }
+        assert got == want
