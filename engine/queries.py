@@ -1174,6 +1174,18 @@ def token_percentiles_by_source(sf_dir: str) -> ray.data.Dataset:
     return grouped_token_percentiles(ds, group_col="source")
 
 
+def length_band_docs(sf_dir: str) -> ray.data.Dataset:
+    """Per-source length-band curation: docs whose token count is within
+    their own source's [p5, p95] (percentile_disc) band — grouped
+    percentile profile → tiny broadcast → streamed filter."""
+    from .textstats import length_band_filter
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]
+    )
+    return length_band_filter(ds, group_col="source", lo=0.05, hi=0.95)
+
+
 def cms_registers_tokens(sf_dir: str) -> ray.data.Dataset:
     """Count-min sketch (depth 4 × width 1024) of document token
     frequencies — the bounded-state frequency sketch; registers are
@@ -2302,6 +2314,20 @@ ORACLE_SQL: dict[str, str] = {
                           WHEN 'src4' THEN 0
                           ELSE 100000 END
     """,
+    "length_band_docs": r"""
+        WITH n AS MATERIALIZED (
+            SELECT doc_id, source,
+                   len(regexp_split_to_array(trim(text), '\s+')) AS n
+            FROM documents WHERE text IS NOT NULL),
+        b AS MATERIALIZED (
+            SELECT source,
+                   percentile_disc(0.05) WITHIN GROUP (ORDER BY n) AS lo,
+                   percentile_disc(0.95) WITHIN GROUP (ORDER BY n) AS hi
+            FROM n GROUP BY source)
+        SELECT n.doc_id, CAST(n.n AS BIGINT) AS n_tokens
+        FROM n JOIN b USING (source)
+        WHERE n.n BETWEEN b.lo AND b.hi
+    """,
     "token_percentiles_by_source": r"""
         WITH n AS (SELECT source,
                         len(regexp_split_to_array(trim(text), '\s+')) AS n
@@ -2922,6 +2948,7 @@ QUERIES = {
     "degree_histogram": degree_histogram,
     "bfs_multi3": bfs_multi3,
     "token_percentiles_by_source": token_percentiles_by_source,
+    "length_band_docs": length_band_docs,
     # -- green in r3, fell outside r4's 50-row window --
     "orders_enriched": orders_enriched,
     "events_lag": events_lag,

@@ -996,3 +996,52 @@ def grouped_token_percentiles(
             [resolved[(g, q)] for g in groups], type=pa.int64()
         )
     return ray.data.from_arrow(pa.table(cols))
+
+
+def length_band_filter(
+    docs: ray.data.Dataset,
+    group_col: str = "source",
+    lo: float = 0.05,
+    hi: float = 0.95,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> ray.data.Dataset:
+    """Per-group length-band curation filter: keep documents whose token
+    count lies within their OWN group's [p_lo, p_hi] band — the trim pass
+    a curation pipeline runs so one verbose source doesn't set the whole
+    corpus's cut. Composition of the house patterns: the grouped
+    percentile profile (one sort, driver sees O(groups) rows) → one
+    ``ray.put`` broadcast of the tiny {group: (lo, hi)} dict → a
+    stateless streamed filter. Output: (id_col, n_tokens) for kept docs;
+    null texts are dropped (they have no length)."""
+    pct = grouped_token_percentiles(
+        docs, group_col=group_col, qs=(lo, hi), text_col=text_col
+    )
+    klo, khi = f"p{int(lo * 100)}", f"p{int(hi * 100)}"
+    band = {
+        r[group_col]: (int(r[klo]), int(r[khi])) for r in pct.take_all()
+    }
+    band_ref = ray.put(band)
+
+    def keep(t: pa.Table) -> pa.Table:
+        b = ray.get(band_ref)
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        gg = t.column(group_col).to_pylist()
+        texts = t.column(text_col).to_pylist()
+        out_id, out_n = [], []
+        for i, (g, x) in enumerate(zip(gg, texts)):
+            if x is None:
+                continue
+            n = len(re.split(r"\s+", x.strip()))
+            lo_g, hi_g = b[g]
+            if lo_g <= n <= hi_g:
+                out_id.append(int(ids[i]))
+                out_n.append(n)
+        return pa.table(
+            {
+                id_col: pa.array(out_id, type=pa.int64()),
+                "n_tokens": pa.array(out_n, type=pa.int64()),
+            }
+        )
+
+    return docs.map_batches(keep, batch_format="pyarrow")

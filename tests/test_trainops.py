@@ -1089,3 +1089,46 @@ def test_grouped_token_percentiles_brute_and_partition_stable():
             for _, r in df.iterrows()
         }
         assert got == want
+
+
+def test_length_band_filter_brute():
+    """length_band_filter vs a driver brute force: per-group disc
+    percentile band, inclusive bounds, null texts dropped, groups
+    independent (a verbose group keeps its own long docs)."""
+    import re as _re
+
+    rng = np.random.default_rng(13)
+    rows = []
+    for i in range(60):
+        g = "short" if i % 2 == 0 else "long"
+        k = int(rng.integers(1, 12)) if g == "short" else int(rng.integers(50, 200))
+        rows.append((i, g, "w " * k))
+    rows.append((900, "short", None))
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], type=pa.int64()),
+            "source": pa.array([r[1] for r in rows], type=pa.string()),
+            "text": pa.array([r[2] for r in rows], type=pa.string()),
+        }
+    )
+    lo, hi = 0.1, 0.9
+    by_g: dict = {}
+    for i, g, t in rows:
+        if t is not None:
+            by_g.setdefault(g, []).append((i, len(_re.split(r"\s+", t.strip()))))
+    want = {}
+    for g, pairs in by_g.items():
+        ns = sorted(n for _, n in pairs)
+        b_lo = ns[max(0, int(np.ceil(lo * len(ns))) - 1)]
+        b_hi = ns[max(0, int(np.ceil(hi * len(ns))) - 1)]
+        for i, n in pairs:
+            if b_lo <= n <= b_hi:
+                want[i] = n
+
+    ds = ray.data.from_arrow(tbl).repartition(5)
+    df = textstats.length_band_filter(ds, lo=lo, hi=hi).to_pandas()
+    got = dict(zip(df["doc_id"].astype(int), df["n_tokens"].astype(int)))
+    assert got == want
+    # both groups must have survivors (bands are per-group)
+    kept_groups = {("short" if i % 2 == 0 else "long") for i in got if i < 900}
+    assert kept_groups == {"short", "long"}
