@@ -1174,6 +1174,18 @@ def token_percentiles_by_source(sf_dir: str) -> ray.data.Dataset:
     return grouped_token_percentiles(ds, group_col="source")
 
 
+def events_json_field_sum(sf_dir: str) -> ray.data.Dataset:
+    """Per-event-type SUM of the integer JSON field props.k plus row
+    count — semi-structured (JSON string column) extraction: stateless
+    per-batch parse emitting O(types) partial rows, tiny groupby Sum."""
+    from .jsonops import json_field_sum
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "props"]
+    )
+    return json_field_sum(ds, json_col="props", field="k", group_col="event_type")
+
+
 def length_band_docs(sf_dir: str) -> ray.data.Dataset:
     """Per-source length-band curation: docs whose token count is within
     their own source's [p5, p95] (percentile_disc) band — grouped
@@ -2314,6 +2326,14 @@ ORACLE_SQL: dict[str, str] = {
                           WHEN 'src4' THEN 0
                           ELSE 100000 END
     """,
+    "events_json_field_sum": """
+        SELECT event_type,
+               CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT))
+                    AS BIGINT) AS sum_k,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM events WHERE props IS NOT NULL
+        GROUP BY 1
+    """,
     "length_band_docs": r"""
         WITH n AS MATERIALIZED (
             SELECT doc_id, source,
@@ -2949,6 +2969,7 @@ QUERIES = {
     "bfs_multi3": bfs_multi3,
     "token_percentiles_by_source": token_percentiles_by_source,
     "length_band_docs": length_band_docs,
+    "events_json_field_sum": events_json_field_sum,
     # -- green in r3, fell outside r4's 50-row window --
     "orders_enriched": orders_enriched,
     "events_lag": events_lag,

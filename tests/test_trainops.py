@@ -1132,3 +1132,35 @@ def test_length_band_filter_brute():
     # both groups must have survivors (bands are per-group)
     kept_groups = {("short" if i % 2 == 0 else "long") for i in got if i < 900}
     assert kept_groups == {"short", "long"}
+
+
+def test_json_field_sum_brute_and_partition_stable():
+    """json_field_sum vs a driver brute force: null JSON excluded,
+    missing/null field counts the row but adds 0 (matching SQL SUM over
+    NULL), partials combine exactly across partitionings."""
+    from engine.jsonops import json_field_sum
+
+    rows = [
+        ("a", '{"k": 5}'),
+        ("a", '{"k": -2}'),
+        ("a", None),
+        ("b", '{"k": 0}'),
+        ("b", '{"other": 9}'),
+        ("b", '{"k": null}'),
+        ("c", '{"k": 1000000}'),
+    ]
+    tbl = pa.table(
+        {
+            "event_type": pa.array([r[0] for r in rows], type=pa.string()),
+            "props": pa.array([r[1] for r in rows], type=pa.string()),
+        }
+    )
+    want = {"a": (3, 2), "b": (0, 3), "c": (1000000, 1)}
+    for parts in (1, 4):
+        ds = ray.data.from_arrow(tbl).repartition(parts)
+        df = json_field_sum(ds).to_pandas()
+        got = {
+            r["event_type"]: (int(r["sum_k"]), int(r["n_events"]))
+            for _, r in df.iterrows()
+        }
+        assert got == want
