@@ -1,7 +1,7 @@
 """CLI driver — the ``ray job submit`` entrypoint (north-rule N10).
 
     python -m engine.cli run --input <corpus_dir_or_snap_file> \
-        --algo pagerank|cc|lpa|triangles|kcore|bfs|hits \
+        --algo pagerank|cc|lpa|triangles|kcore|bfs|sssp|hits \
         [--engine bsp|dataset] [--iterations K | --eps 1e-6] \
         [--stop ref [--freeze-delta 1e-16]] \
         [--ckpt DIR] [--out DIR] [--shards P] [--top-k 10]
@@ -174,11 +174,11 @@ def cmd_run(args) -> int:
         from .triangles import triangle_count
 
         report.update(n_triangles=triangle_count(edges))
-    elif args.algo == "bfs":
+    elif args.algo in ("bfs", "sssp"):
         import numpy as np
 
         from . import graph as G
-        from .bsp import BSPGraph
+        from .bsp import BSPGraph, SSSP_SENTINEL
 
         ids = G.vertex_ids(edges)
         enc = G.encode_edges(edges, ids)
@@ -191,22 +191,29 @@ def cmd_run(args) -> int:
             if src_dense >= len(ids) or int(ids[src_dense]) != args.source:
                 print(f"--source {args.source} is not a vertex", file=sys.stderr)
                 return 2
-        ds, rounds = g.bfs(source_vid=src_dense)
+        if args.algo == "bfs":
+            ds, rounds = g.bfs(source_vid=src_dense)
+            sentinel = len(ids)  # BFS: hop counts are < n
+        else:
+            ds, rounds = g.sssp(source_vid=src_dense)
+            sentinel = int(SSSP_SENTINEL)
         g.shutdown()
-        n = len(ids)
         import pyarrow as pa
         import pyarrow.compute as pc
 
         reached = ds.map_batches(
-            lambda t: t.filter(pc.less(t.column("label"), pa.scalar(n))),
+            lambda t: t.filter(
+                pc.less(t.column("label"), pa.scalar(sentinel))
+            ),
             batch_format="pyarrow",
         )
         report.update(
             source=int(ids[src_dense]),
             rounds=rounds,
-            eccentricity=rounds - 1,
             reached=int(reached.count()),
         )
+        if args.algo == "bfs":
+            report["eccentricity"] = rounds - 1
         if args.out:
             import ray as _ray
 
@@ -280,7 +287,7 @@ def main(argv=None) -> int:
     r.add_argument("--input", required=True)
     r.add_argument("--algo", default="pagerank",
                    choices=["pagerank", "cc", "lpa", "triangles", "kcore",
-                            "bfs", "hits"])
+                            "bfs", "sssp", "hits"])
     r.add_argument("--engine", default="bsp", choices=["bsp", "dataset"])
     r.add_argument("--iterations", type=int, default=None)
     r.add_argument("--eps", type=float, default=None)
@@ -291,7 +298,7 @@ def main(argv=None) -> int:
     r.add_argument("--k", type=int, default=3,
                    help="core order for --algo kcore")
     r.add_argument("--source", type=int, default=None,
-                   help="source vertex id for --algo bfs (default: "
+                   help="source vertex id for --algo bfs/sssp (default: "
                         "smallest id)")
     r.add_argument("--salted", action="store_true")
     r.add_argument("--resumable", action="store_true",
