@@ -843,9 +843,17 @@ def run_hunt() -> dict:
         return json.loads(p.stdout.strip().splitlines()[-1])
 
     quick_first = os.environ.get("GRAFT_HUNT_QUICK", "1") == "1"
+    # Cooperative pause: while this file exists, the hunt launches NO Ray
+    # children (probe or bench) — lets a dev session run pytest / parity
+    # checks in the same window without ever having two Ray workloads up
+    # (the CLAUDE.md hard rule). Touch to pause, remove to resume.
+    pause_lock = os.environ.get("GRAFT_HUNT_PAUSE_LOCK", "/tmp/graft_dev.lock")
     best_quick = None
     probes = attempts = 0
     while time.time() < deadline:
+        if os.path.exists(pause_lock):
+            time.sleep(15)
+            continue
         # a transient probe failure (Ray init hiccup in a contended
         # window — exactly what the hunt exists to wait out) must not
         # abort the multi-hour hunt; log it and retry next interval.

@@ -1,0 +1,152 @@
+"""Distributed grouped NTILE — equi-depth bucketing per key, the SQL
+``NTILE(k) OVER (PARTITION BY key ORDER BY ...)`` window function, used
+in curation to band documents into per-source quantile buckets without
+computing explicit percentile cut points.
+
+Design (no per-group materialization — a single key may exceed a
+machine at 100 TB, so ``groupby().map_groups`` is the wrong shape):
+
+1. global ``sort(key, order...)`` — rows of one key are contiguous,
+   possibly spanning blocks.
+2. per-block boundary metadata (first_key, first_run_len, last_key,
+   last_run_len, n_rows) — tiny tuples, same as ``topk_per_group``.
+3. the driver chains the tuples into, per block, the RANK OFFSET of its
+   leading run plus the GLOBAL TOTALS of its first and last keys (runs
+   interior to a block never need driver help — their rank offset is 0
+   and their total is the local run length).
+4. per-block vectorized emit: within-key rank = local run position
+   (+ leading offset), ntile via the standard SQL rule (first ``n % k``
+   buckets get one extra row).
+
+O(blocks) driver metadata regardless of key cardinality or skew.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data
+
+from .util import nonempty_block_refs
+
+
+def _ntile_of(rank: np.ndarray, total: np.ndarray, k: int) -> np.ndarray:
+    """1-based NTILE bucket for 0-based ``rank`` within a partition of
+    ``total`` rows: base size total//k, the first total%k buckets hold
+    one extra row (the ANSI / DuckDB rule)."""
+    base = total // k
+    rem = total % k
+    big = rem * (base + 1)  # rows covered by the oversized buckets
+    in_big = rank < big
+    tile = np.where(
+        in_big,
+        rank // np.maximum(base + 1, 1),
+        rem + (rank - big) // np.maximum(base, 1),
+    )
+    return (tile + 1).astype(np.int64)
+
+
+def ntile_per_key(
+    ds: ray.data.Dataset,
+    key_col: str,
+    order_cols: list,
+    k: int = 4,
+    out_col: str = "ntile",
+) -> ray.data.Dataset:
+    """Append a 1..k equi-depth bucket per row within its ``key_col``
+    partition ordered by ``order_cols`` (which must fully order rows
+    within a key for a deterministic result)."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if out_col in ds.schema().names:
+        raise ValueError(f"out_col {out_col!r} already exists in the input")
+    arrow = ds.map_batches(lambda t: t, batch_format="pyarrow")
+    s = arrow.sort([key_col] + list(order_cols)).materialize()
+    refs = nonempty_block_refs(s)
+    sch = ds.schema()
+    out_schema = pa.schema(
+        list(zip(sch.names, sch.types)) + [(out_col, pa.int64())]
+    )
+    if not refs:
+        return ray.data.from_arrow(out_schema.empty_table())
+
+    @ray.remote
+    def block_meta(tbl: pa.Table):
+        keys = tbl.column(key_col).to_numpy(zero_copy_only=False)
+        run_starts = np.flatnonzero(
+            np.concatenate(([True], keys[1:] != keys[:-1]))
+        )
+        n = len(keys)
+        first_len = int(run_starts[1]) if len(run_starts) > 1 else n
+        last_len = n - int(run_starts[-1])
+        return keys[0], first_len, keys[-1], last_len, n
+
+    metas = ray.get([block_meta.remote(r) for r in refs])
+
+    # Driver walk: chain boundary runs across blocks. For every block we
+    # produce (first_offset, first_total, last_total); runs that both
+    # start and end inside one block are resolved locally in emit.
+    nblocks = len(metas)
+    first_offset = [0] * nblocks
+    first_total = [0] * nblocks
+    last_total = [0] * nblocks
+    open_key, open_count, open_members = None, 0, []
+
+    def _close():
+        nonlocal open_key, open_count, open_members
+        for bi, which in open_members:
+            if which == "first":
+                first_total[bi] = open_count
+            else:
+                last_total[bi] = open_count
+        open_key, open_count, open_members = None, 0, []
+
+    for i, (fk, fl, lk, ll, n) in enumerate(metas):
+        single = fl == n  # whole block is one key (then fk == lk)
+        if open_key is not None and open_key == fk:
+            first_offset[i] = open_count
+            open_count += fl
+            open_members.append((i, "first"))
+            if single:
+                open_members.append((i, "last"))
+                continue
+            _close()
+        else:
+            if open_key is not None:
+                _close()
+            if single:
+                open_key, open_count = fk, n
+                open_members = [(i, "first"), (i, "last")]
+                continue
+            first_total[i] = fl  # leading run confined to this block
+        # trailing run may continue into the next block
+        open_key, open_count, open_members = lk, ll, [(i, "last")]
+    if open_key is not None:
+        _close()
+
+    @ray.remote
+    def emit(tbl: pa.Table, f_off: int, f_tot: int, l_tot: int) -> pa.Table:
+        keys = tbl.column(key_col).to_numpy(zero_copy_only=False)
+        n = len(keys)
+        new_run = np.concatenate(([True], keys[1:] != keys[:-1]))
+        idx = np.arange(n, dtype=np.int64)
+        run_start = np.maximum.accumulate(np.where(new_run, idx, 0))
+        rank = idx - run_start
+        # run length per row (local), then boundary overrides
+        starts = np.flatnonzero(new_run)
+        lens = np.diff(np.concatenate([starts, [n]]))
+        total = np.repeat(lens, lens).astype(np.int64)
+        lead = run_start == 0
+        trail = run_start == starts[-1]
+        rank = rank + np.where(lead, f_off, 0)
+        total = np.where(lead, f_tot, total)
+        total = np.where(trail, l_tot, total)
+        out = tbl.append_column(out_col, pa.array(_ntile_of(rank, total, k)))
+        return out.cast(out_schema)
+
+    out_refs = [
+        emit.remote(r, int(fo), int(ft), int(lt))
+        for r, fo, ft, lt in zip(refs, first_offset, first_total, last_total)
+    ]
+    return ray.data.from_arrow_refs(out_refs)

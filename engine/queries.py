@@ -1186,6 +1186,125 @@ def events_json_field_sum(sf_dir: str) -> ray.data.Dataset:
     return json_field_sum(ds, json_col="props", field="k", group_col="event_type")
 
 
+def _events_cents(sf_dir: str) -> ray.data.Dataset:
+    """(event_id, user_id, ts_us, cents) projection of events — the
+    shared integer-exact shape for the window-function queries."""
+    return ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "value"],
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "event_id": t.column("event_id"),
+                "user_id": t.column("user_id"),
+                "ts_us": pc.cast(t.column("ts"), pa.int64()),
+                "cents": pc.cast(
+                    pc.round(
+                        pc.multiply(t.column("value"), 100.0),
+                        round_mode="half_towards_infinity",
+                    ),
+                    pa.int64(),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def events_rolling_sum5(sf_dir: str) -> ray.data.Dataset:
+    """Rolling 5-event window sum of value-cents per user (the SQL
+    ``SUM(v) OVER (PARTITION BY user ORDER BY ts, id ROWS BETWEEN 4
+    PRECEDING AND CURRENT ROW)``): one global sort + per-block
+    cumsum-diff with O(blocks × window) driver metadata."""
+    from .windows import rolling_sum_per_key
+
+    return rolling_sum_per_key(
+        _events_cents(sf_dir),
+        key_col="user_id",
+        order_col="ts_us",
+        value_col="cents",
+        window=5,
+        out_col="rolling_cents",
+        tie_col="event_id",
+    )
+
+
+def events_latest_per_user(sf_dir: str) -> ray.data.Dataset:
+    """Latest-record compaction (CDC upsert semantics): per user the
+    single most recent event by (ts, event_id) — grouped top-1 via the
+    per-batch k-prune combiner, never a per-group materialization."""
+    from .topk import topk_per_group
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type"],
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "event_id": t.column("event_id"),
+                "user_id": t.column("user_id"),
+                "ts_us": pc.cast(t.column("ts"), pa.int64()),
+                "event_type": t.column("event_type"),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return topk_per_group(ev, key_col="user_id", order_col="ts_us", k=1)
+
+
+def doc_ntile4(sf_dir: str) -> ray.data.Dataset:
+    """Per-source NTILE(4) equi-depth length bands over documents —
+    distributed grouped NTILE from sorted-block boundary metadata (no
+    per-group materialization; a 100-TB source stays sharded)."""
+    from .ntile import ntile_per_key
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "n_chars"]
+    )
+    return ntile_per_key(
+        docs, key_col="source", order_cols=["n_chars", "doc_id"], k=4,
+        out_col="quartile",
+    )
+
+
+def events_daily_pivot(sf_dir: str) -> ray.data.Dataset:
+    """Pivot / conditional aggregation: per day, one count column per
+    event type plus the exact purchase value-cents sum — per-batch
+    combiner, O(days × blocks) shuffle."""
+    from .summarize import pivot_counts
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"]
+    )
+
+    def day_of(t: pa.Table) -> np.ndarray:
+        us = pc.cast(t.column("ts"), pa.int64()).to_numpy(zero_copy_only=False)
+        return us // 86_400_000_000
+
+    return pivot_counts(
+        ev,
+        day_of,
+        type_col="event_type",
+        types=("click", "error", "purchase", "signup", "view"),
+        group_name="day",
+        value_col="value",
+        value_type="purchase",
+        value_name="purchase_cents",
+    )
+
+
+def winnow_fingerprints(sf_dir: str) -> ray.data.Dataset:
+    """Winnowing (SIGMOD-03) rolling-hash document fingerprints: distinct
+    (doc_id, pos, hash) of each 4-window's rightmost-minimal md5 4-gram
+    hash — stateless map_batches, SQL-exact via md5_number_lower."""
+    from .winnow import winnow_fingerprints as _wf
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return _wf(docs, k=4, w=4)
+
+
 def length_band_docs(sf_dir: str) -> ray.data.Dataset:
     """Per-source length-band curation: docs whose token count is within
     their own source's [p5, p95] (percentile_disc) band — grouped
@@ -2941,12 +3060,93 @@ ORACLE_SQL["bpeish_planted"] = """
     FROM documents
 """
 
+ORACLE_SQL["events_rolling_sum5"] = """
+    SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+           CAST(ROUND(value * 100) AS BIGINT) AS cents,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER (
+                    PARTITION BY user_id
+                    ORDER BY epoch_us(ts), event_id
+                    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS rolling_cents
+    FROM events
+"""
+
+ORACLE_SQL["events_latest_per_user"] = """
+    SELECT event_id, user_id, ts_us, event_type
+    FROM (SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type,
+                 ROW_NUMBER() OVER (PARTITION BY user_id
+                                    ORDER BY epoch_us(ts) DESC, event_id) AS rn
+          FROM events)
+    WHERE rn = 1
+"""
+
+ORACLE_SQL["doc_ntile4"] = """
+    SELECT doc_id, source, n_chars,
+           CAST(NTILE(4) OVER (PARTITION BY source
+                               ORDER BY n_chars, doc_id) AS BIGINT) AS quartile
+    FROM documents
+"""
+
+ORACLE_SQL["events_daily_pivot"] = """
+    SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+           CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+           CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+           CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+           CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+           CAST(SUM(CASE WHEN event_type = 'purchase'
+                         THEN CAST(ROUND(value * 100) AS BIGINT) ELSE 0 END)
+                AS BIGINT) AS purchase_cents
+    FROM events
+    GROUP BY 1
+"""
+
+ORACLE_SQL["winnow_fingerprints"] = """
+    -- winnowing (k=4-gram md5-low-64 mod 2^32 hashes, w=4 windows,
+    -- rightmost minimum per window, distinct selections): the arg-max
+    -- key (2^32 - h) * 2^20 + p orders first by SMALLEST hash then by
+    -- LARGEST position (valid while positions < 2^20 — guarded below)
+    WITH pos AS (
+        -- expression-form generate_series (returns a LIST) + unnest:
+        -- DuckDB 1.0's table-function form rejects lateral column args
+        SELECT doc_id, text,
+               unnest(generate_series(CAST(0 AS BIGINT),
+                                      CAST(length(text) - 4 AS BIGINT))) AS p
+        FROM documents
+        WHERE length(text) >= 4 AND length(text) < 1048576
+    ),
+    grams AS MATERIALIZED (
+        SELECT doc_id, CAST(p AS BIGINT) AS p,
+               CAST(md5_number_lower(substr(text, CAST(p + 1 AS INTEGER), 4))
+                    % 4294967296 AS BIGINT) AS h
+        FROM pos
+    ),
+    sel AS MATERIALIZED (
+        SELECT w.doc_id,
+               max_by(g.p, (4294967296 - g.h) * 1048576 + g.p) AS pos
+        FROM grams w
+        JOIN grams g
+          ON g.doc_id = w.doc_id AND g.p BETWEEN w.p - 3 AND w.p
+        WHERE w.p >= 3
+        GROUP BY w.doc_id, w.p
+    )
+    SELECT DISTINCT s.doc_id, s.pos, g.h AS hash
+    FROM sel s
+    JOIN grams g ON g.doc_id = s.doc_id AND g.p = s.pos
+"""
+
 # Dict order IS the driver's check order, and the driver's correctness
 # harness only checks the FIRST 50 entries.  Ordering policy (round 5):
 # never-driver-checked entries first, then entries whose last green row
 # is oldest, with long-green round-1 veterans rotated to the tail (they
 # remain covered by pytest goldens regardless).
 QUERIES = {
+    # -- new in round-5 session 4 (never driver-checked) --
+    "events_rolling_sum5": events_rolling_sum5,
+    "events_latest_per_user": events_latest_per_user,
+    "doc_ntile4": doc_ntile4,
+    "events_daily_pivot": events_daily_pivot,
+    "winnow_fingerprints": winnow_fingerprints,
     # -- never driver-checked before round 5 --
     "orders_with_lineitems_bloom": orders_with_lineitems_bloom,
     "pricing_summary": pricing_summary,

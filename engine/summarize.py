@@ -26,6 +26,68 @@ from ray.data.aggregate import Sum
 ROUND = 9
 
 
+def pivot_counts(
+    ds: ray.data.Dataset,
+    group_expr,
+    type_col: str,
+    types: tuple,
+    group_name: str = "day",
+    value_col: str | None = None,
+    value_type: str | None = None,
+    value_name: str = "value_cents",
+) -> ray.data.Dataset:
+    """Pivot / conditional aggregation: one row per group, one count
+    column per ``types`` member (``n_<type>``), plus an optional exact
+    integer-cents sum of ``value_col`` restricted to rows of
+    ``value_type``. Rows whose type is outside ``types`` count toward no
+    column (standard CASE WHEN semantics).
+
+    ``group_expr(table) -> int64 array`` computes the group key
+    vectorized (e.g. epoch-day from a timestamp). Same combiner shape as
+    :func:`pricing_summary`: each batch reduces to ≤ |distinct groups in
+    batch| rows before the global groupby, so the shuffle is
+    O(groups × blocks) regardless of input size."""
+    out_cols = [f"n_{t}" for t in types] + (
+        [value_name] if value_col else []
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        grp = np.asarray(group_expr(t), dtype=np.int64)
+        ty = t.column(type_col).to_numpy(zero_copy_only=False)
+        order = np.argsort(grp, kind="stable")
+        gs = grp[order]
+        starts = (
+            np.concatenate(([0], np.flatnonzero(gs[1:] != gs[:-1]) + 1))
+            if len(gs)
+            else np.empty(0, np.int64)
+        )
+        cols = {group_name: pa.array(gs[starts] if len(gs) else gs)}
+        for name in types:
+            ind = (ty == name).astype(np.int64)[order]
+            cols[f"n_{name}"] = pa.array(
+                np.add.reduceat(ind, starts) if len(gs) else ind
+            )
+        if value_col:
+            cents = pc.cast(
+                pc.round(
+                    pc.multiply(t.column(value_col), 100.0),
+                    round_mode="half_towards_infinity",
+                ),
+                pa.int64(),
+            ).to_numpy(zero_copy_only=False)
+            masked = np.where(ty == value_type, cents, 0)[order]
+            cols[value_name] = pa.array(
+                np.add.reduceat(masked, starts) if len(gs) else masked
+            )
+        return pa.table(cols)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(group_name)
+        .aggregate(*[Sum(c, alias_name=c) for c in out_cols])
+    )
+
+
 def pricing_summary(
     li: ray.data.Dataset, ship_cutoff: np.datetime64 | None = None
 ) -> ray.data.Dataset:

@@ -276,6 +276,96 @@ def running_total(
     return ray.data.from_arrow_refs(out_refs)
 
 
+def rolling_sum_per_key(
+    ds: ray.data.Dataset,
+    key_col: str,
+    order_col: str,
+    value_col: str,
+    window: int = 5,
+    out_col: str = "rolling_sum",
+    tie_col: str | None = None,
+) -> ray.data.Dataset:
+    """Distributed rolling-window aggregate: for each row, the sum of
+    ``value_col`` over the current row and the ``window - 1`` preceding
+    rows of the SAME key, ordered by (``order_col``, ``tie_col``) — the
+    window SQL ``SUM(v) OVER (PARTITION BY key ORDER BY o ROWS BETWEEN
+    window-1 PRECEDING AND CURRENT ROW)``.
+
+    Same house pattern as :func:`running_total` / ``lag_per_key``: one
+    global sort by (key, order), then per-block vectorized cumsum-diff;
+    the only cross-block state is each block's last ``window - 1``
+    (key, value) rows, shipped to the driver as tiny tuples and chained
+    so a block whose head run starts in ANY earlier block (including
+    runs spanning several tiny blocks) still sees its full lookback.
+    O(blocks × window) driver metadata, never rows. ``value_col`` must
+    be integer (exact under any block split)."""
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    sort_cols = [key_col, order_col] + ([tie_col] if tie_col else [])
+    if out_col in ds.schema().names:
+        raise ValueError(f"out_col {out_col!r} already exists in the input")
+    arrow = ds.map_batches(lambda t: t, batch_format="pyarrow")
+    s = arrow.sort(sort_cols).materialize()
+    refs = nonempty_block_refs(s)
+    sch = ds.schema()
+    out_schema = pa.schema(
+        list(zip(sch.names, sch.types)) + [(out_col, pa.int64())]
+    )
+    if not refs:
+        return ray.data.from_arrow(out_schema.empty_table())
+    lookback = window - 1
+
+    @ray.remote
+    def tail_rows(tbl: pa.Table):
+        """Last min(n, window-1) (key, value) pairs — tiny by construction."""
+        t = tbl.slice(max(0, len(tbl) - lookback))
+        return (
+            t.column(key_col).to_numpy(zero_copy_only=False),
+            t.column(value_col).to_numpy(zero_copy_only=False).astype(np.int64),
+        )
+
+    if lookback:
+        tails = ray.get([tail_rows.remote(r) for r in refs])
+        # carry for block i = last (window-1) rows of ALL earlier blocks;
+        # concatenating the per-block tails is exact because a block
+        # shorter than the lookback contributes its whole content
+        carries = []
+        for i in range(len(refs)):
+            if i == 0:
+                carries.append((np.zeros(0, np.int64), np.zeros(0, np.int64)))
+                continue
+            ks = np.concatenate([tails[j][0] for j in range(i)])
+            vs = np.concatenate([tails[j][1] for j in range(i)])
+            carries.append((ks[-lookback:], vs[-lookback:]))
+    else:
+        carries = [(np.zeros(0, np.int64), np.zeros(0, np.int64))] * len(refs)
+
+    @ray.remote
+    def emit(tbl: pa.Table, carry_keys, carry_vals) -> pa.Table:
+        keys = tbl.column(key_col).to_numpy(zero_copy_only=False)
+        col = tbl.column(value_col)
+        if col.null_count:
+            col = pc.fill_null(col, 0)
+        vals = col.to_numpy(zero_copy_only=False).astype(np.int64)
+        ncar = len(carry_keys)
+        k = np.concatenate([np.asarray(carry_keys), keys])
+        v = np.concatenate([np.asarray(carry_vals, np.int64), vals])
+        # position of each row within its contiguous same-key run
+        new_run = np.concatenate(([True], k[1:] != k[:-1]))
+        idx = np.arange(len(k), dtype=np.int64)
+        run_rank = idx - np.maximum.accumulate(np.where(new_run, idx, 0))
+        cs = np.cumsum(v)
+        start = idx - np.minimum(run_rank, lookback)
+        roll = cs - np.where(start > 0, cs[start - 1], 0)
+        out = tbl.append_column(out_col, pa.array(roll[ncar:]))
+        return out.cast(out_schema)
+
+    out_refs = [
+        emit.remote(r, ck, cv) for r, (ck, cv) in zip(refs, carries)
+    ]
+    return ray.data.from_arrow_refs(out_refs)
+
+
 def pack_sequences(
     docs_with_tokens: ray.data.Dataset,
     chunk_tokens: int,

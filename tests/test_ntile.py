@@ -1,0 +1,111 @@
+"""Grouped NTILE (engine/ntile.py) + pivot counts (engine/summarize.py)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from engine.ntile import _ntile_of, ntile_per_key
+from engine.summarize import pivot_counts
+
+
+def _ref_ntile(df: pd.DataFrame, key, order, k):
+    """Pandas reference of the ANSI NTILE rule."""
+    out = np.empty(len(df), dtype=np.int64)
+    s = df.sort_values([key] + order).reset_index()
+    for _, g in s.groupby(key):
+        n = len(g)
+        base, rem = n // k, n % k
+        for r, idx in enumerate(g["index"]):
+            if r < rem * (base + 1):
+                out[idx] = r // (base + 1) + 1
+            else:
+                out[idx] = rem + (r - rem * (base + 1)) // max(base, 1) + 1
+    return out
+
+
+def test_ntile_rule_vectorized():
+    # n=10, k=4 → sizes 3,3,2,2
+    rank = np.arange(10)
+    total = np.full(10, 10)
+    np.testing.assert_array_equal(
+        _ntile_of(rank, total, 4), [1, 1, 1, 2, 2, 2, 3, 3, 4, 4]
+    )
+    # n < k: each row its own bucket
+    np.testing.assert_array_equal(
+        _ntile_of(np.arange(3), np.full(3, 3), 4), [1, 2, 3]
+    )
+
+
+def test_ntile_cross_block_exact():
+    """Distributed NTILE == pandas rule under tiny blocks, with one key
+    whose run spans many blocks (boundary offset + total chaining)."""
+    rng = np.random.default_rng(11)
+    n = 600
+    df = pd.DataFrame(
+        {
+            "key": np.where(
+                rng.random(n) < 0.6, 3, rng.integers(0, 9, n)
+            ).astype("int64"),
+            "a": rng.integers(0, 40, n).astype("int64"),
+            "b": rng.permutation(n).astype("int64"),  # unique tiebreak
+        }
+    )
+    want = _ref_ntile(df, "key", ["a", "b"], 4)
+    for parts in (1, 41):
+        ds = rd.from_pandas(df).repartition(parts)
+        out = ntile_per_key(ds, "key", ["a", "b"], k=4, out_col="nt").to_pandas()
+        merged = df.assign(want=want).merge(out, on=["key", "a", "b"])
+        np.testing.assert_array_equal(
+            merged["nt"].to_numpy(), merged["want"].to_numpy()
+        )
+
+
+def test_ntile_validation():
+    ds = rd.from_pandas(pd.DataFrame({"key": [1], "a": [1]}))
+    with pytest.raises(ValueError):
+        ntile_per_key(ds, "key", ["a"], k=0)
+    with pytest.raises(ValueError):
+        ntile_per_key(ds, "key", ["a"], k=2, out_col="a")
+
+
+def test_pivot_counts_matches_pandas():
+    rng = np.random.default_rng(3)
+    n = 500
+    types = ("click", "view", "purchase")
+    df = pd.DataFrame(
+        {
+            "g": rng.integers(0, 6, n).astype("int64"),
+            "t": rng.choice(list(types) + ["other"], n),
+            "value": rng.uniform(0, 9, n).round(2),
+        }
+    )
+    ds = rd.from_pandas(df).repartition(13)
+    out = (
+        pivot_counts(
+            ds,
+            lambda tb: tb.column("g").to_numpy(zero_copy_only=False),
+            type_col="t",
+            types=types,
+            group_name="g",
+            value_col="value",
+            value_type="purchase",
+            value_name="pc",
+        )
+        .to_pandas()
+        .sort_values("g")
+        .reset_index(drop=True)
+    )
+    for ty in types:
+        want = df.groupby("g")["t"].apply(lambda s: int((s == ty).sum()))
+        np.testing.assert_array_equal(out[f"n_{ty}"].to_numpy(), want.to_numpy())
+    cents = (df["value"] * 100).round().astype("int64")
+    want_pc = (
+        cents.where(df["t"] == "purchase", 0).groupby(df["g"]).sum()
+    )
+    np.testing.assert_array_equal(out["pc"].to_numpy(), want_pc.to_numpy())
+    # rows of a type outside `types` count toward no column
+    n_other = int((df["t"] == "other").sum())
+    assert n_other > 0
+    assert int(out[[f"n_{t}" for t in types]].to_numpy().sum()) == n - n_other

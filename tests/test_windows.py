@@ -227,3 +227,63 @@ def test_funnel_within_window():
     ).to_pandas()
     got = dict(zip(out["user_id"], out["funnel_stage"]))
     assert got == {1: 1, 2: 2, 3: 2}
+
+
+def test_rolling_sum_cross_block_exact():
+    """rolling_sum_per_key == pandas groupby().rolling(min_periods=1)
+    under tiny blocks: carries must chain across blocks shorter than the
+    lookback, and runs spanning several blocks must see their full
+    window."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from engine.windows import rolling_sum_per_key
+
+    rng = np.random.default_rng(5)
+    n = 400
+    df = pd.DataFrame(
+        {
+            # key 7 takes half the rows — a run spanning many blocks
+            "k": np.where(
+                rng.random(n) < 0.5, 7, rng.integers(0, 12, n)
+            ).astype("int64"),
+            "o": rng.permutation(n).astype("int64"),  # unique order col
+            "v": rng.integers(-50, 100, n).astype("int64"),
+        }
+    )
+    want = (
+        df.sort_values(["k", "o"])
+        .groupby("k")["v"]
+        .rolling(5, min_periods=1)
+        .sum()
+        .reset_index(drop=True)
+        .to_numpy()
+        .astype("int64")
+    )
+    for parts in (1, 37):  # 37 parts → blocks far shorter than runs
+        ds = rd.from_pandas(df).repartition(parts)
+        out = (
+            rolling_sum_per_key(ds, "k", "o", "v", window=5, out_col="r")
+            .to_pandas()
+            .sort_values(["k", "o"])
+            .reset_index(drop=True)
+        )
+        np.testing.assert_array_equal(out["r"].to_numpy(), want)
+
+
+def test_rolling_sum_window_one_and_validation():
+    import pandas as pd
+    import pytest
+    import ray.data as rd
+
+    from engine.windows import rolling_sum_per_key
+
+    df = pd.DataFrame({"k": [1, 1, 2], "o": [1, 2, 1], "v": [3, 4, 5]})
+    ds = rd.from_pandas(df)
+    out = rolling_sum_per_key(ds, "k", "o", "v", window=1, out_col="r")
+    assert sorted(out.to_pandas()["r"]) == [3, 4, 5]  # w=1: row itself
+    with pytest.raises(ValueError):
+        rolling_sum_per_key(ds, "k", "o", "v", window=0)
+    with pytest.raises(ValueError):
+        rolling_sum_per_key(ds, "k", "o", "v", window=2, out_col="v")
