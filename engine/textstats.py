@@ -1045,3 +1045,81 @@ def length_band_filter(
         )
 
     return docs.map_batches(keep, batch_format="pyarrow")
+
+
+def grouped_zscore(
+    ds: ray.data.Dataset,
+    group_col: str,
+    value_col: str,
+    out_col: str = "z",
+    decimals: int = 9,
+) -> ray.data.Dataset:
+    """Per-group z-score standardization of an integer column (feature
+    normalization for curation/training): z = (x - mean) / stddev_pop,
+    rounded to ``decimals``. Zero-variance groups emit z = 0.0.
+
+    Two passes, no per-group materialization: a per-batch (count, sum,
+    sum-of-squares) combiner reduces each batch to O(groups-in-batch)
+    EXACT integer partial rows, a tiny groupby settles the per-group
+    moments, and the O(groups) profile broadcasts into a stateless
+    streamed map. Mean and variance are evaluated from the exact integer
+    sums in the SAME float64 operation order as the SQL oracle
+    ((sq - sm*sm/n) / n), so the rounded outputs are bit-identical."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.column(group_col).to_numpy(zero_copy_only=False)
+        x = t.column(value_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(g, kind="stable")
+        gs = g[order]
+        starts = (
+            np.concatenate(([0], np.flatnonzero(gs[1:] != gs[:-1]) + 1))
+            if len(gs)
+            else np.empty(0, np.int64)
+        )
+        xs = x[order]
+        return pa.table(
+            {
+                group_col: pa.array(gs[starts] if len(gs) else gs),
+                "n": pa.array(
+                    np.diff(np.concatenate([starts, [len(gs)]])).astype(np.int64)
+                    if len(gs)
+                    else np.empty(0, np.int64)
+                ),
+                "sm": pa.array(
+                    np.add.reduceat(xs, starts) if len(gs) else xs
+                ),
+                "sq": pa.array(
+                    np.add.reduceat(xs * xs, starts) if len(gs) else xs
+                ),
+            }
+        )
+
+    prof = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(group_col)
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("sm", alias_name="sm"),
+            Sum("sq", alias_name="sq"),
+        )
+        .to_pandas()
+    )
+    stats = {}
+    for _, r in prof.iterrows():
+        n, sm, sq = float(r["n"]), float(r["sm"]), float(r["sq"])
+        mean = sm / n
+        var = (sq - sm * sm / n) / n  # oracle's exact operation order
+        stats[r[group_col]] = (mean, np.sqrt(var) if var > 0 else 0.0)
+    stats_ref = ray.put(stats)
+
+    def apply(t: pa.Table, *, _b=stats_ref) -> pa.Table:
+        b = ray.get(_b) if isinstance(_b, ray.ObjectRef) else _b
+        g = t.column(group_col).to_pylist()
+        x = t.column(value_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        mean = np.fromiter((b[v][0] for v in g), np.float64, len(g))
+        sd = np.fromiter((b[v][1] for v in g), np.float64, len(g))
+        z = np.where(sd > 0, (x - mean) / np.where(sd > 0, sd, 1.0), 0.0)
+        return t.append_column(out_col, pa.array(np.round(z, decimals)))
+
+    return ds.map_batches(apply, batch_format="pyarrow")

@@ -1,0 +1,56 @@
+"""2-hop neighborhood counts (engine/neighborhood.py)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data as rd
+
+from engine.neighborhood import twohop_counts
+
+
+def _brute(edges: pd.DataFrame) -> dict:
+    nbrs = {}
+    by_dst = edges.groupby("dst")["src"].apply(set)
+    for srcs in by_dst:
+        for a in srcs:
+            nbrs.setdefault(a, set()).update(srcs - {a})
+    return {a: len(s) for a, s in nbrs.items() if s}
+
+
+def test_twohop_matches_bruteforce():
+    rng = np.random.default_rng(17)
+    n = 800
+    df = pd.DataFrame(
+        {
+            "src": rng.integers(0, 60, n).astype("int64"),
+            "dst": rng.integers(1000, 1040, n).astype("int64"),
+        }
+    ).drop_duplicates()
+    want = _brute(df)
+    out = twohop_counts(rd.from_pandas(df).repartition(9)).to_pandas()
+    got = dict(zip(out["src"], out["n_twohop"]))
+    assert got == want
+
+
+def test_twohop_no_shared_neighbors():
+    # disjoint dsts: every group has degree 1 → empty result
+    df = pd.DataFrame({"src": [1, 2, 3], "dst": [10, 11, 12]})
+    ds = twohop_counts(rd.from_pandas(df))
+    assert ds.count() == 0
+    # (to_pandas() on an empty arrow dataset drops column names — a Ray
+    # quirk shared by every empty-result path; check the schema instead)
+    assert ds.schema().names == ["src", "n_twohop"]
+
+
+def test_twohop_cap_truncates_hot_group():
+    # one dst shared by 10 srcs, cap=4 → only the 4 smallest srcs pair up
+    df = pd.DataFrame({"src": np.arange(10, dtype="int64"), "dst": 7})
+    out = twohop_counts(rd.from_pandas(df), cap=4).to_pandas()
+    got = dict(zip(out["src"], out["n_twohop"]))
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}
+
+
+def test_twohop_rejects_out_of_range_ids():
+    df = pd.DataFrame({"src": [-1, 5], "dst": [7, 7]})
+    with pytest.raises(Exception):  # surfaces as a RayTaskError(ValueError)
+        twohop_counts(rd.from_pandas(df)).to_pandas()
