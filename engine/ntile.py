@@ -1,7 +1,8 @@
-"""Distributed grouped NTILE — equi-depth bucketing per key, the SQL
-``NTILE(k) OVER (PARTITION BY key ORDER BY ...)`` window function, used
-in curation to band documents into per-source quantile buckets without
-computing explicit percentile cut points.
+"""Sorted-run grouped window operators: grouped NTILE (equi-depth
+bucketing per key, the SQL ``NTILE(k) OVER (PARTITION BY key ORDER BY
+...)``) and the above-group-mean filter — both built on one sort plus
+O(blocks) boundary-run metadata, never a per-group materialization or a
+per-key broadcast.
 
 Design (no per-group materialization — a single key may exceed a
 machine at 100 TB, so ``groupby().map_groups`` is the wrong shape):
@@ -45,6 +46,112 @@ def _ntile_of(rank: np.ndarray, total: np.ndarray, k: int) -> np.ndarray:
         rem + (rank - big) // np.maximum(base, 1),
     )
     return (tile + 1).astype(np.int64)
+
+
+def filter_above_key_mean(
+    ds: ray.data.Dataset,
+    key_col: str,
+    value_col: str,
+) -> ray.data.Dataset:
+    """Groupwise-comparison filter: keep rows whose integer ``value_col``
+    strictly exceeds their key's mean — ``HAVING``-style per-group
+    normalization (above-average orders per customer, above-average
+    docs per domain) WITHOUT a broadcast or a join: one sort by key,
+    per-block exact integer (count, sum) runs, and the same O(blocks)
+    boundary-chaining walk as :func:`ntile_per_key` for runs spanning
+    blocks. Scale-safe at any key cardinality (a broadcast of per-key
+    means is O(keys) driver/heap state; this is O(blocks)).
+
+    The mean is evaluated ``sum / count`` in float64 — mirror the same
+    expression in the SQL oracle."""
+    arrow = ds.map_batches(lambda t: t, batch_format="pyarrow")
+    s = arrow.sort(key_col).materialize()
+    refs = nonempty_block_refs(s)
+    sch = ds.schema()
+    out_schema = pa.schema(list(zip(sch.names, sch.types)))
+    if not refs:
+        return ray.data.from_arrow(out_schema.empty_table())
+
+    @ray.remote
+    def block_meta(tbl: pa.Table):
+        keys = tbl.column(key_col).to_numpy(zero_copy_only=False)
+        v = tbl.column(value_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        run_starts = np.flatnonzero(
+            np.concatenate(([True], keys[1:] != keys[:-1]))
+        )
+        n = len(keys)
+        fl = int(run_starts[1]) if len(run_starts) > 1 else n
+        ll = n - int(run_starts[-1])
+        return (
+            keys[0], fl, int(v[:fl].sum()),
+            keys[-1], ll, int(v[n - ll :].sum()),
+            n,
+        )
+
+    metas = ray.get([block_meta.remote(r) for r in refs])
+    nblocks = len(metas)
+    # (count, sum) totals of each block's first and last key runs
+    first_cs = [(0, 0)] * nblocks
+    last_cs = [(0, 0)] * nblocks
+    open_key, open_c, open_s, open_members = None, 0, 0, []
+
+    def _close():
+        nonlocal open_key, open_c, open_s, open_members
+        for bi, which in open_members:
+            if which == "first":
+                first_cs[bi] = (open_c, open_s)
+            else:
+                last_cs[bi] = (open_c, open_s)
+        open_key, open_c, open_s, open_members = None, 0, 0, []
+
+    for i, (fk, fl, fs, lk, ll, ls, n) in enumerate(metas):
+        single = fl == n
+        if open_key is not None and open_key == fk:
+            open_c += fl
+            open_s += fs
+            open_members.append((i, "first"))
+            if single:
+                open_members.append((i, "last"))
+                continue
+            _close()
+        else:
+            if open_key is not None:
+                _close()
+            if single:
+                open_key, open_c, open_s = fk, n, fs
+                open_members = [(i, "first"), (i, "last")]
+                continue
+            first_cs[i] = (fl, fs)
+        open_key, open_c, open_s, open_members = lk, ll, ls, [(i, "last")]
+    if open_key is not None:
+        _close()
+
+    @ray.remote
+    def emit(tbl: pa.Table, f_cs, l_cs) -> pa.Table:
+        keys = tbl.column(key_col).to_numpy(zero_copy_only=False)
+        v = tbl.column(value_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(keys)
+        new_run = np.concatenate(([True], keys[1:] != keys[:-1]))
+        starts = np.flatnonzero(new_run)
+        lens = np.diff(np.concatenate([starts, [n]]))
+        run_sum = np.add.reduceat(v, starts)
+        cnt = np.repeat(lens, lens).astype(np.float64)
+        sm = np.repeat(run_sum, lens).astype(np.float64)
+        idx = np.arange(n, dtype=np.int64)
+        run_start = np.maximum.accumulate(np.where(new_run, idx, 0))
+        lead = run_start == 0
+        trail = run_start == starts[-1]
+        cnt = np.where(lead, float(f_cs[0]), cnt)
+        sm = np.where(lead, float(f_cs[1]), sm)
+        cnt = np.where(trail, float(l_cs[0]), cnt)
+        sm = np.where(trail, float(l_cs[1]), sm)
+        keep = v > sm / cnt  # float64, the oracle's operation order
+        return tbl.filter(pa.array(keep)).cast(out_schema)
+
+    out_refs = [
+        emit.remote(r, fc, lc) for r, fc, lc in zip(refs, first_cs, last_cs)
+    ]
+    return ray.data.from_arrow_refs(out_refs)
 
 
 def ntile_per_key(

@@ -1342,6 +1342,130 @@ def documents_profile(sf_dir: str):
     )
 
 
+def user_event_seq(sf_dir: str) -> ray.data.Dataset:
+    """Behavioral-sequence feature: per user, the '>'-joined sequence of
+    the FIRST five event types in (ts, event_id) order — distributed
+    grouped top-5 (per-batch k-prune combiner) bounds the shuffle to
+    5 rows/user before the tiny per-group concat."""
+    import pandas as pd
+
+    from .topk import topk_per_group
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type"],
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "event_id": t.column("event_id"),
+                "user_id": t.column("user_id"),
+                "ts_us": pc.cast(t.column("ts"), pa.int64()),
+                "event_type": t.column("event_type"),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    first5 = topk_per_group(
+        ev, key_col="user_id", order_col="ts_us", k=5, descending=False
+    )
+
+    def concat(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts_us", "event_id"])
+        return pd.DataFrame(
+            {
+                "user_id": [g["user_id"].iloc[0]],
+                "seq": [">".join(g["event_type"])],
+            }
+        )
+
+    return first5.groupby("user_id").map_groups(concat, batch_format="pandas")
+
+
+def orders_above_cust_avg(sf_dir: str) -> ray.data.Dataset:
+    """Groupwise-comparison filter: orders whose total strictly exceeds
+    their customer's average — one sort + O(blocks) boundary-run
+    metadata (engine/ntile.py), no per-customer broadcast or join."""
+    from .ntile import filter_above_key_mean
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_totalprice"],
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "o_orderkey": t.column("o_orderkey"),
+                "o_custkey": t.column("o_custkey"),
+                "cents": pc.cast(
+                    pc.round(
+                        pc.multiply(t.column("o_totalprice"), 100.0),
+                        round_mode="half_towards_infinity",
+                    ),
+                    pa.int64(),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return filter_above_key_mean(orders, key_col="o_custkey", value_col="cents")
+
+
+def user_growth_curve(sf_dir: str) -> ray.data.Dataset:
+    """Retention analytics: per day, new users (first-ever event that
+    day) and the cumulative user count — per-batch min combiner → tiny
+    per-user Min groupby → day-count combiner → running total."""
+    from ray.data.aggregate import Min, Sum
+
+    from .windows import running_total
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "user_id"]
+    )
+
+    def min_partial(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        us = pc.cast(t.column("ts"), pa.int64()).to_numpy(zero_copy_only=False)
+        order = np.argsort(u, kind="stable")
+        usv, uss = u[order], us[order]
+        starts = (
+            np.concatenate(([0], np.flatnonzero(usv[1:] != usv[:-1]) + 1))
+            if len(usv)
+            else np.empty(0, np.int64)
+        )
+        return pa.table(
+            {
+                "user_id": pa.array(usv[starts] if len(usv) else usv),
+                "m": pa.array(
+                    np.minimum.reduceat(uss, starts) if len(usv) else uss
+                ),
+            }
+        )
+
+    firsts = (
+        ev.map_batches(min_partial, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Min("m", alias_name="m"))
+    )
+
+    def day_counts(t: pa.Table) -> pa.Table:
+        day = (
+            t.column("m").to_numpy(zero_copy_only=False) // 86_400_000_000
+        ).astype(np.int64)
+        d, c = np.unique(day, return_counts=True)
+        return pa.table(
+            {"day": pa.array(d), "new_users": pa.array(c.astype(np.int64))}
+        )
+
+    daily = (
+        firsts.map_batches(day_counts, batch_format="pyarrow")
+        .groupby("day")
+        .aggregate(Sum("new_users", alias_name="new_users"))
+    )
+    return running_total(
+        daily, order_col="day", value_col="new_users",
+        out_col="cum_users", exclusive=False,
+    )
+
+
 def length_band_docs(sf_dir: str) -> ray.data.Dataset:
     """Per-source length-band curation: docs whose token count is within
     their own source's [p5, p95] (percentile_disc) band — grouped
@@ -3212,6 +3336,46 @@ ORACLE_SQL["documents_profile"] = """
     UNION ALL SELECT 'max_n_chars', CAST(MAX(n_chars) AS BIGINT) FROM documents
 """
 
+ORACLE_SQL["user_event_seq"] = """
+    WITH ranked AS (
+        SELECT user_id, event_type,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY epoch_us(ts), event_id) AS rn
+        FROM events
+    )
+    SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS seq
+    FROM ranked WHERE rn <= 5
+    GROUP BY user_id
+"""
+
+ORACLE_SQL["orders_above_cust_avg"] = """
+    -- the engine evaluates mean = sum/count in float64; mirror exactly
+    WITH a AS MATERIALIZED (
+        SELECT o_custkey,
+               CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE) AS sm
+        FROM orders GROUP BY o_custkey
+    )
+    SELECT o.o_orderkey, o.o_custkey,
+           CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS cents
+    FROM orders o JOIN a USING (o_custkey)
+    WHERE CAST(ROUND(o.o_totalprice * 100) AS BIGINT) > a.sm / a.n
+"""
+
+ORACLE_SQL["user_growth_curve"] = """
+    WITH f AS MATERIALIZED (
+        SELECT user_id, MIN(epoch_us(ts)) AS m FROM events GROUP BY user_id
+    ),
+    d AS MATERIALIZED (
+        SELECT CAST(m // 86400000000 AS BIGINT) AS day,
+               CAST(COUNT(*) AS BIGINT) AS new_users
+        FROM f GROUP BY 1
+    )
+    SELECT day, new_users,
+           CAST(SUM(new_users) OVER (ORDER BY day) AS BIGINT) AS cum_users
+    FROM d
+"""
+
 # Dict order IS the driver's check order, and the driver's correctness
 # harness only checks the FIRST 50 entries.  Ordering policy (round 5):
 # never-driver-checked entries first, then entries whose last green row
@@ -3227,6 +3391,9 @@ QUERIES = {
     "twohop_counts": twohop_counts,
     "doc_zscore": doc_zscore,
     "documents_profile": documents_profile,
+    "user_event_seq": user_event_seq,
+    "orders_above_cust_avg": orders_above_cust_avg,
+    "user_growth_curve": user_growth_curve,
     # -- never driver-checked before round 5 --
     "orders_with_lineitems_bloom": orders_with_lineitems_bloom,
     "pricing_summary": pricing_summary,

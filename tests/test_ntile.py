@@ -109,3 +109,37 @@ def test_pivot_counts_matches_pandas():
     n_other = int((df["t"] == "other").sum())
     assert n_other > 0
     assert int(out[[f"n_{t}" for t in types]].to_numpy().sum()) == n - n_other
+
+
+def test_filter_above_key_mean_cross_block():
+    """Above-group-mean filter == pandas transform under tiny blocks,
+    with a key whose run spans many blocks (boundary count+sum chain)."""
+    from engine.ntile import filter_above_key_mean
+
+    rng = np.random.default_rng(29)
+    n = 500
+    df = pd.DataFrame(
+        {
+            "key": np.where(
+                rng.random(n) < 0.55, 4, rng.integers(0, 8, n)
+            ).astype("int64"),
+            "id": np.arange(n, dtype="int64"),
+            "v": rng.integers(-1000, 1000, n).astype("int64"),
+        }
+    )
+    mean = df.groupby("key")["v"].transform("mean")
+    want = set(df.loc[df["v"] > mean, "id"])
+    assert 0 < len(want) < n
+    for parts in (1, 31):
+        ds = rd.from_pandas(df).repartition(parts)
+        out = filter_above_key_mean(ds, "key", "v").to_pandas()
+        assert set(out["id"]) == want
+
+
+def test_filter_above_key_mean_single_member_groups():
+    from engine.ntile import filter_above_key_mean
+
+    # every group has one row: nothing strictly exceeds its own mean
+    df = pd.DataFrame({"key": [1, 2, 3], "v": [5, -2, 9]})
+    out = filter_above_key_mean(rd.from_pandas(df), "key", "v")
+    assert out.count() == 0
