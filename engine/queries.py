@@ -1466,6 +1466,18 @@ def user_growth_curve(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def jaccard_pairs_08(sf_dir: str) -> ray.data.Dataset:
+    """Exact set-similarity self-join (AllPairs/PPJoin prefix filter):
+    all document pairs with token-set Jaccard >= 0.8 — the exact
+    counterpart to the MinHash-LSH path, same tokenization."""
+    from .simjoin import jaccard_join
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return jaccard_join(docs, threshold=0.8)
+
+
 def length_band_docs(sf_dir: str) -> ray.data.Dataset:
     """Per-source length-band curation: docs whose token count is within
     their own source's [p5, p95] (percentile_disc) band — grouped
@@ -3336,6 +3348,23 @@ ORACLE_SQL["documents_profile"] = """
     UNION ALL SELECT 'max_n_chars', CAST(MAX(n_chars) AS BIGINT) FROM documents
 """
 
+ORACLE_SQL["jaccard_pairs_08"] = r"""
+    WITH tok AS MATERIALIZED (
+        SELECT DISTINCT doc_id,
+               unnest(regexp_extract_all(lower(text), '\w+')) AS t
+        FROM documents),
+    sz AS MATERIALIZED (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM tok GROUP BY doc_id),
+    inter AS MATERIALIZED (
+        SELECT x.doc_id AS a, y.doc_id AS b, CAST(COUNT(*) AS BIGINT) AS i
+        FROM tok x JOIN tok y ON x.t = y.t AND x.doc_id < y.doc_id
+        GROUP BY x.doc_id, y.doc_id)
+    SELECT a, b, ROUND(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 9) AS jaccard
+    FROM inter JOIN sz sa ON sa.doc_id = inter.a
+               JOIN sz sb ON sb.doc_id = inter.b
+    WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8
+"""
+
 ORACLE_SQL["user_event_seq"] = """
     WITH ranked AS (
         SELECT user_id, event_type,
@@ -3394,6 +3423,7 @@ QUERIES = {
     "user_event_seq": user_event_seq,
     "orders_above_cust_avg": orders_above_cust_avg,
     "user_growth_curve": user_growth_curve,
+    "jaccard_pairs_08": jaccard_pairs_08,
     # -- never driver-checked before round 5 --
     "orders_with_lineitems_bloom": orders_with_lineitems_bloom,
     "pricing_summary": pricing_summary,
