@@ -1314,6 +1314,15 @@ def twohop_counts(sf_dir: str) -> ray.data.Dataset:
     return _th(edges_project(sf_dir))
 
 
+def adamic_adar_top100(sf_dir: str) -> ray.data.Dataset:
+    """Top-100 Adamic-Adar link-prediction scores on the bipartite graph
+    (orders weighted by shared-part rarity): grouped pair expansion with
+    integer nano-unit weights → exact pair sums → global top-k."""
+    from .neighborhood import adamic_adar_topk
+
+    return adamic_adar_topk(edges_project(sf_dir), k=100)
+
+
 def doc_zscore(sf_dir: str) -> ray.data.Dataset:
     """Per-source z-score standardization of n_chars (feature
     normalization): exact integer moment combiner → tiny broadcast →
@@ -3365,6 +3374,25 @@ ORACLE_SQL["jaccard_pairs_08"] = r"""
     WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8
 """
 
+ORACLE_SQL["adamic_adar_top100"] = """
+    WITH e AS MATERIALIZED (
+        SELECT DISTINCT l_orderkey AS src, l_partkey + 10000000 AS dst
+        FROM lineitem),
+    deg AS MATERIALIZED (
+        SELECT dst, CAST(COUNT(*) AS BIGINT) AS d FROM e GROUP BY dst),
+    w AS (
+        SELECT dst, CAST(ROUND(1000000000 / LN(CAST(d AS DOUBLE))) AS BIGINT) AS wq
+        FROM deg WHERE d >= 2),
+    p AS (
+        SELECT e1.src AS a, e2.src AS b, w.wq
+        FROM e e1 JOIN e e2 ON e1.dst = e2.dst AND e1.src < e2.src
+        JOIN w ON w.dst = e1.dst)
+    SELECT a, b, CAST(SUM(wq) AS BIGINT) AS aa_e9
+    FROM p GROUP BY a, b
+    ORDER BY aa_e9 DESC, a, b
+    LIMIT 100
+"""
+
 ORACLE_SQL["user_event_seq"] = """
     WITH ranked AS (
         SELECT user_id, event_type,
@@ -3424,6 +3452,7 @@ QUERIES = {
     "orders_above_cust_avg": orders_above_cust_avg,
     "user_growth_curve": user_growth_curve,
     "jaccard_pairs_08": jaccard_pairs_08,
+    "adamic_adar_top100": adamic_adar_top100,
     # -- never driver-checked before round 5 --
     "orders_with_lineitems_bloom": orders_with_lineitems_bloom,
     "pricing_summary": pricing_summary,

@@ -54,3 +54,33 @@ def test_twohop_rejects_out_of_range_ids():
     df = pd.DataFrame({"src": [-1, 5], "dst": [7, 7]})
     with pytest.raises(Exception):  # surfaces as a RayTaskError(ValueError)
         twohop_counts(rd.from_pandas(df)).to_pandas()
+
+
+def test_adamic_adar_matches_bruteforce():
+    import math
+
+    from engine.neighborhood import adamic_adar_topk
+
+    rng = np.random.default_rng(41)
+    n = 600
+    df = pd.DataFrame(
+        {
+            "src": rng.integers(0, 40, n).astype("int64"),
+            "dst": rng.integers(0, 30, n).astype("int64"),
+        }
+    ).drop_duplicates()
+    want = {}
+    for _, g in df.groupby("dst"):
+        a = sorted(set(g["src"]))
+        if len(a) < 2:
+            continue
+        wq = round(1e9 / math.log(len(a)))
+        for i in range(len(a)):
+            for j in range(i + 1, len(a)):
+                want[(a[i], a[j])] = want.get((a[i], a[j]), 0) + wq
+    top = sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    out = adamic_adar_topk(
+        rd.from_pandas(df).repartition(7), k=10
+    ).to_pandas()
+    got = [((int(r.a), int(r.b)), int(r.aa_e9)) for r in out.itertuples()]
+    assert got == top

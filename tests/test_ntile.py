@@ -143,3 +143,27 @@ def test_filter_above_key_mean_single_member_groups():
     df = pd.DataFrame({"key": [1, 2, 3], "v": [5, -2, 9]})
     out = filter_above_key_mean(rd.from_pandas(df), "key", "v")
     assert out.count() == 0
+
+
+def test_grouped_sum_sorted_cross_block():
+    """Sort-based grouped SUM == pandas groupby sum under tiny blocks,
+    with runs spanning many blocks (single-key and multi-key blocks)."""
+    from engine.ntile import grouped_sum_sorted
+
+    rng = np.random.default_rng(37)
+    n = 700
+    df = pd.DataFrame(
+        {
+            "k": np.where(
+                rng.random(n) < 0.5, 9, rng.integers(0, 15, n)
+            ).astype("int64"),
+            "v": rng.integers(-100, 100, n).astype("int64"),
+        }
+    )
+    want = df.groupby("k")["v"].sum().to_dict()
+    for parts in (1, 43):
+        out = grouped_sum_sorted(
+            rd.from_pandas(df).repartition(parts), "k", "v", out_col="s"
+        ).to_pandas()
+        assert dict(zip(out["k"], out["s"])) == want
+        assert len(out) == len(want)  # each key exactly once
