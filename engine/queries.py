@@ -1487,6 +1487,30 @@ def jaccard_pairs_08(sf_dir: str) -> ray.data.Dataset:
     return jaccard_join(docs, threshold=0.8)
 
 
+def docs_cube_counts(sf_dir: str) -> ray.data.Dataset:
+    """OLAP CUBE over (lang, source): document counts at every grouping
+    granularity with 'ALL' roll-up sentinels — per-batch combiner,
+    O(combos × blocks) shuffle."""
+    from .summarize import rollup_counts
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["lang", "source"]
+    )
+    return rollup_counts(docs, ["lang", "source"])
+
+
+def doc_percent_rank(sf_dir: str) -> ray.data.Dataset:
+    """Global PERCENT_RANK of documents by (n_chars, doc_id) — the CDF /
+    quantile-normalization transform from one sort + O(blocks) row-count
+    metadata."""
+    from .windows import global_percent_rank
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+    )
+    return global_percent_rank(docs, ["n_chars", "doc_id"])
+
+
 def length_band_docs(sf_dir: str) -> ray.data.Dataset:
     """Per-source length-band curation: docs whose token count is within
     their own source's [p5, p95] (percentile_disc) band — grouped
@@ -3393,6 +3417,20 @@ ORACLE_SQL["adamic_adar_top100"] = """
     LIMIT 100
 """
 
+ORACLE_SQL["docs_cube_counts"] = """
+    SELECT COALESCE(lang, 'ALL') AS lang,
+           COALESCE(source, 'ALL') AS source,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM documents
+    GROUP BY GROUPING SETS ((lang, source), (lang), (source), ())
+"""
+
+ORACLE_SQL["doc_percent_rank"] = """
+    SELECT doc_id, n_chars,
+           ROUND(PERCENT_RANK() OVER (ORDER BY n_chars, doc_id), 9) AS pr
+    FROM documents
+"""
+
 ORACLE_SQL["user_event_seq"] = """
     WITH ranked AS (
         SELECT user_id, event_type,
@@ -3453,6 +3491,8 @@ QUERIES = {
     "user_growth_curve": user_growth_curve,
     "jaccard_pairs_08": jaccard_pairs_08,
     "adamic_adar_top100": adamic_adar_top100,
+    "docs_cube_counts": docs_cube_counts,
+    "doc_percent_rank": doc_percent_rank,
     # -- never driver-checked before round 5 --
     "orders_with_lineitems_bloom": orders_with_lineitems_bloom,
     "pricing_summary": pricing_summary,

@@ -88,6 +88,54 @@ def pivot_counts(
     )
 
 
+def rollup_counts(
+    ds: ray.data.Dataset,
+    cols: list,
+    all_token: str = "ALL",
+) -> ray.data.Dataset:
+    """OLAP CUBE counts: one row per combination of every grouping
+    subset of ``cols`` (the SQL ``GROUP BY GROUPING SETS`` /  ``CUBE``),
+    rolled-up dimensions replaced by ``all_token`` (so the output has no
+    NULL-vs-NULL compare ambiguity; real NULL dimension values are the
+    caller's problem — filter or fill first). Per-batch combiner emits
+    ≤ 2^d × |distinct combos in batch| partial rows, so the global
+    groupby is O(combos × blocks) no matter the input size."""
+    d = len(cols)
+    if not 1 <= d <= 4:
+        raise ValueError("rollup_counts supports 1..4 dimensions")
+
+    def partial(t: pa.Table) -> pa.Table:
+        vals = [
+            np.asarray(t.column(c).to_pylist(), dtype=object) for c in cols
+        ]
+        out_cols = {c: [] for c in cols}
+        out_n = []
+        n = len(t)
+        for mask in range(1 << d):
+            keyed = [
+                vals[i] if (mask >> i) & 1 else np.full(n, all_token, object)
+                for i in range(d)
+            ]
+            combo = keyed[0].astype(str)
+            for kc in keyed[1:]:
+                combo = np.char.add(np.char.add(combo, "\x1f"), kc.astype(str))
+            u, inv, c = np.unique(combo, return_inverse=True, return_counts=True)
+            firsts = np.zeros(len(u), dtype=np.int64)
+            firsts[inv[::-1]] = np.arange(n - 1, -1, -1)
+            for i, col in enumerate(cols):
+                out_cols[col].extend(keyed[i][firsts].tolist())
+            out_n.extend(c.astype(np.int64).tolist())
+        tbl = {c: pa.array(out_cols[c], pa.string()) for c in cols}
+        tbl["n"] = pa.array(out_n, pa.int64())
+        return pa.table(tbl)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(cols)
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+
 def pricing_summary(
     li: ray.data.Dataset, ship_cutoff: np.datetime64 | None = None
 ) -> ray.data.Dataset:

@@ -366,6 +366,60 @@ def rolling_sum_per_key(
     return ray.data.from_arrow_refs(out_refs)
 
 
+def global_percent_rank(
+    ds: ray.data.Dataset,
+    order_cols: list,
+    out_col: str = "pr",
+    decimals: int = 9,
+) -> ray.data.Dataset:
+    """Global PERCENT_RANK (CDF / quantile-normalization transform):
+    rank / (n - 1) over the total order given by ``order_cols``, which
+    MUST be unique in combination (include an id column) so rank ==
+    row_number and the SQL window agrees. One sort; positions come from
+    O(blocks) row-count metadata (the epoch-shuffle house pattern); a
+    single-row dataset gets 0.0 (the SQL convention)."""
+    arrow = ds.map_batches(lambda t: t, batch_format="pyarrow")
+    s = arrow.sort(list(order_cols)).materialize()
+    sch = s.schema()
+    if sch is None:  # Ray 2.49: empty dataset has no schema at all
+        return ray.data.from_arrow(
+            pa.table({out_col: pa.array([], pa.float64())})
+        )
+    out_schema = pa.schema(
+        list(zip(sch.names, sch.types)) + [(out_col, pa.float64())]
+    )
+    refs, counts = [], []
+    for rb in s.iter_internal_ref_bundles():
+        for blk, meta in rb.blocks:
+            if meta.num_rows:
+                refs.append(blk)
+                counts.append(int(meta.num_rows))
+    if not refs:
+        return ray.data.from_arrow(out_schema.empty_table())
+    total = int(sum(counts))
+    offsets = np.concatenate(([0], np.cumsum(counts[:-1]))).astype(np.int64)
+
+    @ray.remote
+    def emit(blk, offset: int) -> pa.Table:
+        tbl = (
+            blk
+            if isinstance(blk, pa.Table)
+            else pa.Table.from_pandas(blk, preserve_index=False)
+        )
+        pos = offset + np.arange(len(tbl), dtype=np.int64)
+        pr = (
+            pos / (total - 1)
+            if total > 1
+            else np.zeros(len(tbl), np.float64)
+        )
+        return tbl.append_column(out_col, pa.array(np.round(pr, decimals))).cast(
+            out_schema
+        )
+
+    out_refs = [emit.remote(r, int(o)) for r, o in zip(refs, offsets)]
+    return ray.data.from_arrow_refs(out_refs)
+
+
 def pack_sequences(
     docs_with_tokens: ray.data.Dataset,
     chunk_tokens: int,

@@ -167,3 +167,41 @@ def test_grouped_sum_sorted_cross_block():
         ).to_pandas()
         assert dict(zip(out["k"], out["s"])) == want
         assert len(out) == len(want)  # each key exactly once
+
+
+def test_rollup_counts_matches_pandas_grouping_sets():
+    """rollup_counts == GROUP BY GROUPING SETS ((a,b),(a),(b),()) with
+    'ALL' sentinels, exact under many partitions (per-batch combiner
+    must merge correctly across blocks)."""
+    rng = np.random.default_rng(11)
+    n = 600
+    df = pd.DataFrame(
+        {
+            "a": rng.choice(["en", "de", "fr"], n),
+            "b": rng.choice(["web", "pdf", "wiki", "book"], n),
+        }
+    )
+    want = {}
+    for ka, kb in [(True, True), (True, False), (False, True), (False, False)]:
+        ga = df["a"] if ka else pd.Series(["ALL"] * n)
+        gb = df["b"] if kb else pd.Series(["ALL"] * n)
+        for (va, vb), c in df.groupby([ga, gb]).size().items():
+            want[(va, vb)] = int(c)
+    from engine.summarize import rollup_counts
+
+    for parts in (1, 29):
+        out = rollup_counts(
+            rd.from_pandas(df).repartition(parts), ["a", "b"]
+        ).to_pandas()
+        got = {(r.a, r.b): int(r.n) for r in out.itertuples()}
+        assert got == want
+
+
+def test_rollup_counts_validation():
+    from engine.summarize import rollup_counts
+
+    ds = rd.from_pandas(pd.DataFrame({"a": ["x"], "b": ["y"]}))
+    with pytest.raises(ValueError):
+        rollup_counts(ds, [])
+    with pytest.raises(ValueError):
+        rollup_counts(ds, ["a", "b", "a", "b", "a"])

@@ -287,3 +287,48 @@ def test_rolling_sum_window_one_and_validation():
         rolling_sum_per_key(ds, "k", "o", "v", window=0)
     with pytest.raises(ValueError):
         rolling_sum_per_key(ds, "k", "o", "v", window=2, out_col="v")
+
+
+def test_global_percent_rank_matches_sql_rule():
+    """global_percent_rank == (rank-1)/(n-1) over a unique total order,
+    exact across many blocks (offsets chain through block metadata)."""
+    import numpy as np
+    import pandas as pd
+    import pytest
+    import ray.data as rd
+
+    from engine.windows import global_percent_rank
+
+    rng = np.random.default_rng(23)
+    n = 400
+    df = pd.DataFrame(
+        {
+            "id": np.arange(n, dtype=np.int64),
+            "v": rng.integers(0, 40, n).astype("int64"),  # heavy ties
+        }
+    )
+    order = df.sort_values(["v", "id"]).reset_index(drop=True)
+    want = dict(
+        zip(order["id"], np.round(np.arange(n) / (n - 1), 9))
+    )
+    for parts in (1, 31):
+        ds = rd.from_pandas(df).repartition(parts)
+        out = global_percent_rank(ds, ["v", "id"]).to_pandas()
+        got = dict(zip(out["id"], out["pr"]))
+        assert got == pytest.approx(want)
+        assert list(out.columns[-1:]) == ["pr"]
+
+
+def test_global_percent_rank_single_row_and_empty():
+    import pandas as pd
+    import ray.data as rd
+
+    from engine.windows import global_percent_rank
+
+    one = rd.from_pandas(pd.DataFrame({"id": [7], "v": [3]}))
+    out = global_percent_rank(one, ["v", "id"]).to_pandas()
+    assert out["pr"].tolist() == [0.0]  # SQL convention for n=1
+    empty = rd.from_pandas(pd.DataFrame({"id": [7], "v": [3]})).filter(
+        lambda r: False
+    )
+    assert global_percent_rank(empty, ["v", "id"]).count() == 0
