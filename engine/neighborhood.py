@@ -136,3 +136,52 @@ def twohop_counts(
     # blocks are range-partitioned on k, so one src can straddle two
     # blocks — a tiny groupby-sum over the O(srcs) partials settles it
     return partial.groupby("src").aggregate(Sum("n_twohop", alias_name="n_twohop"))
+
+
+def avg_neighbor_degree(
+    edges: ray.data.Dataset,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    round_to: int = 9,
+) -> ray.data.Dataset:
+    """Per ``src``: out-degree plus the mean IN-degree of its ``dst``
+    neighbors — the "how popular are the things this node references"
+    graph feature (sampling / curriculum signal). Shape: one sorted
+    grouped count for in-degrees (O(E log E), no hash aggregate), ONE
+    hash join to carry the V-sized degree table onto the E-sized edge
+    table, then a single sort amortized over both per-src sums via
+    :func:`engine.ntile.grouped_sums_sorted`. The float division happens
+    once on the final V-sized result, int64-exact before it."""
+    from .ntile import grouped_sum_sorted, grouped_sums_sorted
+
+    def with_ones(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "_1", pa.array(np.ones(len(t), dtype=np.int64))
+        )
+
+    ones = edges.map_batches(with_ones, batch_format="pyarrow")
+    indeg = grouped_sum_sorted(ones, dst_col, "_1", out_col="_ind")
+    joined = edges.join(
+        indeg,
+        join_type="inner",  # every dst has indeg >= 1: no edge is lost
+        num_partitions=G.join_partitions_for(edges),
+        on=(dst_col,),
+    ).map_batches(with_ones, batch_format="pyarrow")
+    sums = grouped_sums_sorted(
+        joined, src_col, ["_ind", "_1"], ["_s", "outdeg"]
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        s = t.column("_s").to_numpy(zero_copy_only=False).astype(np.float64)
+        n = t.column("outdeg").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                src_col: t.column(src_col),
+                "outdeg": t.column("outdeg"),
+                "avg_nbr_indeg": pa.array(
+                    np.round(s / n, round_to), pa.float64()
+                ),
+            }
+        )
+
+    return sums.map_batches(finish, batch_format="pyarrow")

@@ -166,42 +166,69 @@ def grouped_sum_sorted(
     per-block run reduceat, and the boundary walk: a run spanning blocks
     is emitted ONCE by the block where it starts, with its full total
     chained through O(blocks) driver metadata."""
+    return grouped_sums_sorted(ds, key_col, [val_col], [out_col])
+
+
+def grouped_sums_sorted(
+    ds: ray.data.Dataset,
+    key_col: str,
+    val_cols: list,
+    out_cols: list,
+) -> ray.data.Dataset:
+    """Multi-column :func:`grouped_sum_sorted`: one sort amortized over
+    any number of integer SUM columns (e.g. sum + count for an exact
+    grouped AVG). Same O(blocks) boundary-chain; the per-block metadata
+    carries one vector of partial sums per boundary run."""
+    if len(val_cols) != len(out_cols) or not val_cols:
+        raise ValueError("val_cols and out_cols must align and be non-empty")
+    nv = len(val_cols)
     arrow = ds.map_batches(lambda t: t, batch_format="pyarrow")
     s = arrow.sort(key_col).materialize()
     refs = nonempty_block_refs(s)
     ktype = dict(zip(ds.schema().names, ds.schema().types))[key_col]
-    out_schema = pa.schema([(key_col, ktype), (out_col, pa.int64())])
+    out_schema = pa.schema(
+        [(key_col, ktype)] + [(c, pa.int64()) for c in out_cols]
+    )
     if not refs:
         return ray.data.from_arrow(out_schema.empty_table())
 
     @ray.remote
     def block_meta(tbl: pa.Table):
         keys = tbl.column(key_col).to_numpy(zero_copy_only=False)
-        v = tbl.column(val_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        vs = [
+            tbl.column(c).to_numpy(zero_copy_only=False).astype(np.int64)
+            for c in val_cols
+        ]
         run_starts = np.flatnonzero(
             np.concatenate(([True], keys[1:] != keys[:-1]))
         )
         n = len(keys)
         fl = int(run_starts[1]) if len(run_starts) > 1 else n
         ll = n - int(run_starts[-1])
-        return keys[0], int(v[:fl].sum()), keys[-1], int(v[n - ll :].sum()), fl == n
+        fs = tuple(int(v[:fl].sum()) for v in vs)
+        ls = tuple(int(v[n - ll :].sum()) for v in vs)
+        return keys[0], fs, keys[-1], ls, fl == n
 
     metas = ray.get([block_meta.remote(r) for r in refs])
     nblocks = len(metas)
     first_continued = [False] * nblocks  # leading run started earlier?
-    last_total = [0] * nblocks  # full total of the trailing run
-    open_key, open_s, open_members = None, 0, []
+    zero = (0,) * nv
+    last_total = [zero] * nblocks  # full totals of the trailing run
+    open_key, open_s, open_members = None, zero, []
+
+    def _add(a, b):
+        return tuple(x + y for x, y in zip(a, b))
 
     def _close():
         nonlocal open_key, open_s, open_members
         for bi in open_members:
             last_total[bi] = open_s
-        open_key, open_s, open_members = None, 0, []
+        open_key, open_s, open_members = None, zero, []
 
     for i, (fk, fs, lk, ls, single) in enumerate(metas):
         if open_key is not None and open_key == fk:
             first_continued[i] = True
-            open_s += fs
+            open_s = _add(open_s, fs)
             if single:
                 continue
             _close()
@@ -217,28 +244,31 @@ def grouped_sum_sorted(
         _close()
 
     @ray.remote
-    def emit(tbl: pa.Table, f_cont: bool, l_tot: int, single: bool) -> pa.Table:
+    def emit(tbl: pa.Table, f_cont: bool, l_tot: tuple, single: bool) -> pa.Table:
         keys = tbl.column(key_col)
         kn = keys.to_numpy(zero_copy_only=False)
-        v = tbl.column(val_col).to_numpy(zero_copy_only=False).astype(np.int64)
-        n = len(kn)
+        vs = [
+            tbl.column(c).to_numpy(zero_copy_only=False).astype(np.int64)
+            for c in val_cols
+        ]
         starts = np.flatnonzero(
             np.concatenate(([True], kn[1:] != kn[:-1]))
         )
-        sums = np.add.reduceat(v, starts)
         if single:
             if f_cont:  # an earlier block owns this run
                 return out_schema.empty_table()
             return pa.table(
-                {key_col: keys.take(pa.array([0])), out_col: pa.array([l_tot])}
+                {key_col: keys.take(pa.array([0]))}
+                | {c: pa.array([t]) for c, t in zip(out_cols, l_tot)}
             ).cast(out_schema)
-        sums[-1] = l_tot  # trailing run: full chained total
+        cols = {}
         lo = 1 if f_cont else 0
+        for j, (c, v) in enumerate(zip(out_cols, vs)):
+            sums = np.add.reduceat(v, starts)
+            sums[-1] = l_tot[j]  # trailing run: full chained total
+            cols[c] = pa.array(sums[lo:])
         return pa.table(
-            {
-                key_col: keys.take(pa.array(starts[lo:])),
-                out_col: pa.array(sums[lo:]),
-            }
+            {key_col: keys.take(pa.array(starts[lo:]))} | cols
         ).cast(out_schema)
 
     out_refs = [

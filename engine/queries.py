@@ -1511,6 +1511,38 @@ def doc_percent_rank(sf_dir: str) -> ray.data.Dataset:
     return global_percent_rank(docs, ["n_chars", "doc_id"])
 
 
+def dominant_lang_per_source(sf_dir: str) -> ray.data.Dataset:
+    """Most common language per source (grouped argmax / SQL mode with
+    count-desc, lang-asc ties) — the data-mixture report a corpus
+    pipeline runs before sampling."""
+    from .summarize import grouped_mode
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["source", "lang"]
+    )
+    return grouped_mode(docs, "source", "lang", out_n="n")
+
+
+def distinct_users_per_type(sf_dir: str) -> ray.data.Dataset:
+    """Exact COUNT(DISTINCT user_id) per event type via the packed
+    sort-based DISTINCT (no hash aggregate on the big input)."""
+    from .summarize import grouped_count_distinct
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "user_id"]
+    )
+    return grouped_count_distinct(ev, "event_type", "user_id", "n_users")
+
+
+def avg_nbr_indeg(sf_dir: str) -> ray.data.Dataset:
+    """Average in-degree of each vertex's out-neighbors on the lineitem
+    link graph (popularity-of-referenced-parts feature): sorted grouped
+    count + one hash join + one sort amortized over both per-src sums."""
+    from .neighborhood import avg_neighbor_degree
+
+    return avg_neighbor_degree(edges_project(sf_dir))
+
+
 def length_band_docs(sf_dir: str) -> ray.data.Dataset:
     """Per-source length-band curation: docs whose token count is within
     their own source's [p5, p95] (percentile_disc) band — grouped
@@ -3417,6 +3449,35 @@ ORACLE_SQL["adamic_adar_top100"] = """
     LIMIT 100
 """
 
+ORACLE_SQL["dominant_lang_per_source"] = """
+    SELECT source, lang, n FROM (
+        SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n,
+               ROW_NUMBER() OVER (
+                   PARTITION BY source ORDER BY COUNT(*) DESC, lang ASC
+               ) AS rn
+        FROM documents GROUP BY source, lang
+    ) WHERE rn = 1
+"""
+
+ORACLE_SQL["distinct_users_per_type"] = """
+    SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events GROUP BY event_type
+"""
+
+ORACLE_SQL["avg_nbr_indeg"] = f"""
+    WITH e AS MATERIALIZED (
+        SELECT DISTINCT l_orderkey AS src,
+               l_partkey + {PART_OFFSET} AS dst FROM lineitem
+    ),
+    indeg AS MATERIALIZED (
+        SELECT dst, CAST(COUNT(*) AS BIGINT) AS ind FROM e GROUP BY dst
+    )
+    SELECT e.src, CAST(COUNT(*) AS BIGINT) AS outdeg,
+           ROUND(CAST(SUM(i.ind) AS DOUBLE) / COUNT(*), 9) AS avg_nbr_indeg
+    FROM e JOIN indeg i USING (dst)
+    GROUP BY e.src
+"""
+
 ORACLE_SQL["docs_cube_counts"] = """
     SELECT COALESCE(lang, 'ALL') AS lang,
            COALESCE(source, 'ALL') AS source,
@@ -3493,6 +3554,9 @@ QUERIES = {
     "adamic_adar_top100": adamic_adar_top100,
     "docs_cube_counts": docs_cube_counts,
     "doc_percent_rank": doc_percent_rank,
+    "dominant_lang_per_source": dominant_lang_per_source,
+    "distinct_users_per_type": distinct_users_per_type,
+    "avg_nbr_indeg": avg_nbr_indeg,
     # -- never driver-checked before round 5 --
     "orders_with_lineitems_bloom": orders_with_lineitems_bloom,
     "pricing_summary": pricing_summary,

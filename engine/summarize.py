@@ -262,3 +262,93 @@ def pricing_summary(
         return pa.table(out)
 
     return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+def grouped_mode(
+    ds: ray.data.Dataset,
+    key_col: str,
+    val_col: str,
+    out_n: str = "n",
+) -> ray.data.Dataset:
+    """Most frequent ``val_col`` per ``key_col`` (SQL mode / grouped
+    argmax) with deterministic ties: highest count first, then smallest
+    value — ``row_number() OVER (PARTITION BY key ORDER BY n DESC, val
+    ASC)``. Per-batch (key, val) count combiner bounds the shuffle at
+    O(combos × blocks); the argmax itself rides the grouped-top-k
+    machinery (k=1) over the tiny combined table. String key/val only
+    (values are compared as strings; '\\x1f' must not occur in them)."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        k = np.asarray(t.column(key_col).to_pylist(), dtype=object)
+        v = np.asarray(t.column(val_col).to_pylist(), dtype=object)
+        combo = np.char.add(
+            np.char.add(k.astype(str), "\x1f"), v.astype(str)
+        )
+        u, idx, c = np.unique(combo, return_index=True, return_counts=True)
+        return pa.table(
+            {
+                key_col: pa.array(k[idx].tolist(), pa.string()),
+                val_col: pa.array(v[idx].tolist(), pa.string()),
+                out_n: pa.array(c.astype(np.int64)),
+            }
+        )
+
+    counts = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby([key_col, val_col])
+        .aggregate(Sum(out_n, alias_name=out_n))
+    )
+    from .topk import topk_per_group
+
+    # k=1 by n DESC; the remaining column (val) breaks ties ascending —
+    # exactly the SQL order above
+    return topk_per_group(counts, key_col, out_n, k=1, descending=True)
+
+
+def grouped_count_distinct(
+    ds: ray.data.Dataset,
+    key_col: str,
+    val_col: str,
+    out_col: str = "n_distinct",
+) -> ray.data.Dataset:
+    """Exact per-key COUNT(DISTINCT val) without a hash aggregate:
+    per-batch pair dedup → packed sort-based distributed DISTINCT
+    (``graph._sorted_distinct_refs`` — Ray 2.49's hash aggregate is
+    ~100× slower than its sort at volume) → per-block vectorized per-key
+    counts → an O(keys × blocks) groupby-sum to settle keys straddling
+    block boundaries. String key, string-comparable val ('\\x1f' must
+    not occur in either)."""
+    import ray as _ray
+
+    from . import graph as G
+
+    SEP = "\x1f"
+
+    def pack(t: pa.Table) -> pa.Table:
+        k = np.asarray(t.column(key_col).to_pylist(), dtype=object)
+        v = np.asarray(t.column(val_col).to_pylist(), dtype=object)
+        combo = np.unique(
+            np.char.add(np.char.add(k.astype(str), SEP), v.astype(str))
+        )
+        return pa.table({"k": pa.array(combo.tolist(), pa.string())})
+
+    packed = ds.map_batches(pack, batch_format="pyarrow")
+    refs, _counts = G._sorted_distinct_refs(packed, "k")
+    out_schema = pa.schema([(key_col, pa.string()), (out_col, pa.int64())])
+    if not refs:
+        return ray.data.from_arrow(out_schema.empty_table())
+
+    @_ray.remote
+    def per_key(tbl: pa.Table) -> pa.Table:
+        k = tbl.column("k").to_numpy(zero_copy_only=False).astype(str)
+        keys = np.char.partition(k, SEP)[:, 0]
+        u, c = np.unique(keys, return_counts=True)
+        return pa.table(
+            {
+                key_col: pa.array(u.tolist(), pa.string()),
+                out_col: pa.array(c.astype(np.int64)),
+            }
+        ).cast(out_schema)
+
+    partial = ray.data.from_arrow_refs([per_key.remote(r) for r in refs])
+    return partial.groupby(key_col).aggregate(Sum(out_col, alias_name=out_col))

@@ -84,3 +84,35 @@ def test_adamic_adar_matches_bruteforce():
     ).to_pandas()
     got = [((int(r.a), int(r.b)), int(r.aa_e9)) for r in out.itertuples()]
     assert got == top
+
+
+def test_avg_neighbor_degree_matches_pandas():
+    """avg_neighbor_degree == per-src mean in-degree of dst neighbors,
+    exact under many partitions (one sort amortized over sum+count)."""
+    from engine.neighborhood import avg_neighbor_degree
+
+    rng = np.random.default_rng(41)
+    n = 900
+    df = pd.DataFrame(
+        {
+            "src": rng.integers(0, 70, n).astype("int64"),
+            "dst": rng.integers(1000, 1050, n).astype("int64"),
+        }
+    ).drop_duplicates()
+    ind = df.groupby("dst").size()
+    j = df.assign(ind=df["dst"].map(ind))
+    want = j.groupby("src").agg(
+        outdeg=("ind", "size"), avg=("ind", "mean")
+    )
+    out = (
+        avg_neighbor_degree(rd.from_pandas(df).repartition(11))
+        .to_pandas()
+        .set_index("src")
+        .sort_index()
+    )
+    assert (out["outdeg"] == want["outdeg"]).all()
+    np.testing.assert_allclose(
+        out["avg_nbr_indeg"].to_numpy(),
+        np.round(want["avg"].to_numpy(), 9),
+        atol=1e-12,
+    )

@@ -205,3 +205,59 @@ def test_rollup_counts_validation():
         rollup_counts(ds, [])
     with pytest.raises(ValueError):
         rollup_counts(ds, ["a", "b", "a", "b", "a"])
+
+
+def test_grouped_sums_sorted_multicol():
+    """grouped_sums_sorted: one sort, several SUM columns, exact across
+    blocks including runs spanning many blocks."""
+    from engine.ntile import grouped_sums_sorted
+
+    rng = np.random.default_rng(53)
+    n = 800
+    df = pd.DataFrame(
+        {
+            "k": np.where(
+                rng.random(n) < 0.5, 3, rng.integers(0, 20, n)
+            ).astype("int64"),
+            "a": rng.integers(-40, 90, n).astype("int64"),
+            "b": rng.integers(0, 7, n).astype("int64"),
+        }
+    )
+    want_a = df.groupby("k")["a"].sum().to_dict()
+    want_b = df.groupby("k")["b"].sum().to_dict()
+    for parts in (1, 41):
+        out = grouped_sums_sorted(
+            rd.from_pandas(df).repartition(parts), "k", ["a", "b"], ["sa", "sb"]
+        ).to_pandas()
+        assert dict(zip(out["k"], out["sa"])) == want_a
+        assert dict(zip(out["k"], out["sb"])) == want_b
+        assert len(out) == len(want_a)
+    with pytest.raises(ValueError):
+        grouped_sums_sorted(rd.from_pandas(df), "k", ["a"], [])
+
+
+def test_grouped_mode_and_count_distinct():
+    """grouped_mode == SQL mode with (n DESC, val ASC) ties;
+    grouped_count_distinct == exact per-key COUNT(DISTINCT)."""
+    from engine.summarize import grouped_count_distinct, grouped_mode
+
+    rng = np.random.default_rng(59)
+    n = 700
+    df = pd.DataFrame(
+        {
+            "k": rng.choice(["web", "pdf", "wiki"], n),
+            "v": rng.choice(["en", "de", "fr", "it"], n),
+        }
+    )
+    counts = df.groupby(["k", "v"]).size().reset_index(name="n")
+    want_mode = {}
+    for k, g in counts.groupby("k"):
+        g = g.sort_values(["n", "v"], ascending=[False, True])
+        want_mode[k] = (g.iloc[0]["v"], int(g.iloc[0]["n"]))
+    want_nd = df.groupby("k")["v"].nunique().to_dict()
+    for parts in (1, 23):
+        ds = rd.from_pandas(df).repartition(parts)
+        m = grouped_mode(ds, "k", "v").to_pandas()
+        assert {r.k: (r.v, int(r.n)) for r in m.itertuples()} == want_mode
+        d = grouped_count_distinct(ds, "k", "v").to_pandas()
+        assert dict(zip(d["k"], d["n_distinct"])) == want_nd
