@@ -812,3 +812,36 @@ def embedding_near_dups_ivf(
     # same pair found in up to ``assign_top`` shared buckets → distinct
     # distributed (sort-based); the driver never touches pair rows
     return distinct_pairs(pair_rows, "cos_sim", pa.float64())
+
+
+def canonical_dedup(
+    docs: ray.data.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """Canonicalized exact dedup — the "same document modulo case and
+    whitespace" tier between byte-exact sha256 dedup and MinHash: lower
+    → collapse ``\\s+`` to one space → trim, all vectorized pyarrow
+    kernels (RE2 — the same regex engine DuckDB's oracle uses), then
+    sha256 of the canonical form so the groupby shuffles 64-hex keys,
+    never document bodies. One row per canonical text: smallest
+    surviving id + duplicate count."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Min
+
+    from .ingest import sha256_column
+
+    def norm(t: pa.Table) -> pa.Table:
+        x = pc.utf8_lower(t.column(text_col))
+        x = pc.replace_substring_regex(x, pattern=r"\s+", replacement=" ")
+        x = pc.utf8_trim(x, characters=" ")
+        return pa.table(
+            {
+                "norm_sha256": sha256_column(x),
+                id_col: t.column(id_col),
+            }
+        )
+
+    return docs.map_batches(norm, batch_format="pyarrow").groupby(
+        "norm_sha256"
+    ).aggregate(Min(id_col, alias_name=id_col), Count(alias_name="dup_count"))

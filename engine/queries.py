@@ -1543,6 +1543,31 @@ def avg_nbr_indeg(sf_dir: str) -> ray.data.Dataset:
     return avg_neighbor_degree(edges_project(sf_dir))
 
 
+def canonical_dedup_docs(sf_dir: str) -> ray.data.Dataset:
+    """Case/whitespace-canonicalized exact dedup over documents (the
+    dedup tier between byte-exact sha256 and MinHash)."""
+    from .dedup import canonical_dedup
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return canonical_dedup(docs)
+
+
+def jsonl_roundtrip(sf_dir: str) -> ray.data.Dataset:
+    """JSONL sink → source roundtrip of the documents table: distributed
+    per-block write (pandas C serializer) under /tmp, read back with
+    pyarrow's C JSON parser — output must equal the parquet original."""
+    import hashlib as _hl
+
+    from .jsonl import read_jsonl, write_jsonl
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+    out = f"/tmp/graft_jsonl/{_hl.md5(sf_dir.encode()).hexdigest()[:10]}"
+    write_jsonl(docs, out, clean=True)
+    return read_jsonl(out)
+
+
 def length_band_docs(sf_dir: str) -> ray.data.Dataset:
     """Per-source length-band curation: docs whose token count is within
     their own source's [p5, p95] (percentile_disc) band — grouped
@@ -3478,6 +3503,18 @@ ORACLE_SQL["avg_nbr_indeg"] = f"""
     GROUP BY e.src
 """
 
+ORACLE_SQL["canonical_dedup_docs"] = r"""
+    SELECT sha256(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+               AS norm_sha256,
+           MIN(doc_id) AS doc_id,
+           COUNT(*) AS dup_count
+    FROM documents GROUP BY 1
+"""
+
+ORACLE_SQL["jsonl_roundtrip"] = """
+    SELECT doc_id, text, lang, source, n_chars FROM documents
+"""
+
 ORACLE_SQL["docs_cube_counts"] = """
     SELECT COALESCE(lang, 'ALL') AS lang,
            COALESCE(source, 'ALL') AS source,
@@ -3557,6 +3594,8 @@ QUERIES = {
     "dominant_lang_per_source": dominant_lang_per_source,
     "distinct_users_per_type": distinct_users_per_type,
     "avg_nbr_indeg": avg_nbr_indeg,
+    "canonical_dedup_docs": canonical_dedup_docs,
+    "jsonl_roundtrip": jsonl_roundtrip,
     # -- never driver-checked before round 5 --
     "orders_with_lineitems_bloom": orders_with_lineitems_bloom,
     "pricing_summary": pricing_summary,

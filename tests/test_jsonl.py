@@ -1,0 +1,67 @@
+"""JSONL source/sink (engine/jsonl.py) + canonical dedup (engine/dedup.py)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data as rd
+
+from engine.dedup import canonical_dedup
+from engine.jsonl import read_jsonl, write_jsonl
+
+
+def test_jsonl_roundtrip_tricky_strings(tmp_path):
+    """Sink → source preserves rows exactly: newlines, quotes, unicode,
+    backslashes, nulls, negative ints — across many blocks."""
+    df = pd.DataFrame(
+        {
+            "id": np.arange(8, dtype=np.int64) - 3,
+            "text": [
+                'line1\nline2\t"quoted"',
+                "unicode: žößé→漢",
+                "back\\slash and / slash",
+                "",
+                None,
+                " leading and trailing ",
+                "{json: looking}",
+                "plain",
+            ],
+        }
+    )
+    out = str(tmp_path / "jsonl")
+    n = write_jsonl(rd.from_pandas(df).repartition(5), out, clean=True)
+    assert n == len(df)
+    back = read_jsonl(out).to_pandas().sort_values("id").reset_index(drop=True)
+    want = df.sort_values("id").reset_index(drop=True)
+    assert back["id"].tolist() == want["id"].tolist()
+    assert back["text"].where(back["text"].notna(), None).tolist() == \
+        want["text"].where(want["text"].notna(), None).tolist()
+
+
+def test_jsonl_clean_vs_accumulate(tmp_path):
+    df = pd.DataFrame({"x": np.arange(4, dtype=np.int64)})
+    out = str(tmp_path / "acc")
+    write_jsonl(rd.from_pandas(df), out)
+    write_jsonl(rd.from_pandas(df), out)  # accumulates
+    assert read_jsonl(out).count() == 8
+    write_jsonl(rd.from_pandas(df), out, clean=True)  # resets
+    assert read_jsonl(out).count() == 4
+
+
+def test_canonical_dedup_groups_case_and_whitespace():
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(6, dtype=np.int64),
+            "text": [
+                "Hello  World",
+                "hello world",
+                "  HELLO\tWORLD \n",
+                "hello worlds",  # different canonical form
+                "Hello  World",
+                "unique doc",
+            ],
+        }
+    )
+    out = canonical_dedup(rd.from_pandas(df).repartition(3)).to_pandas()
+    by_id = out.set_index("doc_id")["dup_count"].to_dict()
+    # docs 0,1,2,4 share one canonical form -> survivor 0 with count 4
+    assert by_id == {0: 4, 3: 1, 5: 1}
