@@ -426,10 +426,9 @@ def hits_3(sf_dir: str) -> ray.data.Dataset:
     )
 
 
-def triangles_tripartite(sf_dir: str) -> ray.data.Dataset:
-    """Triangle count over the order→part→supplier→order tripartite graph
-    (N6; SQL-checkable as a 3-way self-join)."""
-    from .triangles import triangle_count
+def _tripartite_edges(sf_dir: str) -> ray.data.Dataset:
+    """order→part→supplier→order tripartite edge projection (offsets keep
+    the three vertex ranges disjoint)."""
 
     def proj(batch: pa.Table) -> pa.Table:
         o = batch.column("l_orderkey").to_numpy(zero_copy_only=False).astype(np.int64)
@@ -448,13 +447,30 @@ def triangles_tripartite(sf_dir: str) -> ray.data.Dataset:
             }
         )
 
-    edges = _li(sf_dir, ["l_orderkey", "l_partkey", "l_suppkey"]).map_batches(
+    return _li(sf_dir, ["l_orderkey", "l_partkey", "l_suppkey"]).map_batches(
         proj, batch_format="pyarrow"
     )
-    cnt = triangle_count(edges)
+
+
+def triangles_tripartite(sf_dir: str) -> ray.data.Dataset:
+    """Triangle count over the order→part→supplier→order tripartite graph
+    (N6; SQL-checkable as a 3-way self-join)."""
+    from .triangles import triangle_count
+
+    cnt = triangle_count(_tripartite_edges(sf_dir))
     return ray.data.from_arrow(
         pa.table({"n_triangles": pa.array([cnt], type=pa.int64())})
     )
+
+
+def local_clustering_tri(sf_dir: str) -> ray.data.Dataset:
+    """Per-vertex triangle counts + local clustering coefficient on the
+    tripartite graph (every triangle is one (order, part, supplier)
+    triple, so the SQL oracle is the 3-way self-join credited to each
+    corner)."""
+    from .triangles import local_clustering
+
+    return local_clustering(_tripartite_edges(sf_dir))
 
 
 # ---- documents / embeddings queries ------------------------------------
@@ -3503,6 +3519,43 @@ ORACLE_SQL["avg_nbr_indeg"] = f"""
     GROUP BY e.src
 """
 
+ORACLE_SQL["local_clustering_tri"] = f"""
+    WITH e1 AS MATERIALIZED (
+        SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ),
+    e2 AS MATERIALIZED (
+        SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem
+    ),
+    e3 AS MATERIALIZED (
+        SELECT DISTINCT l_suppkey AS s, l_orderkey AS o FROM lineitem
+    ),
+    tri AS MATERIALIZED (
+        SELECT e1.o AS o, e1.p AS p, e2.s AS s
+        FROM e1 JOIN e2 ON e1.p = e2.p
+                JOIN e3 ON e2.s = e3.s AND e3.o = e1.o
+    ),
+    tc AS MATERIALIZED (
+        SELECT vid, CAST(COUNT(*) AS BIGINT) AS n_tri FROM (
+            SELECT o AS vid FROM tri
+            UNION ALL SELECT p + {PART_OFFSET} FROM tri
+            UNION ALL SELECT s + {SUPP_OFFSET} FROM tri
+        ) GROUP BY vid
+    ),
+    und AS MATERIALIZED (
+        SELECT o AS a, p + {PART_OFFSET} AS b FROM e1
+        UNION SELECT p + {PART_OFFSET}, s + {SUPP_OFFSET} FROM e2
+        UNION SELECT o, s + {SUPP_OFFSET} FROM e3
+    ),
+    degs AS MATERIALIZED (
+        SELECT vid, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+            SELECT a AS vid FROM und UNION ALL SELECT b FROM und
+        ) GROUP BY vid
+    )
+    SELECT t.vid, t.n_tri, d.deg,
+           ROUND(2.0 * t.n_tri / (d.deg * (d.deg - 1)), 9) AS lcc
+    FROM tc t JOIN degs d USING (vid)
+"""
+
 ORACLE_SQL["canonical_dedup_docs"] = r"""
     SELECT sha256(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
                AS norm_sha256,
@@ -3596,6 +3649,7 @@ QUERIES = {
     "avg_nbr_indeg": avg_nbr_indeg,
     "canonical_dedup_docs": canonical_dedup_docs,
     "jsonl_roundtrip": jsonl_roundtrip,
+    "local_clustering_tri": local_clustering_tri,
     # -- never driver-checked before round 5 --
     "orders_with_lineitems_bloom": orders_with_lineitems_bloom,
     "pricing_summary": pricing_summary,

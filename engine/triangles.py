@@ -41,11 +41,12 @@ from . import graph as G
 
 
 def _oriented(edges: ray.data.Dataset):
-    """→ (oriented Dataset (u, v) with order(u)<order(v), okey array, n)."""
+    """→ (oriented Dataset (u, v) with order(u)<order(v), okey array, n,
+    sorted original-id dictionary for decode)."""
     ids = G.vertex_ids(edges)
     n = len(ids)
     if n == 0:
-        return None, None, 0
+        return None, None, 0, ids
     enc = G.encode_edges(edges, ids)
     und = G.undirected_edges(enc).materialize()
 
@@ -95,7 +96,12 @@ def _oriented(edges: ray.data.Dataset):
             }
         )
 
-    return und.map_batches(orient, batch_format="pyarrow").materialize(), okey_ref, n
+    return (
+        und.map_batches(orient, batch_format="pyarrow").materialize(),
+        okey_ref,
+        n,
+        ids,
+    )
 
 
 def triangle_count(
@@ -113,7 +119,7 @@ def triangle_count(
     sparse partitions)."""
     import os
 
-    oriented, okey_ref, n = _oriented(edges)
+    oriented, okey_ref, n, _ids = _oriented(edges)
     if n == 0:
         return 0
     if method == "auto":
@@ -144,7 +150,10 @@ def triangle_count(
     raise ValueError(f"unknown method {method!r}")
 
 
-def _count_broadcast(oriented: ray.data.Dataset, okey_ref, n: int) -> int:
+def _broadcast_csr(oriented: ray.data.Dataset, okey_ref, n: int):
+    """Ship-once broadcast of the oriented adjacency: (indptr, sorted
+    (u, rank(v)) edge keys, vid→rank, rank→vid). Shared by the global
+    count and the per-vertex closure passes."""
     if n.bit_length() * 2 >= 63:
         raise ValueError("packed-key overflow guard: n too large for int64 n^2")
     # collect oriented edges once to build the broadcast CSR + key set
@@ -161,10 +170,16 @@ def _count_broadcast(oriented: ray.data.Dataset, okey_ref, n: int) -> int:
     # neighbor array sorted by (u, rank(v)): decode back from the keys
     nbr_u = keys // n
     indptr = np.searchsorted(nbr_u, np.arange(n + 1))
-    adj_ref = ray.put((indptr, keys, rnk))
+    irnk = np.empty(n, dtype=np.int64)  # rank → vid
+    irnk[rnk] = np.arange(n, dtype=np.int64)
+    return ray.put((indptr, keys, rnk, irnk))
+
+
+def _count_broadcast(oriented: ray.data.Dataset, okey_ref, n: int) -> int:
+    adj_ref = _broadcast_csr(oriented, okey_ref, n)
 
     def close_wedges(batch: pa.Table) -> pa.Table:
-        indptr, keys, rnk = ray.get(adj_ref)
+        indptr, keys, rnk, _irnk = ray.get(adj_ref)
         eu = batch.column("u").to_numpy(zero_copy_only=False).astype(np.int64)
         ev = batch.column("v").to_numpy(zero_copy_only=False).astype(np.int64)
         total = 0
@@ -369,3 +384,93 @@ def _count_join(
         right_on=("u", "v"),
     )
     return closed.count()
+
+
+def local_clustering(
+    edges: ray.data.Dataset, round_to: int = 9
+) -> ray.data.Dataset:
+    """Per-vertex triangle counts + local clustering coefficient
+    ``lcc(v) = 2·tri(v) / (deg(v)·(deg(v)−1))`` over the undirected
+    simple graph — the graph feature behind community curation and
+    spam-node detection. Same degree-ordered broadcast-CSR wedge
+    closure as :func:`triangle_count`, but each closed wedge credits
+    its three corners into a per-batch bincount partial; the partials
+    settle through the sort-based grouped SUM (O(3·tri) partial rows,
+    never a hash aggregate). Degrees come free from the orientation key
+    (okey = deg·n + vid); the vertex dictionary ships once via
+    ``ray.put`` — the documented dense ≤1e9-vertex broadcast tier (the
+    shard-actor closure is the path beyond it). Emits only triangle
+    participants (deg ≥ 2 by construction)."""
+    from .ntile import grouped_sum_sorted
+
+    out_schema = pa.schema(
+        [
+            ("vid", pa.int64()),
+            ("n_tri", pa.int64()),
+            ("deg", pa.int64()),
+            ("lcc", pa.float64()),
+        ]
+    )
+    oriented, okey_ref, n, ids = _oriented(edges)
+    if n == 0:
+        return ray.data.from_arrow(out_schema.empty_table())
+    adj_ref = _broadcast_csr(oriented, okey_ref, n)
+    empty_partial = pa.table(
+        {
+            "venc": pa.array([], type=pa.int64()),
+            "c": pa.array([], type=pa.int64()),
+        }
+    )
+
+    def close_credit(batch: pa.Table) -> pa.Table:
+        indptr, keys, rnk, irnk = ray.get(adj_ref)
+        eu = batch.column("u").to_numpy(zero_copy_only=False).astype(np.int64)
+        ev = batch.column("v").to_numpy(zero_copy_only=False).astype(np.int64)
+        if not (len(eu) and len(keys)):
+            return empty_partial
+        ek = eu * np.int64(n) + rnk[ev]
+        lo = np.searchsorted(keys, ek) + 1
+        hi = indptr[eu + 1]
+        counts = np.maximum(hi - lo, 0)
+        tot = int(counts.sum())
+        if not tot:
+            return empty_partial
+        starts_rep = np.repeat(lo, counts)
+        local = np.arange(tot) - np.repeat(counts.cumsum() - counts, counts)
+        wrnk = keys[starts_rep + local] % n  # rank(w)
+        vrep = np.repeat(ev, counts)
+        urep = np.repeat(eu, counts)
+        wk = vrep * np.int64(n) + wrnk  # closing key (v, rank(w))
+        idx = np.searchsorted(keys, wk)
+        idx[idx >= len(keys)] = len(keys) - 1
+        m = keys[idx] == wk
+        if not m.any():
+            return empty_partial
+        # one credit per corner of every closed triangle (u, v, w)
+        allv = np.concatenate([urep[m], vrep[m], irnk[wrnk[m]]])
+        venc, c = np.unique(allv, return_counts=True)
+        return pa.table(
+            {"venc": pa.array(venc), "c": pa.array(c.astype(np.int64))}
+        )
+
+    partial = oriented.map_batches(close_credit, batch_format="pyarrow")
+    tri = grouped_sum_sorted(partial, "venc", "c", out_col="n_tri")
+    ids_ref = ray.put(np.asarray(ids, dtype=np.int64))
+
+    def finish(t: pa.Table) -> pa.Table:
+        ids_arr = ray.get(ids_ref)
+        okey = ray.get(okey_ref)
+        venc = t.column("venc").to_numpy(zero_copy_only=False)
+        ntri = t.column("n_tri").to_numpy(zero_copy_only=False)
+        deg = okey[venc] // n
+        lcc = np.round(2.0 * ntri / (deg * (deg - 1)), round_to)
+        return pa.table(
+            {
+                "vid": pa.array(ids_arr[venc]),
+                "n_tri": pa.array(ntri),
+                "deg": pa.array(deg),
+                "lcc": pa.array(lcc, pa.float64()),
+            }
+        ).cast(out_schema)
+
+    return tri.map_batches(finish, batch_format="pyarrow")

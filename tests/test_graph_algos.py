@@ -769,3 +769,41 @@ def test_bfs_multi_source_nearest_landmark():
     with pytest.raises(ValueError, match="out of range"):
         g.bfs(source_vid=np.array([0, 99]))
     g.shutdown()
+
+
+def test_local_clustering_matches_dense_oracle():
+    """local_clustering == diag(A^3)/2 per-vertex triangles and the
+    textbook lcc formula on a random multigraph (dups/self-loops in the
+    input must collapse first)."""
+    from engine.triangles import local_clustering
+
+    rng = np.random.default_rng(7)
+    e = rng.integers(0, 30, size=(250, 2))
+    edges = [(int(a), int(b)) for a, b in e]
+    n = 30
+    A = np.zeros((n, n), dtype=np.int64)
+    for a, b in edges:
+        if a != b:
+            A[a, b] = A[b, a] = 1
+    tri = np.diag(A @ A @ A) // 2
+    deg = A.sum(axis=1)
+    out = local_clustering(_ds(edges)).to_pandas()
+    got = {int(r.vid): (int(r.n_tri), int(r.deg), r.lcc) for r in out.itertuples()}
+    want = {
+        v: (int(tri[v]), int(deg[v]),
+            np.round(2.0 * tri[v] / (deg[v] * (deg[v] - 1)), 9))
+        for v in range(n)
+        if tri[v] > 0
+    }
+    assert set(got) == set(want)
+    for v in want:
+        assert got[v][0] == want[v][0] and got[v][1] == want[v][1]
+        assert got[v][2] == pytest.approx(want[v][2], abs=1e-12)
+    # K4: every vertex in 3 triangles, lcc = 1
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    out4 = local_clustering(_ds(k4)).to_pandas()
+    assert sorted(out4["n_tri"]) == [3, 3, 3, 3]
+    assert (out4["lcc"] == 1.0).all()
+    # triangle-free graph: empty result with the right schema
+    empty = local_clustering(_ds([(0, 1), (1, 2)]))
+    assert empty.count() == 0
