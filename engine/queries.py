@@ -1584,6 +1584,121 @@ def jsonl_roundtrip(sf_dir: str) -> ray.data.Dataset:
     return read_jsonl(out)
 
 
+def events_value_deciles(sf_dir: str) -> ray.data.Dataset:
+    """Global equi-depth decile report over event values (NTILE(10) on
+    the unique (value, event_id) order): count, min, max per bucket —
+    the quantile-bucketing step of a curriculum/binning pipeline. One
+    sort + O(blocks) offsets; the 10-group aggregate is a per-batch
+    partial → tiny groupby."""
+    from ray.data.aggregate import Max, Min
+    from ray.data.aggregate import Sum as _Sum
+
+    from .windows import global_ntile
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "value"]
+    )
+    b = global_ntile(ev, ["value", "event_id"], 10, out_col="decile")
+
+    def partial(t: pa.Table) -> pa.Table:
+        d = t.column("decile").to_numpy(zero_copy_only=False)
+        v = t.column("value").to_numpy(zero_copy_only=False)
+        u, inv = np.unique(d, return_inverse=True)
+        n = np.bincount(inv).astype(np.int64)
+        vmin = np.full(len(u), np.inf)
+        vmax = np.full(len(u), -np.inf)
+        np.minimum.at(vmin, inv, v)
+        np.maximum.at(vmax, inv, v)
+        return pa.table(
+            {
+                "decile": pa.array(u),
+                "n": pa.array(n),
+                "vmin": pa.array(vmin),
+                "vmax": pa.array(vmax),
+            }
+        )
+
+    agg = (
+        b.map_batches(partial, batch_format="pyarrow")
+        .groupby("decile")
+        .aggregate(
+            _Sum("n", alias_name="n"),
+            Min("vmin", alias_name="vmin"),
+            Max("vmax", alias_name="vmax"),
+        )
+    )
+
+    def rounded(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "decile": t.column("decile"),
+                "n": t.column("n"),
+                "vmin": pa.array(
+                    np.round(
+                        t.column("vmin").to_numpy(zero_copy_only=False), ROUND
+                    )
+                ),
+                "vmax": pa.array(
+                    np.round(
+                        t.column("vmax").to_numpy(zero_copy_only=False), ROUND
+                    )
+                ),
+            }
+        )
+
+    return agg.map_batches(rounded, batch_format="pyarrow")
+
+
+_FK_RELATIONS = [
+    # (name, left table, left key, right table, right key)
+    ("lineitem_to_orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("orders_to_customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem_to_part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("customer_without_orders", "customer", "c_custkey", "orders", "o_custkey"),
+    ("part_without_lineitems", "part", "p_partkey", "lineitem", "l_partkey"),
+    ("events_to_customer", "events", "user_id", "customer", "c_custkey"),
+]
+
+
+def fk_orphan_report(sf_dir: str) -> ray.data.Dataset:
+    """Referential-integrity audit (ingestion validation): for each
+    relation, the count of DISTINCT left keys and of distinct left keys
+    with no match on the right — FK directions must be 0, the reverse
+    directions (customers without orders, unreferenced parts) are the
+    coverage report. All counts ride the sort-based set ops
+    (engine/setops.py) and sorted DISTINCT — no hash join, no hash
+    aggregate, O(metrics) driver assembly."""
+    from . import graph as _G
+    from .setops import except_keys
+
+    def keyed(table: str, col: str) -> ray.data.Dataset:
+        ds = ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=[col])
+
+        def proj(t: pa.Table, c=col) -> pa.Table:
+            return pa.table(
+                {"k": pa.array(np.unique(t.column(c).to_numpy(zero_copy_only=False)))}
+            )
+
+        return ds.map_batches(proj, batch_format="pyarrow")
+
+    names, n_keys, n_orphans = [], [], []
+    for name, lt, lk, rt, rk in _FK_RELATIONS:
+        left = keyed(lt, lk)
+        _refs, counts = _G._sorted_distinct_refs(left, "k")
+        names.append(name)
+        n_keys.append(int(sum(counts)))
+        n_orphans.append(except_keys(left, keyed(rt, rk), "k").count())
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "relation": pa.array(names, pa.string()),
+                "n_keys": pa.array(n_keys, pa.int64()),
+                "n_orphan_keys": pa.array(n_orphans, pa.int64()),
+            }
+        )
+    )
+
+
 def length_band_docs(sf_dir: str) -> ray.data.Dataset:
     """Per-source length-band curation: docs whose token count is within
     their own source's [p5, p95] (percentile_disc) band — grouped
@@ -3519,6 +3634,50 @@ ORACLE_SQL["avg_nbr_indeg"] = f"""
     GROUP BY e.src
 """
 
+ORACLE_SQL["events_value_deciles"] = """
+    WITH r AS MATERIALIZED (
+        SELECT value,
+               NTILE(10) OVER (ORDER BY value, event_id) AS decile
+        FROM events
+    )
+    SELECT decile, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(MIN(value), 9) AS vmin,
+           ROUND(MAX(value), 9) AS vmax
+    FROM r GROUP BY decile
+"""
+
+ORACLE_SQL["fk_orphan_report"] = """
+    SELECT 'lineitem_to_orders' AS relation,
+           CAST((SELECT COUNT(DISTINCT l_orderkey) FROM lineitem) AS BIGINT) AS n_keys,
+           CAST((SELECT COUNT(DISTINCT l_orderkey) FROM lineitem
+                 WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)) AS BIGINT) AS n_orphan_keys
+    UNION ALL
+    SELECT 'orders_to_customer',
+           CAST((SELECT COUNT(DISTINCT o_custkey) FROM orders) AS BIGINT),
+           CAST((SELECT COUNT(DISTINCT o_custkey) FROM orders
+                 WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)) AS BIGINT)
+    UNION ALL
+    SELECT 'lineitem_to_part',
+           CAST((SELECT COUNT(DISTINCT l_partkey) FROM lineitem) AS BIGINT),
+           CAST((SELECT COUNT(DISTINCT l_partkey) FROM lineitem
+                 WHERE l_partkey NOT IN (SELECT p_partkey FROM part)) AS BIGINT)
+    UNION ALL
+    SELECT 'customer_without_orders',
+           CAST((SELECT COUNT(DISTINCT c_custkey) FROM customer) AS BIGINT),
+           CAST((SELECT COUNT(DISTINCT c_custkey) FROM customer
+                 WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)) AS BIGINT)
+    UNION ALL
+    SELECT 'part_without_lineitems',
+           CAST((SELECT COUNT(DISTINCT p_partkey) FROM part) AS BIGINT),
+           CAST((SELECT COUNT(DISTINCT p_partkey) FROM part
+                 WHERE p_partkey NOT IN (SELECT l_partkey FROM lineitem)) AS BIGINT)
+    UNION ALL
+    SELECT 'events_to_customer',
+           CAST((SELECT COUNT(DISTINCT user_id) FROM events) AS BIGINT),
+           CAST((SELECT COUNT(DISTINCT user_id) FROM events
+                 WHERE user_id NOT IN (SELECT c_custkey FROM customer)) AS BIGINT)
+"""
+
 ORACLE_SQL["local_clustering_tri"] = f"""
     WITH e1 AS MATERIALIZED (
         SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
@@ -3650,6 +3809,8 @@ QUERIES = {
     "canonical_dedup_docs": canonical_dedup_docs,
     "jsonl_roundtrip": jsonl_roundtrip,
     "local_clustering_tri": local_clustering_tri,
+    "events_value_deciles": events_value_deciles,
+    "fk_orphan_report": fk_orphan_report,
     # -- never driver-checked before round 5 --
     "orders_with_lineitems_bloom": orders_with_lineitems_bloom,
     "pricing_summary": pricing_summary,

@@ -366,6 +366,40 @@ def rolling_sum_per_key(
     return ray.data.from_arrow_refs(out_refs)
 
 
+def _sorted_rank_blocks(ds: ray.data.Dataset, order_cols: list):
+    """One global sort + O(blocks) row-count metadata: returns
+    (block refs, per-block global rank offsets, total rows, schema) —
+    the shared machinery of the global rank-family windows. Schema is
+    ``None`` for an empty input (Ray 2.49 gives empty datasets no
+    schema at all)."""
+    arrow = ds.map_batches(lambda t: t, batch_format="pyarrow")
+    s = arrow.sort(list(order_cols)).materialize()
+    sch = s.schema()
+    if sch is None:
+        return [], np.empty(0, np.int64), 0, None
+    refs, counts = [], []
+    for rb in s.iter_internal_ref_bundles():
+        for blk, meta in rb.blocks:
+            if meta.num_rows:
+                refs.append(blk)
+                counts.append(int(meta.num_rows))
+    total = int(sum(counts))
+    offsets = (
+        np.concatenate(([0], np.cumsum(counts[:-1]))).astype(np.int64)
+        if counts
+        else np.empty(0, np.int64)
+    )
+    return refs, offsets, total, sch
+
+
+def _as_table(blk) -> pa.Table:
+    return (
+        blk
+        if isinstance(blk, pa.Table)
+        else pa.Table.from_pandas(blk, preserve_index=False)
+    )
+
+
 def global_percent_rank(
     ds: ray.data.Dataset,
     order_cols: list,
@@ -378,34 +412,20 @@ def global_percent_rank(
     row_number and the SQL window agrees. One sort; positions come from
     O(blocks) row-count metadata (the epoch-shuffle house pattern); a
     single-row dataset gets 0.0 (the SQL convention)."""
-    arrow = ds.map_batches(lambda t: t, batch_format="pyarrow")
-    s = arrow.sort(list(order_cols)).materialize()
-    sch = s.schema()
-    if sch is None:  # Ray 2.49: empty dataset has no schema at all
+    refs, offsets, total, sch = _sorted_rank_blocks(ds, order_cols)
+    if sch is None:
         return ray.data.from_arrow(
             pa.table({out_col: pa.array([], pa.float64())})
         )
     out_schema = pa.schema(
         list(zip(sch.names, sch.types)) + [(out_col, pa.float64())]
     )
-    refs, counts = [], []
-    for rb in s.iter_internal_ref_bundles():
-        for blk, meta in rb.blocks:
-            if meta.num_rows:
-                refs.append(blk)
-                counts.append(int(meta.num_rows))
     if not refs:
         return ray.data.from_arrow(out_schema.empty_table())
-    total = int(sum(counts))
-    offsets = np.concatenate(([0], np.cumsum(counts[:-1]))).astype(np.int64)
 
     @ray.remote
     def emit(blk, offset: int) -> pa.Table:
-        tbl = (
-            blk
-            if isinstance(blk, pa.Table)
-            else pa.Table.from_pandas(blk, preserve_index=False)
-        )
+        tbl = _as_table(blk)
         pos = offset + np.arange(len(tbl), dtype=np.int64)
         pr = (
             pos / (total - 1)
@@ -415,6 +435,44 @@ def global_percent_rank(
         return tbl.append_column(out_col, pa.array(np.round(pr, decimals))).cast(
             out_schema
         )
+
+    out_refs = [emit.remote(r, int(o)) for r, o in zip(refs, offsets)]
+    return ray.data.from_arrow_refs(out_refs)
+
+
+def global_ntile(
+    ds: ray.data.Dataset,
+    order_cols: list,
+    k: int,
+    out_col: str = "bucket",
+) -> ray.data.Dataset:
+    """Global equi-depth bucketing — ``NTILE(k) OVER (ORDER BY
+    order_cols)`` with the ANSI rule (first ``n % k`` buckets hold one
+    extra row). ``order_cols`` must be unique in combination for a
+    deterministic result. Same one-sort + O(blocks) offset machinery as
+    :func:`global_percent_rank`; the bucket rule itself is the shared
+    vectorized :func:`engine.ntile._ntile_of`."""
+    from .ntile import _ntile_of
+
+    if k < 1:
+        raise ValueError("global_ntile: k must be >= 1")
+    refs, offsets, total, sch = _sorted_rank_blocks(ds, order_cols)
+    if sch is None:
+        return ray.data.from_arrow(
+            pa.table({out_col: pa.array([], pa.int64())})
+        )
+    out_schema = pa.schema(
+        list(zip(sch.names, sch.types)) + [(out_col, pa.int64())]
+    )
+    if not refs:
+        return ray.data.from_arrow(out_schema.empty_table())
+
+    @ray.remote
+    def emit(blk, offset: int) -> pa.Table:
+        tbl = _as_table(blk)
+        pos = offset + np.arange(len(tbl), dtype=np.int64)
+        buckets = _ntile_of(pos, np.full(len(tbl), total, np.int64), k)
+        return tbl.append_column(out_col, pa.array(buckets)).cast(out_schema)
 
     out_refs = [emit.remote(r, int(o)) for r, o in zip(refs, offsets)]
     return ray.data.from_arrow_refs(out_refs)

@@ -332,3 +332,36 @@ def test_global_percent_rank_single_row_and_empty():
         lambda r: False
     )
     assert global_percent_rank(empty, ["v", "id"]).count() == 0
+
+
+def test_global_ntile_matches_duckdb():
+    """global_ntile == NTILE(k) OVER (ORDER BY v, id) for several k,
+    exact across many blocks (ANSI extra-row rule at the seams)."""
+    import numpy as np
+    import pytest
+    import ray.data as rd
+
+    from engine.windows import global_ntile
+
+    rng = np.random.default_rng(29)
+    n = 333
+    df = pd.DataFrame(
+        {
+            "id": np.arange(n, dtype=np.int64),
+            "v": rng.integers(0, 25, n).astype("int64"),  # heavy ties
+        }
+    )
+    con = duckdb.connect()
+    con.register("t", df)
+    for k in (1, 7, 10, 400):  # 400 > n: each row its own bucket
+        want = dict(
+            con.execute(
+                f"SELECT id, NTILE({k}) OVER (ORDER BY v, id) FROM t"
+            ).fetchall()
+        )
+        for parts in (1, 31):
+            ds = rd.from_pandas(df).repartition(parts)
+            out = global_ntile(ds, ["v", "id"], k, out_col="b").to_pandas()
+            assert dict(zip(out["id"], out["b"])) == want
+    with pytest.raises(ValueError):
+        global_ntile(rd.from_pandas(df), ["v", "id"], 0)
