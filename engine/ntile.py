@@ -169,18 +169,28 @@ def grouped_sum_sorted(
     return grouped_sums_sorted(ds, key_col, [val_col], [out_col])
 
 
+_REDUCE_UFUNC = {"sum": np.add, "min": np.minimum, "max": np.maximum}
+
+
 def grouped_sums_sorted(
     ds: ray.data.Dataset,
     key_col: str,
     val_cols: list,
     out_cols: list,
+    op: str = "sum",
 ) -> ray.data.Dataset:
     """Multi-column :func:`grouped_sum_sorted`: one sort amortized over
-    any number of integer SUM columns (e.g. sum + count for an exact
-    grouped AVG). Same O(blocks) boundary-chain; the per-block metadata
-    carries one vector of partial sums per boundary run."""
+    any number of integer reduce columns (e.g. sum + count for an exact
+    grouped AVG). ``op`` picks the associative integer reduction —
+    ``"sum"`` (default), ``"min"`` or ``"max"`` (grouped first-seen /
+    extent without a hash aggregate). Same O(blocks) boundary-chain; the
+    per-block metadata carries one vector of partial reductions per
+    boundary run."""
     if len(val_cols) != len(out_cols) or not val_cols:
         raise ValueError("val_cols and out_cols must align and be non-empty")
+    if op not in _REDUCE_UFUNC:
+        raise ValueError(f"op must be one of {sorted(_REDUCE_UFUNC)}")
+    ufunc = _REDUCE_UFUNC[op]
     nv = len(val_cols)
     arrow = ds.map_batches(lambda t: t, batch_format="pyarrow")
     s = arrow.sort(key_col).materialize()
@@ -205,8 +215,8 @@ def grouped_sums_sorted(
         n = len(keys)
         fl = int(run_starts[1]) if len(run_starts) > 1 else n
         ll = n - int(run_starts[-1])
-        fs = tuple(int(v[:fl].sum()) for v in vs)
-        ls = tuple(int(v[n - ll :].sum()) for v in vs)
+        fs = tuple(int(ufunc.reduce(v[:fl])) for v in vs)
+        ls = tuple(int(ufunc.reduce(v[n - ll :])) for v in vs)
         return keys[0], fs, keys[-1], ls, fl == n
 
     metas = ray.get([block_meta.remote(r) for r in refs])
@@ -217,7 +227,7 @@ def grouped_sums_sorted(
     open_key, open_s, open_members = None, zero, []
 
     def _add(a, b):
-        return tuple(x + y for x, y in zip(a, b))
+        return tuple(int(ufunc(x, y)) for x, y in zip(a, b))
 
     def _close():
         nonlocal open_key, open_s, open_members
@@ -264,7 +274,7 @@ def grouped_sums_sorted(
         cols = {}
         lo = 1 if f_cont else 0
         for j, (c, v) in enumerate(zip(out_cols, vs)):
-            sums = np.add.reduceat(v, starts)
+            sums = ufunc.reduceat(v, starts)
             sums[-1] = l_tot[j]  # trailing run: full chained total
             cols[c] = pa.array(sums[lo:])
         return pa.table(

@@ -1699,6 +1699,127 @@ def fk_orphan_report(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def csv_roundtrip(sf_dir: str) -> ray.data.Dataset:
+    """CSV sink → source roundtrip of the documents table (quoted
+    multi-line text survives via pyarrow's newlines_in_values)."""
+    import hashlib as _hl
+
+    from .csvio import read_csv, write_csv
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+    out = f"/tmp/graft_csv/{_hl.md5(sf_dir.encode()).hexdigest()[:10]}"
+    write_csv(docs, out, clean=True)
+    return read_csv(out)
+
+
+def value_hour_corr_by_type(sf_dir: str) -> ray.data.Dataset:
+    """Grouped Pearson correlation between event value (exact cents)
+    and hour-of-day, per event type — exact integer moments, float only
+    on the final tiny result."""
+    from .summarize import grouped_pearson
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"]
+    )
+
+    def quantize(t: pa.Table) -> pa.Table:
+        us = pc.cast(t.column("ts"), pa.int64()).to_numpy(zero_copy_only=False)
+        v = t.column("value").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "event_type": t.column("event_type"),
+                "x": pa.array(np.round(v * 100).astype(np.int64)),
+                "y": pa.array((us // 3_600_000_000) % 24),
+            }
+        )
+
+    return grouped_pearson(
+        ev.map_batches(quantize, batch_format="pyarrow"), "event_type", "x", "y"
+    )
+
+
+def cohort_retention(sf_dir: str) -> ray.data.Dataset:
+    """Cohort retention matrix: users bucketed by first-seen day, then
+    per (cohort_day, active day) the distinct-active-user count.
+    Distinct (user, day) pairs via the packed sort-based DISTINCT;
+    first-seen via the sorted grouped MIN (no hash aggregate on the
+    user-sized side); one user-keyed hash join; O(days²) final combos."""
+    from . import graph as _G
+    from .ntile import grouped_sums_sorted
+
+    _DAY_US = 86_400_000_000
+    _PACK = np.int64(1 << 21)  # day < 2^21 (year ~7700), user < 2^42
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "user_id"]
+    )
+
+    def pack(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        day = (
+            pc.cast(t.column("ts"), pa.int64()).to_numpy(zero_copy_only=False)
+            // _DAY_US
+        )
+        if len(u) and (u.max() >= (1 << 42) or day.max() >= (1 << 21)):
+            raise ValueError("cohort_retention: pack range exceeded")
+        return pa.table({"k": pa.array(np.unique(u * _PACK + day))})
+
+    refs, _c = _G._sorted_distinct_refs(
+        ev.map_batches(pack, batch_format="pyarrow"), "k"
+    )
+    out_schema = pa.schema(
+        [
+            ("cohort_day", pa.int64()),
+            ("day", pa.int64()),
+            ("n_users", pa.int64()),
+        ]
+    )
+    if not refs:
+        return ray.data.from_arrow(out_schema.empty_table())
+
+    @ray.remote
+    def unpack(tbl: pa.Table) -> pa.Table:
+        k = tbl.column("k").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "user_id": pa.array(k // _PACK),
+                "day": pa.array(k % _PACK),
+            }
+        )
+
+    pairs = ray.data.from_arrow_refs([unpack.remote(r) for r in refs])
+    firsts = grouped_sums_sorted(
+        pairs, "user_id", ["day"], ["cohort_day"], op="min"
+    )
+    joined = pairs.join(
+        firsts,
+        join_type="inner",
+        num_partitions=G.join_partitions_for(pairs),
+        on=("user_id",),
+    )
+
+    def combo(t: pa.Table) -> pa.Table:
+        c = t.column("cohort_day").to_numpy(zero_copy_only=False)
+        d = t.column("day").to_numpy(zero_copy_only=False)
+        key = c * _PACK + d
+        u, n = np.unique(key, return_counts=True)
+        return pa.table(
+            {
+                "cohort_day": pa.array(u // _PACK),
+                "day": pa.array(u % _PACK),
+                "n_users": pa.array(n.astype(np.int64)),
+            }
+        )
+
+    from ray.data.aggregate import Sum as _Sum
+
+    return (
+        joined.map_batches(combo, batch_format="pyarrow")
+        .groupby(["cohort_day", "day"])
+        .aggregate(_Sum("n_users", alias_name="n_users"))
+    )
+
+
 def length_band_docs(sf_dir: str) -> ray.data.Dataset:
     """Per-source length-band curation: docs whose token count is within
     their own source's [p5, p95] (percentile_disc) band — grouped
@@ -3634,6 +3755,44 @@ ORACLE_SQL["avg_nbr_indeg"] = f"""
     GROUP BY e.src
 """
 
+ORACLE_SQL["csv_roundtrip"] = """
+    SELECT doc_id, text, lang, source, n_chars FROM documents
+"""
+
+ORACLE_SQL["value_hour_corr_by_type"] = """
+    WITH q AS MATERIALIZED (
+        SELECT event_type,
+               CAST(ROUND(value * 100) AS BIGINT) AS x,
+               CAST(EXTRACT(hour FROM ts) AS BIGINT) AS y
+        FROM events
+    ),
+    m AS MATERIALIZED (
+        SELECT event_type, COUNT(*) AS n,
+               SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy,
+               SUM(x * x) AS sxx, SUM(y * y) AS syy
+        FROM q GROUP BY event_type
+    )
+    SELECT event_type,
+           ROUND((CAST(n AS DOUBLE) * sxy - sx * sy) /
+                 (SQRT(CAST(n AS DOUBLE) * sxx - sx * sx) *
+                  SQRT(CAST(n AS DOUBLE) * syy - sy * sy)), 9) AS corr
+    FROM m
+"""
+
+ORACLE_SQL["cohort_retention"] = """
+    WITH ud AS MATERIALIZED (
+        SELECT DISTINCT user_id,
+               CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day
+        FROM events
+    ),
+    f AS MATERIALIZED (
+        SELECT user_id, MIN(day) AS cohort_day FROM ud GROUP BY user_id
+    )
+    SELECT f.cohort_day, ud.day, CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM ud JOIN f USING (user_id)
+    GROUP BY 1, 2
+"""
+
 ORACLE_SQL["events_value_deciles"] = """
     WITH r AS MATERIALIZED (
         SELECT value,
@@ -3811,6 +3970,9 @@ QUERIES = {
     "local_clustering_tri": local_clustering_tri,
     "events_value_deciles": events_value_deciles,
     "fk_orphan_report": fk_orphan_report,
+    "value_hour_corr_by_type": value_hour_corr_by_type,
+    "cohort_retention": cohort_retention,
+    "csv_roundtrip": csv_roundtrip,
     # -- never driver-checked before round 5 --
     "orders_with_lineitems_bloom": orders_with_lineitems_bloom,
     "pricing_summary": pricing_summary,

@@ -352,3 +352,75 @@ def grouped_count_distinct(
 
     partial = ray.data.from_arrow_refs([per_key.remote(r) for r in refs])
     return partial.groupby(key_col).aggregate(Sum(out_col, alias_name=out_col))
+
+
+def grouped_pearson(
+    ds: ray.data.Dataset,
+    key_col: str,
+    x_col: str,
+    y_col: str,
+    out_col: str = "corr",
+    round_to: int = 9,
+) -> ray.data.Dataset:
+    """Grouped Pearson correlation from exact integer moment sums —
+    the feature-association report. ``x_col``/``y_col`` MUST already be
+    int64-quantized (the repo's order-insensitive-compare trick): the
+    per-batch combiner reduces each batch to one (n, Σx, Σy, Σxy, Σx²,
+    Σy²) row per key it contains, the global groupby ships
+    O(keys × blocks) partials, and only the final tiny result evaluates
+    floats — term-for-term in the oracle's operation order
+    (n·Σxy − Σx·Σy over the √ product, products exact before the float
+    cast). Caller bounds: |x·y|·rows_per_group must stay < 2⁶³."""
+
+    moment_schema = pa.schema(
+        [(key_col, pa.string())]
+        + [(c, pa.int64()) for c in ("n", "sx", "sy", "sxy", "sxx", "syy")]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return moment_schema.empty_table()
+        k = t.column(key_col).to_numpy(zero_copy_only=False)
+        x = t.column(x_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        y = t.column(y_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(k, kind="stable")
+        ks, xs, ys = k[order], x[order], y[order]
+        starts = np.concatenate(([0], np.flatnonzero(ks[1:] != ks[:-1]) + 1))
+        ends = np.append(starts[1:], len(ks))
+        return pa.table(
+            {
+                key_col: pa.array(ks[starts].tolist(), pa.string()),
+                "n": pa.array((ends - starts).astype(np.int64)),
+                "sx": pa.array(np.add.reduceat(xs, starts)),
+                "sy": pa.array(np.add.reduceat(ys, starts)),
+                "sxy": pa.array(np.add.reduceat(xs * ys, starts)),
+                "sxx": pa.array(np.add.reduceat(xs * xs, starts)),
+                "syy": pa.array(np.add.reduceat(ys * ys, starts)),
+            }
+        ).cast(moment_schema)
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(key_col)
+        .aggregate(*[Sum(c, alias_name=c) for c in ("n", "sx", "sy", "sxy", "sxx", "syy")])
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        rows = t.to_pylist()  # tiny: one row per key
+        corr = []
+        for r in rows:
+            n, sx, sy = int(r["n"]), int(r["sx"]), int(r["sy"])
+            sxy, sxx, syy = int(r["sxy"]), int(r["sxx"]), int(r["syy"])
+            num = float(n) * float(sxy) - float(sx * sy)
+            dx = float(n) * float(sxx) - float(sx * sx)
+            dy = float(n) * float(syy) - float(sy * sy)
+            den = np.sqrt(dx) * np.sqrt(dy)
+            corr.append(round(num / den, round_to) if den > 0 else None)
+        return pa.table(
+            {
+                key_col: pa.array([r[key_col] for r in rows]),
+                out_col: pa.array(corr, pa.float64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")

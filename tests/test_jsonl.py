@@ -65,3 +65,30 @@ def test_canonical_dedup_groups_case_and_whitespace():
     by_id = out.set_index("doc_id")["dup_count"].to_dict()
     # docs 0,1,2,4 share one canonical form -> survivor 0 with count 4
     assert by_id == {0: 4, 3: 1, 5: 1}
+
+
+def test_csv_roundtrip_tricky_strings(tmp_path):
+    """CSV sink → source preserves rows: embedded newlines, commas,
+    quotes, unicode — across many blocks (quoted fields + pyarrow
+    newlines_in_values)."""
+    from engine.csvio import read_csv, write_csv
+
+    df = pd.DataFrame(
+        {
+            "id": np.arange(6, dtype=np.int64),
+            "text": [
+                'line1\nline2,with,"commas"',
+                "unicode: žöß→漢",
+                " leading/trailing ",
+                "a,b,c",
+                'only "quotes"',
+                "plain",
+            ],
+        }
+    )
+    out = str(tmp_path / "csv")
+    n = write_csv(rd.from_pandas(df).repartition(4), out, clean=True)
+    assert n == len(df)
+    back = read_csv(out).to_pandas().sort_values("id").reset_index(drop=True)
+    assert back["text"].tolist() == df["text"].tolist()
+    assert back["id"].tolist() == df["id"].tolist()

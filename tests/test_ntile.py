@@ -261,3 +261,62 @@ def test_grouped_mode_and_count_distinct():
         assert {r.k: (r.v, int(r.n)) for r in m.itertuples()} == want_mode
         d = grouped_count_distinct(ds, "k", "v").to_pandas()
         assert dict(zip(d["k"], d["n_distinct"])) == want_nd
+
+
+def test_grouped_sums_sorted_min_max_ops():
+    from engine.ntile import grouped_sums_sorted
+
+    rng = np.random.default_rng(61)
+    n = 600
+    df = pd.DataFrame(
+        {
+            "k": np.where(
+                rng.random(n) < 0.5, 5, rng.integers(0, 18, n)
+            ).astype("int64"),
+            "v": rng.integers(-900, 900, n).astype("int64"),
+        }
+    )
+    want_min = df.groupby("k")["v"].min().to_dict()
+    want_max = df.groupby("k")["v"].max().to_dict()
+    for parts in (1, 37):
+        ds = rd.from_pandas(df).repartition(parts)
+        mn = grouped_sums_sorted(ds, "k", ["v"], ["m"], op="min").to_pandas()
+        assert dict(zip(mn["k"], mn["m"])) == want_min
+        mx = grouped_sums_sorted(ds, "k", ["v"], ["m"], op="max").to_pandas()
+        assert dict(zip(mx["k"], mx["m"])) == want_max
+    with pytest.raises(ValueError):
+        grouped_sums_sorted(rd.from_pandas(df), "k", ["v"], ["m"], op="median")
+
+
+def test_grouped_pearson_matches_numpy():
+    from engine.summarize import grouped_pearson
+
+    rng = np.random.default_rng(67)
+    n = 500
+    df = pd.DataFrame(
+        {
+            "k": rng.choice(["a", "b", "c"], n),
+            "x": rng.integers(0, 1000, n).astype("int64"),
+        }
+    )
+    # correlated y for group a, anti for b, noise for c
+    noise = rng.integers(-50, 50, n)
+    df["y"] = np.where(
+        df["k"] == "a",
+        df["x"] + noise,
+        np.where(df["k"] == "b", -df["x"] + noise, noise),
+    ).astype("int64")
+    want = {
+        k: round(float(np.corrcoef(g["x"], g["y"])[0, 1]), 6)
+        for k, g in df.groupby("k")
+    }
+    for parts in (1, 19):
+        out = grouped_pearson(
+            rd.from_pandas(df).repartition(parts), "k", "x", "y"
+        ).to_pandas()
+        got = {r.k: round(r.corr, 6) for r in out.itertuples()}
+        assert got == want
+    # zero-variance group -> null corr, not a crash
+    z = pd.DataFrame({"k": ["z"] * 4, "x": [3] * 4, "y": [1, 2, 3, 4]})
+    out = grouped_pearson(rd.from_pandas(z), "k", "x", "y").to_pandas()
+    assert out["corr"].isna().all()
