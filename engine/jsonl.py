@@ -25,24 +25,40 @@ import pandas as pd
 import ray.data
 
 
-def write_jsonl(ds: ray.data.Dataset, out_dir: str, clean: bool = False) -> int:
-    """Distributed JSONL sink: one ``part-*.jsonl`` file per non-empty
-    block, written atomically (tmp + rename). Part names carry a uuid —
-    re-running into the same directory ACCUMULATES files, so pass
-    ``clean=True`` (or a fresh directory) for reproducible output.
-    Executes eagerly; returns the number of rows written."""
+def write_jsonl(
+    ds: ray.data.Dataset,
+    out_dir: str,
+    clean: bool = False,
+    compression: str | None = None,
+) -> int:
+    """Distributed JSONL sink: one ``part-*.jsonl[.gz]`` file per
+    non-empty block, written atomically (tmp + rename). Part names carry
+    a uuid — re-running into the same directory ACCUMULATES files, so
+    pass ``clean=True`` (or a fresh directory) for reproducible output.
+    ``compression="gzip"`` writes ``.jsonl.gz`` parts (the standard
+    shipped-corpus form). Executes eagerly; returns rows written."""
+    if compression not in (None, "gzip"):
+        raise ValueError("compression must be None or 'gzip'")
     if clean and os.path.isdir(out_dir):
         shutil.rmtree(out_dir)
     os.makedirs(out_dir, exist_ok=True)
+    ext = ".jsonl.gz" if compression == "gzip" else ".jsonl"
 
     def write_block(df: pd.DataFrame) -> pd.DataFrame:
         if len(df) == 0:
             return pd.DataFrame({"rows": pd.Series([], dtype="int64")})
         data = df.to_json(orient="records", lines=True, force_ascii=True)
-        path = os.path.join(out_dir, f"part-{uuid.uuid4().hex[:16]}.jsonl")
+        path = os.path.join(out_dir, f"part-{uuid.uuid4().hex[:16]}{ext}")
         tmp = path + ".tmp"
-        with open(tmp, "w") as f:
-            f.write(data)
+        if compression == "gzip":
+            import gzip
+
+            # mtime=0: identical content → identical bytes across runs
+            with gzip.GzipFile(tmp, "wb", mtime=0) as f:
+                f.write(data.encode("utf-8"))
+        else:
+            with open(tmp, "w") as f:
+                f.write(data)
         os.rename(tmp, path)
         return pd.DataFrame({"rows": [len(df)]})
 
@@ -51,5 +67,7 @@ def write_jsonl(ds: ray.data.Dataset, out_dir: str, clean: bool = False) -> int:
 
 
 def read_jsonl(path: str) -> ray.data.Dataset:
-    """JSONL source via pyarrow's C JSON reader (one task per file)."""
-    return ray.data.read_json(path)
+    """JSONL source via pyarrow's C JSON reader (one task per file).
+    Gzip parts (``.jsonl.gz``) are decompressed transparently by the
+    Arrow filesystem layer (inferred from the extension)."""
+    return ray.data.read_json(path, file_extensions=None)

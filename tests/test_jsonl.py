@@ -92,3 +92,28 @@ def test_csv_roundtrip_tricky_strings(tmp_path):
     back = read_csv(out).to_pandas().sort_values("id").reset_index(drop=True)
     assert back["text"].tolist() == df["text"].tolist()
     assert back["id"].tolist() == df["id"].tolist()
+
+
+def test_jsonl_gzip_roundtrip(tmp_path):
+    """gzip-compressed JSONL parts roundtrip (the shipped-corpus form)."""
+    from engine.jsonl import read_jsonl, write_jsonl
+
+    df = pd.DataFrame(
+        {
+            "id": np.arange(7, dtype=np.int64),
+            "text": [f"doc {i}\nsecond line ü{i}" for i in range(7)],
+        }
+    )
+    out = str(tmp_path / "gz")
+    n = write_jsonl(
+        rd.from_pandas(df).repartition(3), out, clean=True, compression="gzip"
+    )
+    assert n == 7
+    import glob
+
+    parts = glob.glob(out + "/*.jsonl.gz")
+    assert parts  # compressed parts on disk
+    back = read_jsonl(out).to_pandas().sort_values("id").reset_index(drop=True)
+    assert back["text"].tolist() == df["text"].tolist()
+    with pytest.raises(ValueError):
+        write_jsonl(rd.from_pandas(df), out, compression="zstd")
