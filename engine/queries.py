@@ -1699,6 +1699,63 @@ def fk_orphan_report(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def degree_assortativity(sf_dir: str) -> ray.data.Dataset:
+    """Degree-degree correlation of the link graph: Pearson over edges
+    between outdeg(src) and indeg(dst) — "do high-degree sources point
+    at popular targets". Two sorted grouped counts, two joins to carry
+    the V-sized degree tables onto the E-sized edges, then the exact
+    integer-moment Pearson (single key)."""
+    from .ntile import grouped_sum_sorted
+    from .summarize import grouped_pearson
+
+    edges = edges_project(sf_dir)
+
+    def with_ones(t: pa.Table) -> pa.Table:
+        return t.append_column("_1", pa.array(np.ones(len(t), np.int64)))
+
+    ones = edges.map_batches(with_ones, batch_format="pyarrow")
+    outdeg = grouped_sum_sorted(ones, "src", "_1", out_col="x")
+    indeg = grouped_sum_sorted(ones, "dst", "_1", out_col="y")
+    parts = G.join_partitions_for(edges)
+    e = edges.join(outdeg, join_type="inner", num_partitions=parts, on=("src",))
+    e = e.join(indeg, join_type="inner", num_partitions=parts, on=("dst",))
+
+    def keyed(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "k": pa.array(["all"] * len(t), pa.string()),
+                "x": t.column("x"),
+                "y": t.column("y"),
+            }
+        )
+
+    return grouped_pearson(
+        e.map_batches(keyed, batch_format="pyarrow"), "k", "x", "y"
+    )
+
+
+def bfs_depth_histogram(sf_dir: str) -> ray.data.Dataset:
+    """BFS reachability profile: vertex count per hop distance from the
+    smallest vertex id (composition over the BSP BFS)."""
+    from ray.data.aggregate import Sum as _Sum
+
+    b = bfs_hops(sf_dir)
+
+    def part(t: pa.Table) -> pa.Table:
+        d, c = np.unique(
+            t.column("dist").to_numpy(zero_copy_only=False), return_counts=True
+        )
+        return pa.table(
+            {"dist": pa.array(d), "n_vertices": pa.array(c.astype(np.int64))}
+        )
+
+    return (
+        b.map_batches(part, batch_format="pyarrow")
+        .groupby("dist")
+        .aggregate(_Sum("n_vertices", alias_name="n_vertices"))
+    )
+
+
 def csv_roundtrip(sf_dir: str) -> ray.data.Dataset:
     """CSV sink → source roundtrip of the documents table (quoted
     multi-line text survives via pyarrow's newlines_in_values)."""
@@ -3755,6 +3812,39 @@ ORACLE_SQL["avg_nbr_indeg"] = f"""
     GROUP BY e.src
 """
 
+ORACLE_SQL["degree_assortativity"] = f"""
+    WITH e AS MATERIALIZED (
+        SELECT DISTINCT l_orderkey AS src,
+               l_partkey + {PART_OFFSET} AS dst FROM lineitem
+    ),
+    od AS MATERIALIZED (
+        SELECT src, CAST(COUNT(*) AS BIGINT) AS x FROM e GROUP BY src
+    ),
+    idg AS MATERIALIZED (
+        SELECT dst, CAST(COUNT(*) AS BIGINT) AS y FROM e GROUP BY dst
+    ),
+    q AS MATERIALIZED (
+        SELECT x, y FROM e JOIN od USING (src) JOIN idg USING (dst)
+    ),
+    m AS (
+        SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+               SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy
+        FROM q
+    )
+    SELECT 'all' AS k,
+           ROUND((CAST(n AS DOUBLE) * sxy - sx * sy) /
+                 (SQRT(CAST(n AS DOUBLE) * sxx - sx * sx) *
+                  SQRT(CAST(n AS DOUBLE) * syy - sy * sy)), 9) AS corr
+    FROM m
+"""
+
+ORACLE_SQL["bfs_depth_histogram"] = (
+    "WITH b AS ("
+    + _bfs_unrolled_sql(_BFS_ORACLE_ROUNDS)
+    + ") SELECT dist, CAST(COUNT(*) AS BIGINT) AS n_vertices "
+    "FROM b GROUP BY dist"
+)
+
 ORACLE_SQL["csv_roundtrip"] = """
     SELECT doc_id, text, lang, source, n_chars FROM documents
 """
@@ -3973,6 +4063,8 @@ QUERIES = {
     "value_hour_corr_by_type": value_hour_corr_by_type,
     "cohort_retention": cohort_retention,
     "csv_roundtrip": csv_roundtrip,
+    "degree_assortativity": degree_assortativity,
+    "bfs_depth_histogram": bfs_depth_histogram,
     # -- never driver-checked before round 5 --
     "orders_with_lineitems_bloom": orders_with_lineitems_bloom,
     "pricing_summary": pricing_summary,
