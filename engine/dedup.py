@@ -823,13 +823,16 @@ def canonical_dedup(
     whitespace" tier between byte-exact sha256 dedup and MinHash: lower
     → collapse ``\\s+`` to one space → trim, all vectorized pyarrow
     kernels (RE2 — the same regex engine DuckDB's oracle uses), then
-    sha256 of the canonical form so the groupby shuffles 64-hex keys,
+    sha256 of the canonical form so the exchange ships 64-hex keys,
     never document bodies. One row per canonical text: smallest
-    surviving id + duplicate count."""
+    surviving id + duplicate count, settled by the SORT-BASED grouped
+    (min, sum) reduce — the group key is near-unique per document, the
+    exact big-output shape Ray 2.49's hash aggregate handles ~100×
+    slower than its sort (CLAUDE.md)."""
     import pyarrow.compute as pc
-    from ray.data.aggregate import Min
 
     from .ingest import sha256_column
+    from .ntile import grouped_sums_sorted
 
     def norm(t: pa.Table) -> pa.Table:
         x = pc.utf8_lower(t.column(text_col))
@@ -839,9 +842,14 @@ def canonical_dedup(
             {
                 "norm_sha256": sha256_column(x),
                 id_col: t.column(id_col),
+                "_1": pa.array(np.ones(len(t), dtype=np.int64)),
             }
         )
 
-    return docs.map_batches(norm, batch_format="pyarrow").groupby(
-        "norm_sha256"
-    ).aggregate(Min(id_col, alias_name=id_col), Count(alias_name="dup_count"))
+    return grouped_sums_sorted(
+        docs.map_batches(norm, batch_format="pyarrow"),
+        "norm_sha256",
+        [id_col, "_1"],
+        [id_col, "dup_count"],
+        op=["min", "sum"],
+    )

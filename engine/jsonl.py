@@ -8,18 +8,27 @@ format without ever funneling rows through the driver:
   "records", lines=True)`` (C-vectorized, no per-row Python) and writes
   ONE part file, so the write parallelism equals the pipeline's block
   parallelism and a 100-TB dataset lands as many independent files.
+  Part names are the sha256 of the serialized bytes and the write is
+  rename-over, so a Ray task retry rewrites the same file instead of
+  duplicating rows (byte-identical DISTINCT blocks would coalesce — in
+  practice impossible for id-carrying corpora; the exactly-once bucketed
+  path is engine/sink.py).
 - source: ``ray.data.read_json`` — pyarrow's C JSON parser, one read
-  task per file, schema unified across parts.
+  task per file, schema unified across parts; only ``*.jsonl[.gz]``
+  parts are read, so an interrupted writer's ``*.tmp`` never leaks in.
 
-No reference analog (the reference reads SNAP edge lists only,
-src/Graph.cpp:32-116); this is corpus-pipeline surface.
+Fidelity: timestamps are written as ISO-8601 at microsecond precision
+and floats at the pandas serializer's maximum ``double_precision=15``
+(~1 ulp short of full float64 roundtrip — columns needing exact float
+bits should travel as Parquet). No reference analog (the reference
+reads SNAP edge lists only, src/Graph.cpp:32-116).
 """
 
 from __future__ import annotations
 
+import hashlib
 import os
 import shutil
-import uuid
 
 import pandas as pd
 import ray.data
@@ -32,11 +41,12 @@ def write_jsonl(
     compression: str | None = None,
 ) -> int:
     """Distributed JSONL sink: one ``part-*.jsonl[.gz]`` file per
-    non-empty block, written atomically (tmp + rename). Part names carry
-    a uuid — re-running into the same directory ACCUMULATES files, so
-    pass ``clean=True`` (or a fresh directory) for reproducible output.
-    ``compression="gzip"`` writes ``.jsonl.gz`` parts (the standard
-    shipped-corpus form). Executes eagerly; returns rows written."""
+    non-empty block, written atomically (tmp + rename-over; content-hash
+    names make task retries idempotent). Re-running a DIFFERENT dataset
+    into the same directory accumulates files — pass ``clean=True`` (or
+    a fresh directory) for reproducible output. ``compression="gzip"``
+    writes ``.jsonl.gz`` parts (the standard shipped-corpus form).
+    Executes eagerly; returns rows written."""
     if compression not in (None, "gzip"):
         raise ValueError("compression must be None or 'gzip'")
     if clean and os.path.isdir(out_dir):
@@ -47,27 +57,46 @@ def write_jsonl(
     def write_block(df: pd.DataFrame) -> pd.DataFrame:
         if len(df) == 0:
             return pd.DataFrame({"rows": pd.Series([], dtype="int64")})
-        data = df.to_json(orient="records", lines=True, force_ascii=True)
-        path = os.path.join(out_dir, f"part-{uuid.uuid4().hex[:16]}{ext}")
-        tmp = path + ".tmp"
+        data = df.to_json(
+            orient="records",
+            lines=True,
+            force_ascii=True,
+            date_format="iso",
+            date_unit="us",
+            double_precision=15,
+        ).encode("utf-8")
         if compression == "gzip":
             import gzip
 
             # mtime=0: identical content → identical bytes across runs
-            with gzip.GzipFile(tmp, "wb", mtime=0) as f:
-                f.write(data.encode("utf-8"))
+            payload = gzip.compress(data, mtime=0)
         else:
-            with open(tmp, "w") as f:
-                f.write(data)
-        os.rename(tmp, path)
+            payload = data
+        name = hashlib.sha256(payload).hexdigest()[:20]
+        path = os.path.join(out_dir, f"part-{name}{ext}")
+        tmp = path + f".tmp{os.getpid()}"
+        with open(tmp, "wb") as f:
+            f.write(payload)
+        os.rename(tmp, path)  # rename-over: retries rewrite, never dup
         return pd.DataFrame({"rows": [len(df)]})
 
     summary = ds.map_batches(write_block, batch_format="pandas").to_pandas()
     return int(summary["rows"].sum()) if len(summary) else 0
 
 
-def read_jsonl(path: str) -> ray.data.Dataset:
+def read_jsonl(path: str, schema=None) -> ray.data.Dataset:
     """JSONL source via pyarrow's C JSON reader (one task per file).
-    Gzip parts (``.jsonl.gz``) are decompressed transparently by the
-    Arrow filesystem layer (inferred from the extension)."""
-    return ray.data.read_json(path, file_extensions=None)
+    Reads only ``*.jsonl`` / ``*.jsonl.gz`` parts (a crashed writer's
+    ``*.tmp`` is ignored); gzip parts are decompressed transparently by
+    the Arrow filesystem layer. Pass ``schema`` (pyarrow.Schema) to pin
+    column types — in particular, the parser leaves :func:`write_jsonl`'s
+    ISO timestamp strings as strings unless the schema declares the
+    column a timestamp."""
+    import pyarrow.json as pajson
+
+    kwargs = {}
+    if schema is not None:
+        kwargs["parse_options"] = pajson.ParseOptions(
+            explicit_schema=schema, unexpected_field_behavior="infer"
+        )
+    return ray.data.read_json(path, file_extensions=["jsonl", "gz"], **kwargs)

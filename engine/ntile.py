@@ -177,20 +177,25 @@ def grouped_sums_sorted(
     key_col: str,
     val_cols: list,
     out_cols: list,
-    op: str = "sum",
+    op: str | list = "sum",
 ) -> ray.data.Dataset:
     """Multi-column :func:`grouped_sum_sorted`: one sort amortized over
     any number of integer reduce columns (e.g. sum + count for an exact
-    grouped AVG). ``op`` picks the associative integer reduction —
+    grouped AVG, or min + sum for dedup's survivor-id + dup-count).
+    ``op`` picks the associative integer reduction per column —
     ``"sum"`` (default), ``"min"`` or ``"max"`` (grouped first-seen /
-    extent without a hash aggregate). Same O(blocks) boundary-chain; the
-    per-block metadata carries one vector of partial reductions per
+    extent without a hash aggregate), either one string for all columns
+    or a list aligned with ``val_cols``. Same O(blocks) boundary-chain;
+    the per-block metadata carries one vector of partial reductions per
     boundary run."""
     if len(val_cols) != len(out_cols) or not val_cols:
         raise ValueError("val_cols and out_cols must align and be non-empty")
-    if op not in _REDUCE_UFUNC:
-        raise ValueError(f"op must be one of {sorted(_REDUCE_UFUNC)}")
-    ufunc = _REDUCE_UFUNC[op]
+    ops = [op] * len(val_cols) if isinstance(op, str) else list(op)
+    if len(ops) != len(val_cols) or any(o not in _REDUCE_UFUNC for o in ops):
+        raise ValueError(
+            f"op must be (a list of) {sorted(_REDUCE_UFUNC)}, one per val col"
+        )
+    ufuncs = [_REDUCE_UFUNC[o] for o in ops]
     nv = len(val_cols)
     arrow = ds.map_batches(lambda t: t, batch_format="pyarrow")
     s = arrow.sort(key_col).materialize()
@@ -215,8 +220,8 @@ def grouped_sums_sorted(
         n = len(keys)
         fl = int(run_starts[1]) if len(run_starts) > 1 else n
         ll = n - int(run_starts[-1])
-        fs = tuple(int(ufunc.reduce(v[:fl])) for v in vs)
-        ls = tuple(int(ufunc.reduce(v[n - ll :])) for v in vs)
+        fs = tuple(int(u.reduce(v[:fl])) for u, v in zip(ufuncs, vs))
+        ls = tuple(int(u.reduce(v[n - ll :])) for u, v in zip(ufuncs, vs))
         return keys[0], fs, keys[-1], ls, fl == n
 
     metas = ray.get([block_meta.remote(r) for r in refs])
@@ -227,7 +232,7 @@ def grouped_sums_sorted(
     open_key, open_s, open_members = None, zero, []
 
     def _add(a, b):
-        return tuple(int(ufunc(x, y)) for x, y in zip(a, b))
+        return tuple(int(u(x, y)) for u, x, y in zip(ufuncs, a, b))
 
     def _close():
         nonlocal open_key, open_s, open_members
@@ -274,7 +279,7 @@ def grouped_sums_sorted(
         cols = {}
         lo = 1 if f_cont else 0
         for j, (c, v) in enumerate(zip(out_cols, vs)):
-            sums = ufunc.reduceat(v, starts)
+            sums = ufuncs[j].reduceat(v, starts)
             sums[-1] = l_tot[j]  # trailing run: full chained total
             cols[c] = pa.array(sums[lo:])
         return pa.table(

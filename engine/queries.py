@@ -1683,11 +1683,21 @@ def fk_orphan_report(sf_dir: str) -> ray.data.Dataset:
 
     names, n_keys, n_orphans = [], [], []
     for name, lt, lk, rt, rk in _FK_RELATIONS:
-        left = keyed(lt, lk)
-        _refs, counts = _G._sorted_distinct_refs(left, "k")
+        # one distinct pass per side: the sorted-distinct blocks give
+        # n_keys AND are exactly the already-deduped "a" side the EXCEPT
+        # needs (except is distinct-key semantics) — no re-read, no
+        # second full-size sort of the left table
+        refs, counts = _G._sorted_distinct_refs(keyed(lt, lk), "k")
         names.append(name)
         n_keys.append(int(sum(counts)))
-        n_orphans.append(except_keys(left, keyed(rt, rk), "k").count())
+        left_d = (
+            ray.data.from_arrow_refs(refs)
+            if refs
+            else ray.data.from_arrow(
+                pa.schema([("k", pa.int64())]).empty_table()
+            )
+        )
+        n_orphans.append(except_keys(left_d, keyed(rt, rk), "k").count())
     return ray.data.from_arrow(
         pa.table(
             {
@@ -1758,15 +1768,18 @@ def bfs_depth_histogram(sf_dir: str) -> ray.data.Dataset:
 
 def csv_roundtrip(sf_dir: str) -> ray.data.Dataset:
     """CSV sink → source roundtrip of the documents table (quoted
-    multi-line text survives via pyarrow's newlines_in_values)."""
+    multi-line text survives via pyarrow's newlines_in_values; the read
+    pins the writer's schema so per-part type inference can't drift)."""
     import hashlib as _hl
+
+    import pyarrow.parquet as pq
 
     from .csvio import read_csv, write_csv
 
     docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet")
     out = f"/tmp/graft_csv/{_hl.md5(sf_dir.encode()).hexdigest()[:10]}"
     write_csv(docs, out, clean=True)
-    return read_csv(out)
+    return read_csv(out, schema=pq.read_schema(f"{sf_dir}/documents.parquet"))
 
 
 def value_hour_corr_by_type(sf_dir: str) -> ray.data.Dataset:

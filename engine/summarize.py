@@ -88,6 +88,27 @@ def pivot_counts(
     )
 
 
+def _dict_codes(t: pa.Table, cols: list):
+    """Per-batch dictionary encode of string dimension columns: int64
+    code arrays (one per row — the only O(rows) work), the small value
+    dictionaries, and a radix per column with one extra slot reserved
+    (rollup's ALL). Null dimension values are rejected — fill first."""
+    codes, dicts, radix = [], [], []
+    for c in cols:
+        da = pc.dictionary_encode(t.column(c)).combine_chunks()
+        if da.null_count:
+            raise ValueError(f"null values in dimension column {c!r}")
+        codes.append(da.indices.to_numpy(zero_copy_only=False).astype(np.int64))
+        dicts.append(da.dictionary)
+        radix.append(len(da.dictionary) + 1)
+    total = 1
+    for r in radix:
+        total *= r
+    if total >= 1 << 62:
+        raise ValueError("dimension cardinality product overflows int64 packing")
+    return codes, dicts, radix
+
+
 def rollup_counts(
     ds: ray.data.Dataset,
     cols: list,
@@ -96,38 +117,54 @@ def rollup_counts(
     """OLAP CUBE counts: one row per combination of every grouping
     subset of ``cols`` (the SQL ``GROUP BY GROUPING SETS`` /  ``CUBE``),
     rolled-up dimensions replaced by ``all_token`` (so the output has no
-    NULL-vs-NULL compare ambiguity; real NULL dimension values are the
-    caller's problem — filter or fill first). Per-batch combiner emits
+    NULL-vs-NULL compare ambiguity; null dimension values are rejected —
+    filter or fill first). Per-batch combiner: dictionary-encode each
+    dimension once, pack the int codes (the ALL slot is a reserved
+    code), ``np.unique`` per grouping set — the only O(rows) work is
+    vectorized integer packing; strings are materialized only for the
     ≤ 2^d × |distinct combos in batch| partial rows, so the global
     groupby is O(combos × blocks) no matter the input size."""
     d = len(cols)
     if not 1 <= d <= 4:
         raise ValueError("rollup_counts supports 1..4 dimensions")
+    out_schema = pa.schema(
+        [(c, pa.string()) for c in cols] + [("n", pa.int64())]
+    )
 
     def partial(t: pa.Table) -> pa.Table:
-        vals = [
-            np.asarray(t.column(c).to_pylist(), dtype=object) for c in cols
+        nrows = len(t)
+        if nrows == 0:
+            return out_schema.empty_table()
+        codes, dicts, radix = _dict_codes(t, cols)
+        # dictionary + ALL slot, per dim — decode is a vectorized take
+        decode = [
+            pa.concat_arrays(
+                [dicts[i].cast(pa.string()), pa.array([all_token], pa.string())]
+            )
+            for i in range(d)
         ]
-        out_cols = {c: [] for c in cols}
-        out_n = []
-        n = len(t)
+        parts = []
         for mask in range(1 << d):
-            keyed = [
-                vals[i] if (mask >> i) & 1 else np.full(n, all_token, object)
-                for i in range(d)
-            ]
-            combo = keyed[0].astype(str)
-            for kc in keyed[1:]:
-                combo = np.char.add(np.char.add(combo, "\x1f"), kc.astype(str))
-            u, inv, c = np.unique(combo, return_inverse=True, return_counts=True)
-            firsts = np.zeros(len(u), dtype=np.int64)
-            firsts[inv[::-1]] = np.arange(n - 1, -1, -1)
-            for i, col in enumerate(cols):
-                out_cols[col].extend(keyed[i][firsts].tolist())
-            out_n.extend(c.astype(np.int64).tolist())
-        tbl = {c: pa.array(out_cols[c], pa.string()) for c in cols}
-        tbl["n"] = pa.array(out_n, pa.int64())
-        return pa.table(tbl)
+            packed = np.zeros(nrows, np.int64)
+            for i in range(d):
+                code_i = (
+                    codes[i]
+                    if (mask >> i) & 1
+                    else np.full(nrows, radix[i] - 1, np.int64)
+                )
+                packed = packed * radix[i] + code_i
+            u, cts = np.unique(packed, return_counts=True)
+            cols_out = {}
+            rem = u
+            dim_codes = [None] * d
+            for i in range(d - 1, -1, -1):
+                dim_codes[i] = rem % radix[i]
+                rem = rem // radix[i]
+            for i, c in enumerate(cols):
+                cols_out[c] = decode[i].take(pa.array(dim_codes[i]))
+            cols_out["n"] = pa.array(cts.astype(np.int64))
+            parts.append(pa.table(cols_out).cast(out_schema))
+        return pa.concat_tables(parts)
 
     return (
         ds.map_batches(partial, batch_format="pyarrow")
@@ -276,22 +313,26 @@ def grouped_mode(
     ASC)``. Per-batch (key, val) count combiner bounds the shuffle at
     O(combos × blocks); the argmax itself rides the grouped-top-k
     machinery (k=1) over the tiny combined table. String key/val only
-    (values are compared as strings; '\\x1f' must not occur in them)."""
+    (no nulls). The per-batch combiner packs dictionary codes — the
+    only O(rows) work is vectorized integer packing; strings are
+    materialized only for the batch-distinct combos."""
+    out_schema = pa.schema(
+        [(key_col, pa.string()), (val_col, pa.string()), (out_n, pa.int64())]
+    )
 
     def partial(t: pa.Table) -> pa.Table:
-        k = np.asarray(t.column(key_col).to_pylist(), dtype=object)
-        v = np.asarray(t.column(val_col).to_pylist(), dtype=object)
-        combo = np.char.add(
-            np.char.add(k.astype(str), "\x1f"), v.astype(str)
-        )
-        u, idx, c = np.unique(combo, return_index=True, return_counts=True)
+        if len(t) == 0:
+            return out_schema.empty_table()
+        codes, dicts, radix = _dict_codes(t, [key_col, val_col])
+        packed = codes[0] * radix[1] + codes[1]
+        u, c = np.unique(packed, return_counts=True)
         return pa.table(
             {
-                key_col: pa.array(k[idx].tolist(), pa.string()),
-                val_col: pa.array(v[idx].tolist(), pa.string()),
+                key_col: dicts[0].cast(pa.string()).take(pa.array(u // radix[1])),
+                val_col: dicts[1].cast(pa.string()).take(pa.array(u % radix[1])),
                 out_n: pa.array(c.astype(np.int64)),
             }
-        )
+        ).cast(out_schema)
 
     counts = (
         ds.map_batches(partial, batch_format="pyarrow")
@@ -316,8 +357,11 @@ def grouped_count_distinct(
     (``graph._sorted_distinct_refs`` — Ray 2.49's hash aggregate is
     ~100× slower than its sort at volume) → per-block vectorized per-key
     counts → an O(keys × blocks) groupby-sum to settle keys straddling
-    block boundaries. String key, string-comparable val ('\\x1f' must
-    not occur in either)."""
+    block boundaries. String key, any string-castable val ('\\x1f' must
+    not occur in either; no nulls). Per-batch dedup packs dictionary
+    codes — O(rows) work is vectorized integer packing; the pair
+    strings for the global DISTINCT are built only for batch-distinct
+    pairs."""
     import ray as _ray
 
     from . import graph as G
@@ -325,12 +369,25 @@ def grouped_count_distinct(
     SEP = "\x1f"
 
     def pack(t: pa.Table) -> pa.Table:
-        k = np.asarray(t.column(key_col).to_pylist(), dtype=object)
-        v = np.asarray(t.column(val_col).to_pylist(), dtype=object)
-        combo = np.unique(
-            np.char.add(np.char.add(k.astype(str), SEP), v.astype(str))
+        if len(t) == 0:
+            return pa.table({"k": pa.array([], pa.string())})
+        kc = t.column(key_col)
+        vc = t.column(val_col)
+        if kc.type != pa.string():
+            kc = pc.cast(kc, pa.string())
+        if vc.type != pa.string():
+            vc = pc.cast(vc, pa.string())
+        codes, dicts, radix = _dict_codes(
+            pa.table({key_col: kc, val_col: vc}), [key_col, val_col]
         )
-        return pa.table({"k": pa.array(combo.tolist(), pa.string())})
+        packed = codes[0] * radix[1] + codes[1]
+        u = np.unique(packed)
+        pairs = pc.binary_join_element_wise(
+            dicts[0].cast(pa.string()).take(pa.array(u // radix[1])),
+            dicts[1].cast(pa.string()).take(pa.array(u % radix[1])),
+            SEP,
+        )
+        return pa.table({"k": pairs})
 
     packed = ds.map_batches(pack, batch_format="pyarrow")
     refs, _counts = G._sorted_distinct_refs(packed, "k")
@@ -340,13 +397,16 @@ def grouped_count_distinct(
 
     @_ray.remote
     def per_key(tbl: pa.Table) -> pa.Table:
-        k = tbl.column("k").to_numpy(zero_copy_only=False).astype(str)
-        keys = np.char.partition(k, SEP)[:, 0]
-        u, c = np.unique(keys, return_counts=True)
+        # rows here are globally-distinct pairs; split + value_counts
+        # are vectorized arrow kernels over that (already reduced) set
+        keys = pc.list_element(
+            pc.split_pattern(tbl.column("k"), SEP, max_splits=1), 0
+        )
+        vc = pc.value_counts(keys)
         return pa.table(
             {
-                key_col: pa.array(u.tolist(), pa.string()),
-                out_col: pa.array(c.astype(np.int64)),
+                key_col: vc.field("values"),
+                out_col: pc.cast(vc.field("counts"), pa.int64()),
             }
         ).cast(out_schema)
 

@@ -20,13 +20,16 @@ def default_concurrency(reserve: int = 2, cap: int = 16) -> int:
     return max(1, min(cap, total - reserve))
 
 
-def nonempty_block_refs(ds) -> list:
+def nonempty_block_refs(ds, return_counts: bool = False):
     """Object refs of a materialized Dataset's non-empty blocks — the
     house idiom for block-parallel operators (empty blocks from a global
-    sort are schemaless in Ray 2.49 and must be skipped)."""
-    refs = []
+    sort are schemaless in Ray 2.49 and must be skipped). With
+    ``return_counts``: also the per-block row counts (rank-offset
+    chains)."""
+    refs, counts = [], []
     for rb in ds.iter_internal_ref_bundles():
         for blk, meta in rb.blocks:
             if meta.num_rows:
                 refs.append(blk)
-    return refs
+                counts.append(int(meta.num_rows))
+    return (refs, counts) if return_counts else refs

@@ -372,17 +372,14 @@ def _sorted_rank_blocks(ds: ray.data.Dataset, order_cols: list):
     the shared machinery of the global rank-family windows. Schema is
     ``None`` for an empty input (Ray 2.49 gives empty datasets no
     schema at all)."""
+    from .util import nonempty_block_refs
+
     arrow = ds.map_batches(lambda t: t, batch_format="pyarrow")
     s = arrow.sort(list(order_cols)).materialize()
     sch = s.schema()
     if sch is None:
         return [], np.empty(0, np.int64), 0, None
-    refs, counts = [], []
-    for rb in s.iter_internal_ref_bundles():
-        for blk, meta in rb.blocks:
-            if meta.num_rows:
-                refs.append(blk)
-                counts.append(int(meta.num_rows))
+    refs, counts = nonempty_block_refs(s, return_counts=True)
     total = int(sum(counts))
     offsets = (
         np.concatenate(([0], np.cumsum(counts[:-1]))).astype(np.int64)
@@ -417,6 +414,8 @@ def global_percent_rank(
         return ray.data.from_arrow(
             pa.table({out_col: pa.array([], pa.float64())})
         )
+    if out_col in sch.names:
+        raise ValueError(f"out_col {out_col!r} already exists in the input")
     out_schema = pa.schema(
         list(zip(sch.names, sch.types)) + [(out_col, pa.float64())]
     )
@@ -461,6 +460,8 @@ def global_ntile(
         return ray.data.from_arrow(
             pa.table({out_col: pa.array([], pa.int64())})
         )
+    if out_col in sch.names:
+        raise ValueError(f"out_col {out_col!r} already exists in the input")
     out_schema = pa.schema(
         list(zip(sch.names, sch.types)) + [(out_col, pa.int64())]
     )

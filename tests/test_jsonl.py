@@ -39,12 +39,50 @@ def test_jsonl_roundtrip_tricky_strings(tmp_path):
 
 def test_jsonl_clean_vs_accumulate(tmp_path):
     df = pd.DataFrame({"x": np.arange(4, dtype=np.int64)})
+    df2 = pd.DataFrame({"x": np.arange(4, 8, dtype=np.int64)})
     out = str(tmp_path / "acc")
     write_jsonl(rd.from_pandas(df), out)
-    write_jsonl(rd.from_pandas(df), out)  # accumulates
+    # content-hash part names: rewriting IDENTICAL content is idempotent
+    # (the Ray-task-retry guarantee), it does not duplicate rows
+    write_jsonl(rd.from_pandas(df), out)
+    assert read_jsonl(out).count() == 4
+    write_jsonl(rd.from_pandas(df2), out)  # different content accumulates
     assert read_jsonl(out).count() == 8
     write_jsonl(rd.from_pandas(df), out, clean=True)  # resets
     assert read_jsonl(out).count() == 4
+
+
+def test_jsonl_timestamp_and_float_fidelity(tmp_path):
+    """Timestamps roundtrip at microsecond precision (ISO), floats at
+    the serializer's max precision — the events-shaped columns."""
+    from pandas.api.types import is_datetime64_any_dtype
+
+    df = pd.DataFrame(
+        {
+            "id": np.arange(3, dtype=np.int64),
+            "ts": pd.to_datetime(
+                ["2026-01-02 03:04:05.123456", "1999-12-31 23:59:59.999999",
+                 "2000-01-01 00:00:00.000001"]
+            ),
+            "v": [1.5, 0.123456789012345, -2e10],
+        }
+    )
+    import pyarrow as pa
+
+    out = str(tmp_path / "fid")
+    write_jsonl(rd.from_pandas(df), out, clean=True)
+    schema = pa.schema(
+        [("id", pa.int64()), ("ts", pa.timestamp("us")), ("v", pa.float64())]
+    )
+    back = (
+        read_jsonl(out, schema=schema)
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    assert is_datetime64_any_dtype(back["ts"])
+    assert (pd.to_datetime(back["ts"]) == df["ts"]).all()
+    np.testing.assert_allclose(back["v"], df["v"], rtol=1e-14)
 
 
 def test_canonical_dedup_groups_case_and_whitespace():
