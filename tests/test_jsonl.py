@@ -155,3 +155,29 @@ def test_jsonl_gzip_roundtrip(tmp_path):
     assert back["text"].tolist() == df["text"].tolist()
     with pytest.raises(ValueError):
         write_jsonl(rd.from_pandas(df), out, compression="zstd")
+
+
+def test_csv_schema_pins_numeric_looking_strings(tmp_path):
+    """A part whose string column is all numeric-looking must come back
+    as strings when the writer's schema is pinned (per-file inference
+    would type it int64 and break unification / the roundtrip)."""
+    import pyarrow as pa
+
+    from engine.csvio import read_csv, write_csv
+
+    df = pd.DataFrame(
+        {
+            "id": np.arange(4, dtype=np.int64),
+            "text": ["123", "456", "789", "007"],  # all numeric-looking
+        }
+    )
+    out = str(tmp_path / "numeric")
+    write_csv(rd.from_pandas(df), out, clean=True)
+    schema = pa.schema([("id", pa.int64()), ("text", pa.string())])
+    back = (
+        read_csv(out, schema=schema)
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    assert back["text"].tolist() == ["123", "456", "789", "007"]  # "007" intact
