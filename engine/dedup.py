@@ -853,3 +853,67 @@ def canonical_dedup(
         [id_col, "dup_count"],
         op=["min", "sum"],
     )
+
+
+def dedup_keep_best(
+    docs: ray.data.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    score_col: str = "n_chars",
+) -> ray.data.Dataset:
+    """Keep-BEST exact dedup — the curation variant of
+    :func:`canonical_dedup`: within each case/whitespace-canonical group,
+    survive the row with the HIGHEST ``score_col`` (ties → smallest id)
+    instead of the smallest id. Canonical variants differ in original
+    length, so "longest original" is the standard keep rule. Runs as the
+    same single sort-based grouped reduce: (score, id) are packed into
+    one order-preserving int64 (score·2⁴⁰ + (2⁴⁰−1−id)) so the argmax is
+    a plain grouped MAX — no per-group materialization, no second pass
+    to fetch the winner's attributes."""
+    import pyarrow.compute as pc
+
+    from .ingest import sha256_column
+    from .ntile import grouped_sums_sorted
+
+    ID_SPACE = np.int64(1) << 40  # id < 2^40, score < 2^23 → packs in int64
+
+    def norm(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        score = (
+            t.column(score_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        if len(ids) and (
+            ids.min() < 0 or ids.max() >= ID_SPACE or score.max() >= (1 << 23)
+        ):
+            raise ValueError("keep-best packing needs id < 2^40, score < 2^23")
+        x = pc.utf8_lower(t.column(text_col))
+        x = pc.replace_substring_regex(x, pattern=r"\s+", replacement=" ")
+        x = pc.utf8_trim(x, characters=" ")
+        return pa.table(
+            {
+                "norm_sha256": sha256_column(x),
+                "_ord": pa.array(score * ID_SPACE + (ID_SPACE - 1 - ids)),
+                "_1": pa.array(np.ones(len(t), dtype=np.int64)),
+            }
+        )
+
+    best = grouped_sums_sorted(
+        docs.map_batches(norm, batch_format="pyarrow"),
+        "norm_sha256",
+        ["_ord", "_1"],
+        ["_ord", "dup_count"],
+        op=["max", "sum"],
+    )
+
+    def unpack(t: pa.Table) -> pa.Table:
+        o = t.column("_ord").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "norm_sha256": t.column("norm_sha256"),
+                id_col: pa.array(ID_SPACE - 1 - (o & (ID_SPACE - 1))),
+                score_col: pa.array(o >> 40),
+                "dup_count": t.column("dup_count"),
+            }
+        )
+
+    return best.map_batches(unpack, batch_format="pyarrow")

@@ -366,6 +366,145 @@ def rolling_sum_per_key(
     return ray.data.from_arrow_refs(out_refs)
 
 
+def cumsum_per_key(
+    ds: ray.data.Dataset,
+    key_col: str,
+    order_col: str,
+    value_col: str,
+    out_col: str = "running_sum",
+    tie_col: str | None = None,
+) -> ray.data.Dataset:
+    """Distributed per-key UNBOUNDED running total — the window SQL
+    ``SUM(v) OVER (PARTITION BY key ORDER BY o ROWS UNBOUNDED PRECEDING)``.
+
+    Same one-sort house pattern as :func:`rolling_sum_per_key`, but the
+    cross-block state is a single scalar per block boundary instead of a
+    row tail: after sorting by (key, order), only the key straddling each
+    block edge can carry mass forward, so block ``i``'s carry is the
+    accumulated total of its FIRST key over all earlier blocks — an
+    O(blocks) driver-side chain of (first_key, last_key, last_key_sum)
+    triples, never rows. ``value_col`` must be integer (exact under any
+    block split)."""
+    sort_cols = [key_col, order_col] + ([tie_col] if tie_col else [])
+    if out_col in ds.schema().names:
+        raise ValueError(f"out_col {out_col!r} already exists in the input")
+    arrow = ds.map_batches(lambda t: t, batch_format="pyarrow")
+    s = arrow.sort(sort_cols).materialize()
+    refs = nonempty_block_refs(s)
+    sch = ds.schema()
+    out_schema = pa.schema(
+        list(zip(sch.names, sch.types)) + [(out_col, pa.int64())]
+    )
+    if not refs:
+        return ray.data.from_arrow(out_schema.empty_table())
+
+    @ray.remote
+    def edge_meta(tbl: pa.Table):
+        """(first_key, last_key, sum of values over the last key's run)."""
+        keys = tbl.column(key_col).to_numpy(zero_copy_only=False)
+        col = tbl.column(value_col)
+        if col.null_count:
+            col = pc.fill_null(col, 0)
+        vals = col.to_numpy(zero_copy_only=False).astype(np.int64)
+        last_run = keys == keys[-1]
+        return keys[0], keys[-1], int(vals[last_run].sum())
+
+    metas = ray.get([edge_meta.remote(r) for r in refs])
+    carries = []
+    acc_key, acc_sum = None, 0  # running total of the key open at the edge
+    for first_k, last_k, last_sum in metas:
+        carries.append(acc_sum if first_k == acc_key else 0)
+        if last_k == first_k == acc_key:
+            acc_key, acc_sum = last_k, acc_sum + last_sum
+        else:
+            acc_key, acc_sum = last_k, last_sum
+
+    @ray.remote
+    def emit(tbl: pa.Table, carry: int) -> pa.Table:
+        keys = tbl.column(key_col).to_numpy(zero_copy_only=False)
+        col = tbl.column(value_col)
+        if col.null_count:
+            col = pc.fill_null(col, 0)
+        vals = col.to_numpy(zero_copy_only=False).astype(np.int64)
+        new_run = np.concatenate(([True], keys[1:] != keys[:-1]))
+        idx = np.arange(len(keys), dtype=np.int64)
+        run_start = np.maximum.accumulate(np.where(new_run, idx, 0))
+        cs = np.cumsum(vals)
+        run_cum = cs - np.where(run_start > 0, cs[run_start - 1], 0)
+        if carry:
+            run_cum = run_cum + np.where(keys == keys[0], carry, 0)
+        out = tbl.append_column(out_col, pa.array(run_cum))
+        return out.cast(out_schema)
+
+    out_refs = [emit.remote(r, c) for r, c in zip(refs, carries)]
+    return ray.data.from_arrow_refs(out_refs)
+
+
+def ordered_concat_per_key(
+    ds: ray.data.Dataset,
+    key_col: str,
+    order_cols: list,
+    value_col: str,
+    sep: str = ">",
+    out_col: str = "seq",
+    count_col: str = "n",
+) -> ray.data.Dataset:
+    """Grouped ORDERED string aggregation — the SQL
+    ``string_agg(v, sep ORDER BY o) GROUP BY key`` over the full group
+    (contrast ``user_event_seq``'s bounded top-5): per-block partial
+    concats (one row per key per block, values joined in sorted order)
+    are the combiner, then a ``groupby(key).map_groups`` stitch over the
+    O(keys × blocks-per-key) partials ordered by block index. The hash
+    shuffle moves only the combined partials — the per-key output is the
+    same size as the final answer, which any grouped concat must ship
+    somewhere — and the stitch is per-group work, embarrassingly
+    parallel across keys."""
+    sort_cols = [key_col] + list(order_cols)
+    arrow = ds.map_batches(lambda t: t, batch_format="pyarrow")
+    s = arrow.sort(sort_cols).materialize()
+    refs = nonempty_block_refs(s)
+    ktype = dict(zip(ds.schema().names, ds.schema().types))[key_col]
+    out_schema = pa.schema(
+        [(key_col, ktype), (out_col, pa.string()), (count_col, pa.int64())]
+    )
+    if not refs:
+        return ray.data.from_arrow(out_schema.empty_table())
+
+    @ray.remote
+    def partials(tbl: pa.Table, blk: int) -> pa.Table:
+        keys = tbl.column(key_col).to_numpy(zero_copy_only=False)
+        vals = tbl.column(value_col).to_pylist()
+        new_run = np.concatenate(([True], keys[1:] != keys[:-1]))
+        starts = np.flatnonzero(new_run)
+        ends = np.concatenate((starts[1:], [len(keys)]))
+        return pa.table(
+            {
+                key_col: pa.array(keys[starts], type=ktype),
+                "_part": pa.array(
+                    [sep.join(vals[s0:e0]) for s0, e0 in zip(starts, ends)]
+                ),
+                "_n": pa.array((ends - starts).astype(np.int64)),
+                "_blk": pa.array(np.full(len(starts), blk, np.int64)),
+            }
+        )
+
+    parts = ray.data.from_arrow_refs(
+        [partials.remote(r, i) for i, r in enumerate(refs)]
+    )
+
+    def stitch(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("_blk")
+        return pd.DataFrame(
+            {
+                key_col: [g[key_col].iloc[0]],
+                out_col: [sep.join(g["_part"])],
+                count_col: [int(g["_n"].sum())],
+            }
+        )
+
+    return parts.groupby(key_col).map_groups(stitch, batch_format="pandas")
+
+
 def _sorted_rank_blocks(ds: ray.data.Dataset, order_cols: list):
     """One global sort + O(blocks) row-count metadata: returns
     (block refs, per-block global rank offsets, total rows, schema) —

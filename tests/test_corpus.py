@@ -111,3 +111,56 @@ def test_triple_edges_matches_reference_rule():
         (7, 0), (5, 3),          # (max+dst+1) -> src   with max_id=3
         (4, 6), (7, 4),          # (max+src+1) -> (max+dst)
     ]
+
+
+def test_dedup_keep_best_brute_force():
+    """Keep-best canonical dedup == brute-force pandas: longest original
+    survives, ties broken by smallest id, dup_count exact."""
+    import hashlib
+    import re
+
+    import pandas as pd
+    import ray.data as rd
+
+    from engine.dedup import dedup_keep_best
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": pd.array(range(8), dtype="int64"),
+            "text": [
+                "Hello  World",   # canonical 'hello world', 12 chars
+                "hello world",    # 11 chars
+                "HELLO   WORLD ", # 14 chars -> the keeper
+                "unique one",
+                "Another Doc",
+                "another  doc",   # 12 chars, ties nothing
+                "another doc",
+                "ANOTHER DOC",    # 11 chars ties doc 6 -> keep id 6
+            ],
+        }
+    )
+    docs["n_chars"] = docs["text"].str.len().astype("int64")
+    got = (
+        dedup_keep_best(rd.from_pandas(docs).repartition(3))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+    def canon(s):
+        return hashlib.sha256(
+            re.sub(r"\s+", " ", s.lower()).strip().encode()
+        ).hexdigest()
+
+    docs["h"] = docs["text"].map(canon)
+    want = (
+        docs.sort_values(["n_chars", "doc_id"], ascending=[False, True])
+        .groupby("h", as_index=False)
+        .agg(doc_id=("doc_id", "first"), n_chars=("n_chars", "first"),
+             dup_count=("doc_id", "size"))
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert got["doc_id"].tolist() == want["doc_id"].tolist()
+    assert got["n_chars"].tolist() == want["n_chars"].tolist()
+    assert got["dup_count"].tolist() == want["dup_count"].tolist()

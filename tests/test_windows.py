@@ -365,3 +365,79 @@ def test_global_ntile_matches_duckdb():
             assert dict(zip(out["id"], out["b"])) == want
     with pytest.raises(ValueError):
         global_ntile(rd.from_pandas(df), ["v", "id"], 0)
+
+
+def test_cumsum_per_key_cross_block_exact():
+    """cumsum_per_key == pandas groupby().cumsum() under tiny blocks:
+    the scalar carry must CHAIN when one key's run spans several
+    consecutive blocks (key 7 owns half the rows)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from engine.windows import cumsum_per_key
+
+    rng = np.random.default_rng(11)
+    n = 400
+    df = pd.DataFrame(
+        {
+            "k": np.where(
+                rng.random(n) < 0.5, 7, rng.integers(0, 12, n)
+            ).astype("int64"),
+            "o": rng.permutation(n).astype("int64"),
+            "v": rng.integers(-50, 100, n).astype("int64"),
+        }
+    )
+    want = (
+        df.sort_values(["k", "o"])
+        .groupby("k")["v"]
+        .cumsum()
+        .loc[df.sort_values(["k", "o"]).index]
+        .to_numpy()
+        .astype("int64")
+    )
+    for parts in (1, 37):
+        ds = rd.from_pandas(df).repartition(parts)
+        out = (
+            cumsum_per_key(ds, "k", "o", "v", out_col="r")
+            .to_pandas()
+            .sort_values(["k", "o"])
+            .reset_index(drop=True)
+        )
+        np.testing.assert_array_equal(out["r"].to_numpy(), want)
+
+
+def test_ordered_concat_per_key_cross_block():
+    """ordered_concat_per_key == string_agg(... ORDER BY): partials from
+    blocks shorter than a key's run must stitch in block order."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from engine.windows import ordered_concat_per_key
+
+    rng = np.random.default_rng(3)
+    n = 300
+    df = pd.DataFrame(
+        {
+            "k": rng.integers(0, 9, n).astype("int64"),
+            "o": rng.permutation(n).astype("int64"),
+            "v": [f"t{i % 7}" for i in range(n)],
+        }
+    )
+    s = df.sort_values(["k", "o"])
+    want = (
+        s.groupby("k")
+        .agg(seq=("v", ">".join), n=("v", "size"))
+        .reset_index()
+        .astype({"n": "int64"})
+    )
+    for parts in (1, 29):
+        ds = rd.from_pandas(df).repartition(parts)
+        got = (
+            ordered_concat_per_key(ds, "k", ["o"], "v")
+            .to_pandas()
+            .sort_values("k")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
