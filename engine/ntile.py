@@ -200,7 +200,12 @@ def grouped_sums_sorted(
     arrow = ds.map_batches(lambda t: t, batch_format="pyarrow")
     s = arrow.sort(key_col).materialize()
     refs = nonempty_block_refs(s)
-    ktype = dict(zip(ds.schema().names, ds.schema().types))[key_col]
+    # key type from the MATERIALIZED arrow dataset: the input's schema
+    # may carry pandas/Python types (from_pandas blocks), not Arrow ones
+    sch = s.schema() if s.schema() is not None else ds.schema()
+    ktype = dict(zip(sch.names, sch.types))[key_col]
+    if not isinstance(ktype, pa.DataType):  # empty pandas-block input
+        ktype = pa.string() if ktype in (str, object) else pa.int64()
     out_schema = pa.schema(
         [(key_col, ktype)] + [(c, pa.int64()) for c in out_cols]
     )
@@ -396,3 +401,65 @@ def ntile_per_key(
         for r, fo, ft, lt in zip(refs, first_offset, first_total, last_total)
     ]
     return ray.data.from_arrow_refs(out_refs)
+
+
+def grouped_pdisc(
+    ds: ray.data.Dataset,
+    key_col: str,
+    val_col: str,
+    qs: tuple = (0.5,),
+) -> dict:
+    """Per-key exact ``percentile_disc`` over an integer column — the
+    generic core of textstats' grouped token percentiles: one global
+    sort by (key, val), then the driver reads only per-block RUN-LENGTH
+    summaries of the key column (O(blocks × keys-per-block) tiny rows,
+    never data) and issues one single-row remote pick per (key,
+    quantile). No per-group shuffle or materialization; any key
+    cardinality or skew costs the same driver state. NULL values are the
+    caller's concern (filter first — SQL percentile_disc ignores them).
+    Returns ``{key: {q: value}}`` — a driver-side dict sized O(keys),
+    meant for ``ray.put`` broadcast into a following filter/apply."""
+    s = (
+        ds.map_batches(lambda t: t, batch_format="pyarrow")
+        .sort([key_col, val_col])
+        .materialize()
+    )
+    refs = nonempty_block_refs(s)
+    if not refs:
+        return {}
+
+    @ray.remote
+    def block_key_runs(tbl: pa.Table):
+        arr = np.asarray(tbl.column(key_col).to_pylist(), dtype=object)
+        new = np.ones(len(arr), dtype=bool)
+        new[1:] = arr[1:] != arr[:-1]
+        starts = np.flatnonzero(new)
+        counts = np.diff(np.append(starts, len(arr))).astype(np.int64)
+        return arr[starts].tolist(), counts.tolist()
+
+    runs = ray.get([block_key_runs.remote(r) for r in refs])
+    spans: dict = {}  # key -> [(block idx, start row, count)]
+    for bi, (vals, counts) in enumerate(runs):
+        row = 0
+        for v, c in zip(vals, counts):
+            spans.setdefault(v, []).append((bi, row, c))
+            row += c
+
+    @ray.remote
+    def pick(tbl: pa.Table, row: int) -> int:
+        return int(tbl.column(val_col)[row].as_py())
+
+    pending = {}
+    for kval, sp in spans.items():
+        cum = np.cumsum([0] + [c for _, _, c in sp])
+        total = int(cum[-1])
+        for q in qs:
+            idx = max(0, int(np.ceil(q * total)) - 1)
+            j = int(np.searchsorted(cum, idx, side="right")) - 1
+            bi, start, _ = sp[j]
+            pending[(kval, q)] = pick.remote(refs[bi], start + idx - int(cum[j]))
+    resolved = dict(zip(pending.keys(), ray.get(list(pending.values()))))
+    out: dict = {}
+    for (kval, q), v in resolved.items():
+        out.setdefault(kval, {})[q] = v
+    return out

@@ -484,3 +484,122 @@ def grouped_pearson(
         )
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def grouped_median_mad(
+    ds: ray.data.Dataset,
+    key_col: str,
+    val_col: str,
+    k: float = 3.0,
+) -> ray.data.Dataset:
+    """Robust per-key outlier report — median, MAD (median absolute
+    deviation, the robust sigma) and the count of rows with
+    ``|x − median| > k·MAD``: the distribution-free anomaly screen a
+    curation pipeline runs where mean/stddev would be dragged by the
+    very outliers it hunts.
+
+    Two passes of the sorted grouped percentile-pick (engine/ntile.py
+    grouped_pdisc — O(keys) driver state, never a per-group
+    materialization), the medians riding between passes as ONE ray.put
+    broadcast dict; the outlier count is a per-batch combiner into the
+    tiny sorted grouped SUM. ``val_col`` must be integer (exact disc
+    percentiles, exact counts); k·MAD is compared in integers via
+    ``dev > k·mad`` evaluated as float multiply of an int — exact for
+    k with a short binary expansion (3.0)."""
+    import ray as _ray
+
+    from .ntile import grouped_pdisc, grouped_sums_sorted
+
+    med = grouped_pdisc(ds, key_col, val_col, (0.5,))
+    med_map = {kv: v[0.5] for kv, v in med.items()}
+    med_ref = _ray.put(med_map)
+
+    def absdev(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        m = _ray.get(med_ref)
+        keys = t.column(key_col).to_pandas()
+        v = t.column(val_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        dev = np.abs(v - keys.map(m).to_numpy(dtype=np.int64))
+        return pa.table({key_col: t.column(key_col), "_dev": pa.array(dev)})
+
+    devs = ds.map_batches(absdev, batch_format="pyarrow")
+    mad = grouped_pdisc(devs, key_col, "_dev", (0.5,))
+    mad_map = {kv: v[0.5] for kv, v in mad.items()}
+    mad_ref = _ray.put(mad_map)
+
+    def flag(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        mm = _ray.get(mad_ref)
+        keys = t.column(key_col).to_pandas()
+        dev = t.column("_dev").to_numpy(zero_copy_only=False)
+        thresh = keys.map(mm).to_numpy(dtype=np.int64) * float(k)
+        return pa.table(
+            {
+                key_col: t.column(key_col),
+                "_1": pa.array(np.ones(len(t), np.int64)),
+                "_out": pa.array((dev > thresh).astype(np.int64)),
+            }
+        )
+
+    counts = grouped_sums_sorted(
+        devs.map_batches(flag, batch_format="pyarrow"),
+        key_col,
+        ["_1", "_out"],
+        ["n", "n_outliers"],
+    )
+
+    def attach(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        keys = t.column(key_col).to_pandas()
+        return pa.table(
+            {
+                key_col: t.column(key_col),
+                "med": pa.array(keys.map(med_map).to_numpy(dtype=np.int64)),
+                "mad": pa.array(keys.map(mad_map).to_numpy(dtype=np.int64)),
+                "n": t.column("n"),
+                "n_outliers": t.column("n_outliers"),
+            }
+        )
+
+    return counts.map_batches(attach, batch_format="pyarrow")
+
+
+def minmax_scale_per_key(
+    ds: ray.data.Dataset,
+    key_col: str,
+    val_col: str,
+    out_col: str = "scaled",
+) -> ray.data.Dataset:
+    """Per-key min-max feature scaling: append
+    ``(x − min_key) / (max_key − min_key)`` (0.0 for a constant key) —
+    the normalization pass before mixing heterogeneous sources into one
+    training signal. Grouped extent via the sorted (min, max) reduce —
+    O(keys) rows — broadcast once with ``ray.put``, then a stateless
+    streamed apply; the input never shuffles."""
+    import ray as _ray
+
+    from .ntile import grouped_sums_sorted
+
+    ext = grouped_sums_sorted(
+        ds, key_col, [val_col, val_col], ["_mn", "_mx"], op=["min", "max"]
+    ).to_pandas()
+    mn_map = dict(zip(ext[key_col], (int(x) for x in ext["_mn"])))
+    mx_map = dict(zip(ext[key_col], (int(x) for x in ext["_mx"])))
+    span_ref = _ray.put((mn_map, mx_map))
+
+    def apply(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        mns, mxs = _ray.get(span_ref)
+        keys = t.column(key_col).to_pandas()
+        v = t.column(val_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        mn = keys.map(mns).to_numpy(dtype=np.int64)
+        mx = keys.map(mxs).to_numpy(dtype=np.int64)
+        rng = mx - mn
+        scaled = np.where(rng > 0, (v - mn) / np.where(rng > 0, rng, 1), 0.0)
+        return t.append_column(out_col, pa.array(scaled))
+
+    return ds.map_batches(apply, batch_format="pyarrow")

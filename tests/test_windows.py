@@ -441,3 +441,62 @@ def test_ordered_concat_per_key_cross_block():
             .reset_index(drop=True)
         )
         pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_grouped_median_mad_disc_semantics():
+    """median/MAD use percentile_disc (lower-middle) semantics and the
+    outlier count is exact — brute force on a skewed integer sample."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from engine.summarize import grouped_median_mad
+
+    rng = np.random.default_rng(2)
+    df = pd.DataFrame(
+        {
+            "k": np.repeat(["a", "b", "c"], [101, 100, 7]),
+            "v": np.concatenate(
+                [
+                    rng.integers(0, 50, 101),
+                    rng.integers(1000, 1100, 100),
+                    [5, 5, 5, 5, 5, 5, 900],  # mad=0: any deviation flags
+                ]
+            ).astype("int64"),
+        }
+    )
+
+    def disc(x, q=0.5):
+        s = np.sort(x)
+        return int(s[max(0, int(np.ceil(q * len(s))) - 1)])
+
+    got = (
+        grouped_median_mad(rd.from_pandas(df).repartition(9), "k", "v")
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    )
+    for _, row in got.iterrows():
+        x = df.loc[df["k"] == row["k"], "v"].to_numpy()
+        med = disc(x)
+        mad = disc(np.abs(x - med))
+        assert row["med"] == med and row["mad"] == mad
+        assert row["n"] == len(x)
+        assert row["n_outliers"] == int((np.abs(x - med) > 3 * mad).sum())
+
+
+def test_minmax_scale_per_key_constant_group():
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from engine.summarize import minmax_scale_per_key
+
+    df = pd.DataFrame(
+        {"k": ["a", "a", "a", "b", "b"], "v": [10, 20, 40, 7, 7]}
+    )
+    got = (
+        minmax_scale_per_key(rd.from_pandas(df).repartition(3), "k", "v")
+        .to_pandas().sort_values(["k", "v"]).reset_index(drop=True)
+    )
+    np.testing.assert_allclose(
+        got["scaled"].to_numpy(), [0.0, 1 / 3, 1.0, 0.0, 0.0]
+    )
