@@ -414,24 +414,14 @@ def grouped_count_distinct(
     return partial.groupby(key_col).aggregate(Sum(out_col, alias_name=out_col))
 
 
-def grouped_pearson(
-    ds: ray.data.Dataset,
-    key_col: str,
-    x_col: str,
-    y_col: str,
-    out_col: str = "corr",
-    round_to: int = 9,
+def _grouped_moments(
+    ds: ray.data.Dataset, key_col: str, x_col: str, y_col: str
 ) -> ray.data.Dataset:
-    """Grouped Pearson correlation from exact integer moment sums —
-    the feature-association report. ``x_col``/``y_col`` MUST already be
-    int64-quantized (the repo's order-insensitive-compare trick): the
-    per-batch combiner reduces each batch to one (n, Σx, Σy, Σxy, Σx²,
-    Σy²) row per key it contains, the global groupby ships
-    O(keys × blocks) partials, and only the final tiny result evaluates
-    floats — term-for-term in the oracle's operation order
-    (n·Σxy − Σx·Σy over the √ product, products exact before the float
-    cast). Caller bounds: |x·y|·rows_per_group must stay < 2⁶³."""
-
+    """Exact integer second-moment sums per key — the shared combiner of
+    the grouped Pearson / OLS family: each batch reduces to one (n, Σx,
+    Σy, Σxy, Σx², Σy²) row per key it contains (vectorized argsort +
+    reduceat), so the global groupby ships O(keys × blocks) partials.
+    Caller bounds: |x·y|·rows_per_group must stay < 2⁶³."""
     moment_schema = pa.schema(
         [(key_col, pa.string())]
         + [(c, pa.int64()) for c in ("n", "sx", "sy", "sxy", "sxx", "syy")]
@@ -459,11 +449,34 @@ def grouped_pearson(
             }
         ).cast(moment_schema)
 
-    agg = (
+    return (
         ds.map_batches(partial, batch_format="pyarrow")
         .groupby(key_col)
-        .aggregate(*[Sum(c, alias_name=c) for c in ("n", "sx", "sy", "sxy", "sxx", "syy")])
+        .aggregate(
+            *[Sum(c, alias_name=c) for c in ("n", "sx", "sy", "sxy", "sxx", "syy")]
+        )
     )
+
+
+def grouped_pearson(
+    ds: ray.data.Dataset,
+    key_col: str,
+    x_col: str,
+    y_col: str,
+    out_col: str = "corr",
+    round_to: int = 9,
+) -> ray.data.Dataset:
+    """Grouped Pearson correlation from exact integer moment sums —
+    the feature-association report. ``x_col``/``y_col`` MUST already be
+    int64-quantized (the repo's order-insensitive-compare trick): the
+    per-batch combiner reduces each batch to one (n, Σx, Σy, Σxy, Σx²,
+    Σy²) row per key it contains, the global groupby ships
+    O(keys × blocks) partials, and only the final tiny result evaluates
+    floats — term-for-term in the oracle's operation order
+    (n·Σxy − Σx·Σy over the √ product, products exact before the float
+    cast). Caller bounds: |x·y|·rows_per_group must stay < 2⁶³."""
+
+    agg = _grouped_moments(ds, key_col, x_col, y_col)
 
     def finish(t: pa.Table) -> pa.Table:
         rows = t.to_pylist()  # tiny: one row per key
@@ -603,3 +616,82 @@ def minmax_scale_per_key(
         return t.append_column(out_col, pa.array(scaled))
 
     return ds.map_batches(apply, batch_format="pyarrow")
+
+
+def grouped_ols(
+    ds: ray.data.Dataset,
+    key_col: str,
+    x_col: str,
+    y_col: str,
+    round_to: int = 9,
+) -> ray.data.Dataset:
+    """Grouped simple linear regression y = slope·x + intercept — the
+    per-key trend report, from the SAME exact integer moment combiner as
+    :func:`grouped_pearson` (one O(keys × blocks) partial shuffle):
+    slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²), intercept =
+    (Σy − slope·Σx) / n, floats only on the final tiny result,
+    term-for-term in the oracle's operation order. Zero x-variance →
+    NULL slope/intercept (SQL regr_slope semantics)."""
+    agg = _grouped_moments(ds, key_col, x_col, y_col)
+
+    def finish(t: pa.Table) -> pa.Table:
+        rows = t.to_pylist()  # tiny: one row per key
+        slope, icept = [], []
+        for r in rows:
+            n, sx, sy = int(r["n"]), int(r["sx"]), int(r["sy"])
+            sxy, sxx = int(r["sxy"]), int(r["sxx"])
+            den = float(n) * float(sxx) - float(sx * sx)
+            if den > 0:
+                m = (float(n) * float(sxy) - float(sx * sy)) / den
+                slope.append(round(m, round_to))
+                icept.append(round((float(sy) - m * float(sx)) / n, round_to))
+            else:
+                slope.append(None)
+                icept.append(None)
+        return pa.table(
+            {
+                key_col: pa.array([r[key_col] for r in rows]),
+                "slope": pa.array(slope, pa.float64()),
+                "intercept": pa.array(icept, pa.float64()),
+                "n": pa.array([int(r["n"]) for r in rows], pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def winsorize_per_key(
+    ds: ray.data.Dataset,
+    key_col: str,
+    val_col: str,
+    lo: float = 0.05,
+    hi: float = 0.95,
+    out_col: str = "clipped",
+) -> ray.data.Dataset:
+    """Per-key winsorization: clip ``val_col`` into its OWN key's
+    [p_lo, p_hi] band (percentile_disc) — the tail-taming normalization
+    a curation pipeline applies before averaging heterogeneous sources
+    (contrast length_band_filter, which DROPS the tails instead).
+    Grouped percentiles via the sorted percentile-pick (O(keys) driver
+    state), one ray.put broadcast, stateless streamed clip; the input
+    never shuffles. ``val_col`` must be integer."""
+    import ray as _ray
+
+    from .ntile import grouped_pdisc
+
+    bands = grouped_pdisc(ds, key_col, val_col, (lo, hi))
+    lo_map = {k: v[lo] for k, v in bands.items()}
+    hi_map = {k: v[hi] for k, v in bands.items()}
+    band_ref = _ray.put((lo_map, hi_map))
+
+    def clip(t: pa.Table) -> pa.Table:
+        los, his = _ray.get(band_ref)
+        keys = t.column(key_col).to_pandas()
+        v = t.column(val_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        lo_v = keys.map(los).to_numpy(dtype=np.int64)
+        hi_v = keys.map(his).to_numpy(dtype=np.int64)
+        return t.append_column(
+            out_col, pa.array(np.clip(v, lo_v, hi_v))
+        )
+
+    return ds.map_batches(clip, batch_format="pyarrow")

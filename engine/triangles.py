@@ -474,3 +474,81 @@ def local_clustering(
         ).cast(out_schema)
 
     return tri.map_batches(finish, batch_format="pyarrow")
+
+
+def edge_support(edges: ray.data.Dataset) -> ray.data.Dataset:
+    """Per-EDGE triangle support — the k-truss building block: for each
+    undirected edge {a, b}, the number of triangles containing it
+    (= common neighbors of a and b). Same degree-ordered broadcast-CSR
+    wedge closure as :func:`local_clustering`, but each closed triangle
+    credits its three EDGES (canonical pairs packed into one int64,
+    a·n + b with a < b in encoded space) instead of its corners; the
+    partials settle through the sort-based grouped SUM. Emits only
+    edges with support ≥ 1 (a support-0 edge is below every truss).
+    Output canonicalized on ORIGINAL ids: (a, b, support), a < b."""
+    from .ntile import grouped_sum_sorted
+
+    out_schema = pa.schema(
+        [("a", pa.int64()), ("b", pa.int64()), ("support", pa.int64())]
+    )
+    oriented, okey_ref, n, ids = _oriented(edges)
+    if n == 0:
+        return ray.data.from_arrow(out_schema.empty_table())
+    adj_ref = _broadcast_csr(oriented, okey_ref, n)
+    empty_partial = pa.table(
+        {"eenc": pa.array([], type=pa.int64()), "c": pa.array([], type=pa.int64())}
+    )
+
+    def close_credit_edges(batch: pa.Table) -> pa.Table:
+        indptr, keys, rnk, irnk = ray.get(adj_ref)
+        eu = batch.column("u").to_numpy(zero_copy_only=False).astype(np.int64)
+        ev = batch.column("v").to_numpy(zero_copy_only=False).astype(np.int64)
+        if not (len(eu) and len(keys)):
+            return empty_partial
+        ek = eu * np.int64(n) + rnk[ev]
+        lo = np.searchsorted(keys, ek) + 1
+        hi = indptr[eu + 1]
+        counts = np.maximum(hi - lo, 0)
+        tot = int(counts.sum())
+        if not tot:
+            return empty_partial
+        starts_rep = np.repeat(lo, counts)
+        local = np.arange(tot) - np.repeat(counts.cumsum() - counts, counts)
+        wrnk = keys[starts_rep + local] % n
+        vrep = np.repeat(ev, counts)
+        urep = np.repeat(eu, counts)
+        wk = vrep * np.int64(n) + wrnk
+        idx = np.searchsorted(keys, wk)
+        idx[idx >= len(keys)] = len(keys) - 1
+        m = keys[idx] == wk
+        if not m.any():
+            return empty_partial
+        u3, v3, w3 = urep[m], vrep[m], irnk[wrnk[m]]
+        # one credit per EDGE of every closed triangle (u, v, w)
+        ea = np.concatenate([u3, u3, v3])
+        eb = np.concatenate([v3, w3, w3])
+        lo_, hi_ = np.minimum(ea, eb), np.maximum(ea, eb)
+        packed = lo_ * np.int64(n) + hi_
+        eenc, c = np.unique(packed, return_counts=True)
+        return pa.table(
+            {"eenc": pa.array(eenc), "c": pa.array(c.astype(np.int64))}
+        )
+
+    partial = oriented.map_batches(close_credit_edges, batch_format="pyarrow")
+    sup = grouped_sum_sorted(partial, "eenc", "c", out_col="support")
+    ids_ref = ray.put(np.asarray(ids, dtype=np.int64))
+
+    def finish(t: pa.Table) -> pa.Table:
+        ids_arr = ray.get(ids_ref)
+        eenc = t.column("eenc").to_numpy(zero_copy_only=False)
+        a = ids_arr[eenc // n]
+        b = ids_arr[eenc % n]
+        return pa.table(
+            {
+                "a": pa.array(np.minimum(a, b)),
+                "b": pa.array(np.maximum(a, b)),
+                "support": t.column("support"),
+            }
+        ).cast(out_schema)
+
+    return sup.map_batches(finish, batch_format="pyarrow")

@@ -807,3 +807,39 @@ def test_local_clustering_matches_dense_oracle():
     # triangle-free graph: empty result with the right schema
     empty = local_clustering(_ds([(0, 1), (1, 2)]))
     assert empty.count() == 0
+
+
+def test_edge_support_matches_dense_oracle():
+    """edge_support == per-edge common-neighbor count ((A@A) masked to
+    edges) on a random multigraph (dups/self-loops collapse first);
+    K4 edges all carry support 2; triangle-free graph -> empty."""
+    from engine.triangles import edge_support
+
+    rng = np.random.default_rng(11)
+    e = rng.integers(0, 30, size=(250, 2))
+    edges = [(int(a), int(b)) for a, b in e]
+    n = 30
+    A = np.zeros((n, n), dtype=np.int64)
+    for a, b in edges:
+        if a != b:
+            A[a, b] = A[b, a] = 1
+    common = (A @ A) * A
+    out = edge_support(_ds(edges)).to_pandas()
+    got = {(int(r.a), int(r.b)): int(r.support) for r in out.itertuples()}
+    want = {
+        (a, b): int(common[a, b])
+        for a in range(n)
+        for b in range(a + 1, n)
+        if A[a, b] and common[a, b] > 0
+    }
+    assert got == want
+    assert all(a < b for a, b in got)
+    # K4: all 6 edges in exactly 2 triangles
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    out4 = edge_support(_ds(k4)).to_pandas()
+    assert len(out4) == 6 and (out4["support"] == 2).all()
+    # triangle-free: empty result (Ray 2.49 reports no schema for a
+    # fully-empty dataset, so count is the contract here — matching
+    # test_local_clustering_matches_dense_oracle)
+    empty = edge_support(_ds([(0, 1), (1, 2)]))
+    assert empty.count() == 0

@@ -320,3 +320,36 @@ def test_grouped_pearson_matches_numpy():
     z = pd.DataFrame({"k": ["z"] * 4, "x": [3] * 4, "y": [1, 2, 3, 4]})
     out = grouped_pearson(rd.from_pandas(z), "k", "x", "y").to_pandas()
     assert out["corr"].isna().all()
+
+
+def test_grouped_ols_matches_numpy():
+    from engine.summarize import grouped_ols
+
+    rng = np.random.default_rng(91)
+    n = 400
+    df = pd.DataFrame(
+        {
+            "k": rng.choice(["a", "b", "c"], n),
+            "x": rng.integers(0, 1000, n).astype("int64"),
+        }
+    )
+    noise = rng.integers(-40, 40, n)
+    df["y"] = (3 * df["x"] + noise).astype("int64")
+    want = {
+        k: np.polyfit(g["x"].astype(float), g["y"].astype(float), 1)
+        for k, g in df.groupby("k")
+    }
+    for parts in (1, 17):
+        out = grouped_ols(
+            rd.from_pandas(df).repartition(parts), "k", "x", "y"
+        ).to_pandas()
+        got = {r.k: (r.slope, r.intercept) for r in out.itertuples()}
+        assert set(got) == set(want)
+        for k, (m, c) in want.items():
+            assert got[k][0] == pytest.approx(float(m), abs=1e-6)
+            assert got[k][1] == pytest.approx(float(c), abs=1e-4)
+        assert dict(zip(out["k"], out["n"])) == df.groupby("k").size().to_dict()
+    # zero x-variance -> NULL slope/intercept, not a crash
+    z = pd.DataFrame({"k": ["z"] * 4, "x": [3] * 4, "y": [1, 2, 3, 4]})
+    out = grouped_ols(rd.from_pandas(z), "k", "x", "y").to_pandas()
+    assert out["slope"].isna().all() and out["intercept"].isna().all()

@@ -500,3 +500,42 @@ def test_minmax_scale_per_key_constant_group():
     np.testing.assert_allclose(
         got["scaled"].to_numpy(), [0.0, 1 / 3, 1.0, 0.0, 0.0]
     )
+
+
+def test_winsorize_per_key_pdisc_band():
+    """winsorize_per_key clips into each key's OWN [p05, p95]
+    percentile_disc band (ceil(q*n)-1 pick) and leaves in-band rows
+    untouched."""
+    import numpy as np
+
+    from engine.summarize import winsorize_per_key
+
+    rng = np.random.default_rng(23)
+    df = pd.DataFrame(
+        {
+            "k": rng.choice(["a", "b"], 300),
+            "v": rng.integers(-1000, 1000, 300).astype("int64"),
+        }
+    )
+
+    def band(g, q):
+        s = np.sort(g["v"].to_numpy())
+        return int(s[max(0, int(np.ceil(q * len(s))) - 1)])
+
+    lo = {k: band(g, 0.05) for k, g in df.groupby("k")}
+    hi = {k: band(g, 0.95) for k, g in df.groupby("k")}
+    out = winsorize_per_key(
+        ray.data.from_pandas(df).repartition(7), "k", "v"
+    ).to_pandas()
+    exp = df.assign(
+        clipped=[min(max(v, lo[k]), hi[k]) for k, v in zip(df["k"], df["v"])]
+    )
+    got = out.sort_values(["k", "v"]).reset_index(drop=True)
+    exp = exp.sort_values(["k", "v"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[["k", "v", "clipped"]], exp[["k", "v", "clipped"]],
+        check_dtype=False,
+    )
+    # the tails actually moved, the middle did not
+    assert (got["clipped"] != got["v"]).any()
+    assert (got["clipped"] == got["v"]).sum() > len(got) * 0.8
