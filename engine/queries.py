@@ -3062,6 +3062,32 @@ def order_price_winsorized(sf_dir: str) -> ray.data.Dataset:
     return winsorize_per_key(ords, "o_orderpriority", "cents", 0.05, 0.95)
 
 
+def docs_weighted_sample_100(sf_dir: str) -> ray.data.Dataset:
+    """Deterministic length-weighted document sample: 100 docs drawn
+    without replacement with P ∝ n_chars — Efraimidis–Spirakis
+    exponential keys from md5-low-64(doc_id) (engine/topk.py
+    weighted_sample); stateless, resume-stable, SQL-exact."""
+    from .topk import weighted_sample
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+    )
+    return weighted_sample(docs, "n_chars", "doc_id", 100)
+
+
+def lang_entropy_per_source(sf_dir: str) -> ray.data.Dataset:
+    """Language-distribution Shannon entropy (nats) per source — the
+    mixture-balance report (engine/summarize.py grouped_entropy): exact
+    integer (source, lang) counts through the sorted grouped SUM, floats
+    only on the final O(sources) rows."""
+    from .summarize import grouped_entropy
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["source", "lang"]
+    )
+    return grouped_entropy(docs, "source", "lang")
+
+
 ORACLE_SQL: dict[str, str] = {
     "edges_project": f"""
         SELECT DISTINCT l_orderkey AS src,
@@ -4431,6 +4457,29 @@ ORACLE_SQL["order_price_winsorized"] = """
     FROM q JOIN b USING (o_orderpriority)
 """
 
+ORACLE_SQL["docs_weighted_sample_100"] = """
+    SELECT doc_id, n_chars FROM (
+        SELECT doc_id, n_chars,
+               ln((CAST(md5_number_lower(CAST(doc_id AS VARCHAR)) >> 11
+                        AS DOUBLE) + 1) / 9007199254740992.0)
+               / n_chars AS es_key
+        FROM documents WHERE n_chars > 0
+    ) ORDER BY es_key DESC LIMIT 100
+"""
+
+ORACLE_SQL["lang_entropy_per_source"] = """
+    WITH c AS MATERIALIZED (
+        SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS c
+        FROM documents GROUP BY 1, 2
+    )
+    SELECT source,
+           ROUND(ln(CAST(SUM(c) AS DOUBLE))
+                 - SUM(c * ln(CAST(c AS DOUBLE))) / SUM(c), 9) AS entropy,
+           CAST(SUM(c) AS BIGINT) AS n,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct
+    FROM c GROUP BY source
+"""
+
 # Dict order IS the driver's check order, and the driver's correctness
 # harness only checks the FIRST 50 entries.  Ordering policy (round 5):
 # never-driver-checked entries first, then entries whose last green row
@@ -4566,4 +4615,6 @@ QUERIES = {
     "tri_edge_support": tri_edge_support,
     "order_trend_by_priority": order_trend_by_priority,
     "order_price_winsorized": order_price_winsorized,
+    "docs_weighted_sample_100": docs_weighted_sample_100,
+    "lang_entropy_per_source": lang_entropy_per_source,
 }

@@ -695,3 +695,80 @@ def winsorize_per_key(
         )
 
     return ds.map_batches(clip, batch_format="pyarrow")
+
+
+def grouped_entropy(
+    ds: ray.data.Dataset,
+    key_col: str,
+    val_col: str,
+    round_to: int = 9,
+) -> ray.data.Dataset:
+    """Per-key Shannon entropy (nats) of the ``val_col`` distribution —
+    the label-diversity / mixture-balance report a curation pipeline
+    runs per source or per shard. Per-batch (key, val) count combiner
+    (vectorized Arrow concat + np.unique — each batch reduces to its
+    distinct pairs), partials settle through the sorted grouped SUM (no
+    hash aggregate), and only the final O(keys × distinct-vals) count
+    rows evaluate floats: H = ln(n) − (Σ c·ln c)/n from exact integer
+    counts, term-for-term the oracle's operation order. Both columns
+    must be strings free of the \\x1f pack separator; the (key, val)
+    pair cardinality must be small enough for one final block (the
+    report contract — counts, not data). Emits
+    (key, entropy, n, n_distinct)."""
+    from .ntile import grouped_sum_sorted
+
+    sep = "\x1f"
+
+    def partial(t: pa.Table) -> pa.Table:
+        kv = pc.binary_join_element_wise(
+            pc.cast(t.column(key_col), pa.string()),
+            pc.cast(t.column(val_col), pa.string()),
+            sep,
+        )
+        uniq, counts = np.unique(
+            kv.to_numpy(zero_copy_only=False), return_counts=True
+        )
+        return pa.table(
+            {
+                "kv": pa.array(uniq, pa.string()),
+                "c": pa.array(counts.astype(np.int64)),
+            }
+        )
+
+    counts = grouped_sum_sorted(
+        ds.map_batches(partial, batch_format="pyarrow"), "kv", "c", out_col="c"
+    )
+    out_schema = pa.schema(
+        [
+            (key_col, pa.string()),
+            ("entropy", pa.float64()),
+            ("n", pa.int64()),
+            ("n_distinct", pa.int64()),
+        ]
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        kv = t.column("kv").to_numpy(zero_copy_only=False)
+        c = t.column("c").to_numpy(zero_copy_only=False).astype(np.int64)
+        keys = np.array([s.split(sep, 1)[0] for s in kv], dtype=object)
+        order = np.argsort(keys, kind="stable")
+        keys, c = keys[order], c[order]
+        starts = np.flatnonzero(
+            np.concatenate(([True], keys[1:] != keys[:-1]))
+        )
+        n = np.add.reduceat(c, starts)
+        clnc = np.add.reduceat(c.astype(np.float64) * np.log(c), starts)
+        h = np.round(np.log(n.astype(np.float64)) - clnc / n, round_to)
+        ndis = np.diff(np.append(starts, len(keys)))
+        return pa.table(
+            {
+                key_col: pa.array(keys[starts], pa.string()),
+                "entropy": pa.array(h, pa.float64()),
+                "n": pa.array(n.astype(np.int64)),
+                "n_distinct": pa.array(ndis.astype(np.int64)),
+            }
+        ).cast(out_schema)
+
+    return counts.repartition(1).map_batches(finish, batch_format="pyarrow")

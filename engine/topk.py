@@ -128,3 +128,59 @@ def topk_per_group(
 
     out_refs = [rank_filter.remote(r, int(o)) for r, o in zip(refs, offsets)]
     return ray.data.from_arrow_refs(out_refs)
+
+
+def weighted_sample(
+    ds: ray.data.Dataset,
+    weight_col: str,
+    id_col: str,
+    k: int,
+) -> ray.data.Dataset:
+    """Deterministic weighted sample WITHOUT replacement (Efraimidis-
+    Spirakis A-ES: P(draw) ∝ weight): every row scores the exponential
+    key ln(u)/w with u derived STATELESSLY from md5-low-64 of its id
+    (== DuckDB ``md5_number_lower`` — the repo's reorder / repartition /
+    resume-stable hash family, no RNG state to ship or checkpoint), and
+    the k largest keys win — the importance-sampling primitive of corpus
+    mixing. Distributed shape: each batch argpartition-prunes to ≤ k
+    candidate rows, so the global sort ranks only O(k × blocks)
+    survivors, then ``limit(k)``. Rows with weight ≤ 0 are excluded
+    (they can never be drawn). The sample key rides only inside the
+    pipeline; the output keeps the original columns."""
+    import hashlib
+
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    names = ds.schema().names
+
+    def partial(t: pa.Table) -> pa.Table:
+        w_all = t.column(weight_col).to_numpy(zero_copy_only=False)
+        t = t.filter(pa.array(w_all > 0))
+        ids = t.column(id_col).to_pylist()
+        h = np.fromiter(
+            (
+                int.from_bytes(
+                    hashlib.md5(str(i).encode()).digest()[8:], "little"
+                )
+                >> 11
+                for i in ids
+            ),
+            dtype=np.int64,
+            count=len(ids),
+        )
+        w = t.column(weight_col).to_numpy(zero_copy_only=False).astype(
+            np.float64
+        )
+        u = (h.astype(np.float64) + 1.0) / 9007199254740992.0
+        key = np.log(u) / w
+        t = t.append_column("_es_key", pa.array(key, pa.float64()))
+        if t.num_rows > k:
+            idx = np.argpartition(-key, k - 1)[:k]
+            t = t.take(pa.array(np.sort(idx)))
+        return t
+
+    pruned = ds.map_batches(partial, batch_format="pyarrow")
+    top = pruned.sort("_es_key", descending=True).limit(k)
+    return top.map_batches(
+        lambda t: t.select(names), batch_format="pyarrow"
+    )

@@ -353,3 +353,48 @@ def test_grouped_ols_matches_numpy():
     z = pd.DataFrame({"k": ["z"] * 4, "x": [3] * 4, "y": [1, 2, 3, 4]})
     out = grouped_ols(rd.from_pandas(z), "k", "x", "y").to_pandas()
     assert out["slope"].isna().all() and out["intercept"].isna().all()
+
+
+def test_grouped_entropy_matches_manual():
+    from engine.summarize import grouped_entropy
+
+    rng = np.random.default_rng(53)
+    n = 600
+    df = pd.DataFrame(
+        {
+            "k": rng.choice(["a", "b", "c"], n),
+            "v": rng.choice(list("pqrstu"), n),
+        }
+    )
+    # group u: exactly uniform over 3 labels; group d: constant
+    df = pd.concat(
+        [
+            df,
+            pd.DataFrame({"k": ["u"] * 90, "v": ["p", "q", "r"] * 30}),
+            pd.DataFrame({"k": ["d"] * 7, "v": ["z"] * 7}),
+        ],
+        ignore_index=True,
+    )
+
+    def manual(g):
+        c = g["v"].value_counts().to_numpy().astype(float)
+        tot = c.sum()
+        return float(np.log(tot) - (c * np.log(c)).sum() / tot)
+
+    want = {k: round(manual(g), 9) for k, g in df.groupby("k")}
+    for parts in (1, 11):
+        out = grouped_entropy(
+            rd.from_pandas(df).repartition(parts), "k", "v"
+        ).to_pandas()
+        got = {r.k: r.entropy for r in out.itertuples()}
+        assert set(got) == set(want)
+        for k in want:
+            assert got[k] == pytest.approx(want[k], abs=1e-9)
+        nd = dict(zip(out["k"], out["n_distinct"]))
+        assert nd["d"] == 1 and nd["u"] == 3
+        assert dict(zip(out["k"], out["n"])) == df.groupby("k").size().to_dict()
+    # constant group entropy is exactly 0, uniform-3 is ln(3)
+    got = {r.k: r.entropy for r in grouped_entropy(
+        rd.from_pandas(df), "k", "v").to_pandas().itertuples()}
+    assert got["d"] == 0.0
+    assert got["u"] == pytest.approx(np.log(3), abs=1e-9)

@@ -100,3 +100,44 @@ def test_topk_string_order_column():
         .reset_index(drop=True)
     )
     assert got["val"].tolist() == ["z", "x"]
+
+
+def test_weighted_sample_matches_brute_force():
+    """weighted_sample == brute-force A-ES top-k on the same md5 keys;
+    weight<=0 rows never drawn; k >= n returns every positive-weight
+    row; k<=0 rejected."""
+    import hashlib
+
+    import pytest
+
+    from engine.topk import weighted_sample
+
+    rng = np.random.default_rng(41)
+    n = 500
+    df = pd.DataFrame(
+        {
+            "id": np.arange(n, dtype=np.int64) * 7 + 3,
+            "w": rng.integers(-5, 200, n).astype(np.int64),
+            "payload": rng.integers(0, 9, n).astype(np.int64),
+        }
+    )
+
+    def key(i, w):
+        h = int.from_bytes(hashlib.md5(str(i).encode()).digest()[8:],
+                           "little") >> 11
+        return np.log((float(h) + 1.0) / 9007199254740992.0) / w
+
+    pos = df[df["w"] > 0].copy()
+    pos["key"] = [key(i, w) for i, w in zip(pos["id"], pos["w"])]
+    want = set(pos.nlargest(50, "key")["id"])
+    for parts in (1, 13):
+        out = weighted_sample(
+            ray.data.from_pandas(df).repartition(parts), "w", "id", 50
+        ).to_pandas()
+        assert set(out["id"]) == want
+        assert list(out.columns) == ["id", "w", "payload"]
+    # k >= positive-weight rows: all of them, none with w <= 0
+    allout = weighted_sample(ray.data.from_pandas(df), "w", "id", n + 10).to_pandas()
+    assert set(allout["id"]) == set(pos["id"])
+    with pytest.raises(ValueError, match="positive"):
+        weighted_sample(ray.data.from_pandas(df), "w", "id", 0)
