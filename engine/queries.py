@@ -3062,6 +3062,63 @@ def order_price_winsorized(sf_dir: str) -> ray.data.Dataset:
     return winsorize_per_key(ords, "o_orderpriority", "cents", 0.05, 0.95)
 
 
+_KTRUSS_ORACLE_ROUNDS = 18  # unroll depth of the ktruss_4 SQL oracle
+
+
+def _ktruss_unrolled_sql(k: int, rounds: int) -> str:
+    """Unrolled truss peel: t_r enumerates each triangle x<y<z of
+    e_{r-1} once, s_r credits its three edges, e_r keeps edges with
+    support >= k-2. E_r is a subset of E_{r-1}, so stable sets are
+    fixpoints and extra unrolled rounds are no-ops — e_R is the k-truss
+    whenever the true peel depth <= R (guarded at query time in
+    ktruss_4). Orientation note: o < p+PART_OFFSET < s+SUPP_OFFSET by
+    the id-range construction, so every edge is already canonical."""
+    parts = [
+        f"""e0 AS MATERIALIZED (
+        SELECT DISTINCT l_orderkey AS a, l_partkey + {PART_OFFSET} AS b
+        FROM lineitem
+        UNION SELECT DISTINCT l_partkey + {PART_OFFSET},
+              l_suppkey + {SUPP_OFFSET} FROM lineitem
+        UNION SELECT DISTINCT l_orderkey, l_suppkey + {SUPP_OFFSET}
+              FROM lineitem)"""
+    ]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        parts.append(
+            f"""t{r} AS MATERIALIZED (
+            SELECT e1.a AS x, e1.b AS y, e2.b AS z
+            FROM e{p} e1 JOIN e{p} e2 ON e2.a = e1.a AND e2.b > e1.b
+                 JOIN e{p} e3 ON e3.a = e1.b AND e3.b = e2.b),
+        s{r} AS MATERIALIZED (
+            SELECT a, b, COUNT(*) AS c FROM (
+                SELECT x AS a, y AS b FROM t{r}
+                UNION ALL SELECT x, z FROM t{r}
+                UNION ALL SELECT y, z FROM t{r}) AS cr
+            GROUP BY a, b),
+        e{r} AS MATERIALIZED (
+            SELECT a, b FROM s{r} WHERE c >= {k - 2})"""
+        )
+    return "WITH " + ",\n".join(parts) + f"\nSELECT a, b FROM e{rounds}"
+
+
+def ktruss_4(sf_dir: str) -> ray.data.Dataset:
+    """4-truss of the tripartite graph — every surviving edge lies in
+    >= 2 triangles among the survivors (engine/triangles.py k_truss:
+    iterated edge_support peel), with the same convergence-depth guard
+    against the unrolled SQL oracle as kcore_3."""
+    from .triangles import k_truss
+
+    ds, rounds = k_truss(_tripartite_edges(sf_dir), k=4)
+    # rounds counts the final no-change pass; effective peels = rounds - 1
+    if rounds - 1 > _KTRUSS_ORACLE_ROUNDS:
+        raise RuntimeError(
+            f"ktruss_4 peeled {rounds - 1} rounds but the SQL oracle "
+            f"unrolls only {_KTRUSS_ORACLE_ROUNDS} — raise "
+            "_KTRUSS_ORACLE_ROUNDS"
+        )
+    return ds
+
+
 def docs_weighted_sample_100(sf_dir: str) -> ray.data.Dataset:
     """Deterministic length-weighted document sample: 100 docs drawn
     without replacement with P ∝ n_chars — Efraimidis–Spirakis
@@ -4480,6 +4537,8 @@ ORACLE_SQL["lang_entropy_per_source"] = """
     FROM c GROUP BY source
 """
 
+ORACLE_SQL["ktruss_4"] = _ktruss_unrolled_sql(4, _KTRUSS_ORACLE_ROUNDS)
+
 # Dict order IS the driver's check order, and the driver's correctness
 # harness only checks the FIRST 50 entries.  Ordering policy (round 5):
 # never-driver-checked entries first, then entries whose last green row
@@ -4617,4 +4676,5 @@ QUERIES = {
     "order_price_winsorized": order_price_winsorized,
     "docs_weighted_sample_100": docs_weighted_sample_100,
     "lang_entropy_per_source": lang_entropy_per_source,
+    "ktruss_4": ktruss_4,
 }

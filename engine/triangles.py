@@ -552,3 +552,47 @@ def edge_support(edges: ray.data.Dataset) -> ray.data.Dataset:
         ).cast(out_schema)
 
     return sup.map_batches(finish, batch_format="pyarrow")
+
+
+def k_truss(
+    edges: ray.data.Dataset, k: int, max_rounds: int = 64
+) -> tuple[ray.data.Dataset, int]:
+    """k-truss decomposition: the maximal subgraph in which every edge
+    lies in >= k-2 triangles — the cohesion filter one notch stronger
+    than k-core (every k-truss edge is in a (k-1)-core). Iterated peel:
+    each round recomputes per-edge support over the SURVIVORS
+    (:func:`edge_support` — degree-ordered broadcast-CSR closure, the
+    same <= broadcastable-CSR tier as local_clustering; the BSP engine
+    is the beyond-that tier) and drops edges below k-2. Since E_r is a
+    subset of E_{r-1}, a round with an unchanged edge count IS the
+    fixpoint. Returns (surviving (a, b) edges canonical on original
+    ids, support passes run including the fixpoint-confirming one)."""
+    if k < 3:
+        raise ValueError(f"k-truss needs k >= 3, got {k}")
+    import pyarrow.compute as pc
+
+    def keep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater_equal(t.column("support"), k - 2))
+        return pa.table({"src": t.column("a"), "dst": t.column("b")})
+
+    cur = edges
+    prev_cnt = -1
+    for rounds in range(1, max_rounds + 1):
+        nxt = (
+            edge_support(cur)
+            .map_batches(keep, batch_format="pyarrow")
+            .materialize()
+        )
+        cnt = nxt.count()
+        if cnt == prev_cnt or cnt == 0:
+            out = nxt.map_batches(
+                lambda t: pa.table(
+                    {"a": t.column("src"), "b": t.column("dst")}
+                ),
+                batch_format="pyarrow",
+            )
+            return out, rounds
+        prev_cnt, cur = cnt, nxt
+    raise RuntimeError(
+        f"k_truss did not converge in {max_rounds} support passes"
+    )

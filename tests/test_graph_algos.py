@@ -843,3 +843,40 @@ def test_edge_support_matches_dense_oracle():
     # test_local_clustering_matches_dense_oracle)
     empty = edge_support(_ds([(0, 1), (1, 2)]))
     assert empty.count() == 0
+
+
+def test_k_truss_matches_brute_force_peel():
+    """k_truss == the textbook iterated support peel on a random
+    multigraph; K5 ∪ pendant triangle at k=5 keeps exactly K5; k<3
+    rejected; impossible k empties."""
+    from engine.triangles import k_truss
+
+    def brute(edges, n, k):
+        A = np.zeros((n, n), dtype=np.int64)
+        for a, b in edges:
+            if a != b:
+                A[a, b] = A[b, a] = 1
+        while True:
+            sup = (A @ A) * A
+            drop = A.astype(bool) & (sup < k - 2)
+            if not drop.any():
+                break
+            A[drop] = 0
+        return {(a, b) for a in range(n) for b in range(a + 1, n) if A[a, b]}
+
+    rng = np.random.default_rng(17)
+    e = rng.integers(0, 24, size=(220, 2))
+    edges = [(int(a), int(b)) for a, b in e]
+    for k in (3, 4, 5):
+        out, rounds = k_truss(_ds(edges), k)
+        got = {(int(r.a), int(r.b)) for r in out.to_pandas().itertuples()}
+        assert got == brute(edges, 24, k), k
+        assert rounds >= 1
+    k5 = [(a, b) for a in range(5) for b in range(a + 1, 5)]
+    extra = [(4, 5), (5, 6), (4, 6)]
+    out, _ = k_truss(_ds(k5 + extra), 5)
+    assert {(int(r.a), int(r.b)) for r in out.to_pandas().itertuples()} == set(k5)
+    out, _ = k_truss(_ds(k5 + extra), 9)
+    assert out.count() == 0
+    with pytest.raises(ValueError, match="k >= 3"):
+        k_truss(_ds(k5), 2)
