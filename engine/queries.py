@@ -3132,6 +3132,35 @@ def docs_weighted_sample_100(sf_dir: str) -> ray.data.Dataset:
     return weighted_sample(docs, "n_chars", "doc_id", 100)
 
 
+def events_user_weighted_2(sf_dir: str) -> ray.data.Dataset:
+    """Per-user deterministic weighted event sample: 2 events per user
+    drawn without replacement with P ∝ value — the per-domain
+    importance draw (engine/topk.py weighted_sample_per_key: stateless
+    A-ES keys through the grouped top-k operator, no per-group
+    shuffle)."""
+    from .topk import weighted_sample_per_key
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "value"]
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "event_id": t.column("event_id"),
+                "cents": pc.cast(
+                    pc.round(
+                        pc.multiply(t.column("value"), 100.0),
+                        round_mode="half_towards_infinity",
+                    ),
+                    pa.int64(),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return weighted_sample_per_key(ev, "user_id", "cents", "event_id", 2)
+
+
 def lang_entropy_per_source(sf_dir: str) -> ray.data.Dataset:
     """Language-distribution Shannon entropy (nats) per source — the
     mixture-balance report (engine/summarize.py grouped_entropy): exact
@@ -4539,6 +4568,26 @@ ORACLE_SQL["lang_entropy_per_source"] = """
 
 ORACLE_SQL["ktruss_4"] = _ktruss_unrolled_sql(4, _KTRUSS_ORACLE_ROUNDS)
 
+ORACLE_SQL["events_user_weighted_2"] = """
+    WITH q AS MATERIALIZED (
+        SELECT user_id, event_id,
+               CAST(ROUND(value * 100) AS BIGINT) AS cents
+        FROM events
+    ),
+    r AS MATERIALIZED (
+        SELECT user_id, event_id, cents,
+               ROW_NUMBER() OVER (
+                   PARTITION BY user_id
+                   ORDER BY ln((CAST(md5_number_lower(
+                                     CAST(event_id AS VARCHAR)) >> 11
+                                     AS DOUBLE) + 1)
+                               / 9007199254740992.0) / cents DESC,
+                            event_id) AS rn
+        FROM q WHERE cents > 0
+    )
+    SELECT user_id, event_id, cents FROM r WHERE rn <= 2
+"""
+
 # Dict order IS the driver's check order, and the driver's correctness
 # harness only checks the FIRST 50 entries.  Ordering policy (round 5):
 # never-driver-checked entries first, then entries whose last green row
@@ -4677,4 +4726,5 @@ QUERIES = {
     "docs_weighted_sample_100": docs_weighted_sample_100,
     "lang_entropy_per_source": lang_entropy_per_source,
     "ktruss_4": ktruss_4,
+    "events_user_weighted_2": events_user_weighted_2,
 }

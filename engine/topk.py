@@ -130,6 +130,30 @@ def topk_per_group(
     return ray.data.from_arrow_refs(out_refs)
 
 
+def _with_es_key(t: pa.Table, weight_col: str, id_col: str) -> pa.Table:
+    """Drop weight <= 0 rows and append the Efraimidis–Spirakis
+    exponential sample key ln(u)/w, u stateless from md5-low-64 of the
+    id (== DuckDB md5_number_lower >> 11, +1, / 2^53 — reproducible in
+    SQL term for term)."""
+    import hashlib
+
+    w_all = t.column(weight_col).to_numpy(zero_copy_only=False)
+    t = t.filter(pa.array(w_all > 0))
+    ids = t.column(id_col).to_pylist()
+    h = np.fromiter(
+        (
+            int.from_bytes(hashlib.md5(str(i).encode()).digest()[8:], "little")
+            >> 11
+            for i in ids
+        ),
+        dtype=np.int64,
+        count=len(ids),
+    )
+    w = t.column(weight_col).to_numpy(zero_copy_only=False).astype(np.float64)
+    u = (h.astype(np.float64) + 1.0) / 9007199254740992.0
+    return t.append_column("_es_key", pa.array(np.log(u) / w, pa.float64()))
+
+
 def weighted_sample(
     ds: ray.data.Dataset,
     weight_col: str,
@@ -147,33 +171,13 @@ def weighted_sample(
     survivors, then ``limit(k)``. Rows with weight ≤ 0 are excluded
     (they can never be drawn). The sample key rides only inside the
     pipeline; the output keeps the original columns."""
-    import hashlib
-
     if k <= 0:
         raise ValueError(f"k must be positive, got {k}")
     names = ds.schema().names
 
     def partial(t: pa.Table) -> pa.Table:
-        w_all = t.column(weight_col).to_numpy(zero_copy_only=False)
-        t = t.filter(pa.array(w_all > 0))
-        ids = t.column(id_col).to_pylist()
-        h = np.fromiter(
-            (
-                int.from_bytes(
-                    hashlib.md5(str(i).encode()).digest()[8:], "little"
-                )
-                >> 11
-                for i in ids
-            ),
-            dtype=np.int64,
-            count=len(ids),
-        )
-        w = t.column(weight_col).to_numpy(zero_copy_only=False).astype(
-            np.float64
-        )
-        u = (h.astype(np.float64) + 1.0) / 9007199254740992.0
-        key = np.log(u) / w
-        t = t.append_column("_es_key", pa.array(key, pa.float64()))
+        t = _with_es_key(t, weight_col, id_col)
+        key = t.column("_es_key").to_numpy(zero_copy_only=False)
         if t.num_rows > k:
             idx = np.argpartition(-key, k - 1)[:k]
             t = t.take(pa.array(np.sort(idx)))
@@ -181,6 +185,36 @@ def weighted_sample(
 
     pruned = ds.map_batches(partial, batch_format="pyarrow")
     top = pruned.sort("_es_key", descending=True).limit(k)
+    return top.map_batches(
+        lambda t: t.select(names), batch_format="pyarrow"
+    )
+
+
+def weighted_sample_per_key(
+    ds: ray.data.Dataset,
+    key_col: str,
+    weight_col: str,
+    id_col: str,
+    k: int,
+) -> ray.data.Dataset:
+    """Per-KEY deterministic weighted sample without replacement: the k
+    largest A-ES exponential keys within each ``key_col`` group — the
+    per-domain / per-source importance draw of corpus mixing (the
+    weighted sibling of the per-key capped sample). Same stateless
+    md5 key as :func:`weighted_sample`; selection rides the grouped
+    top-k operator (per-batch k-per-key combiner, one global sort,
+    O(blocks) rank-offset metadata — no per-group shuffle). Ties break
+    by the remaining columns ascending (SQL ``ORDER BY es_key DESC,
+    <cols>``). Weight <= 0 rows are excluded; output keeps the
+    original columns."""
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    names = ds.schema().names
+    keyed = ds.map_batches(
+        lambda t: _with_es_key(t, weight_col, id_col),
+        batch_format="pyarrow",
+    )
+    top = topk_per_group(keyed, key_col, "_es_key", k=k, descending=True)
     return top.map_batches(
         lambda t: t.select(names), batch_format="pyarrow"
     )

@@ -141,3 +141,43 @@ def test_weighted_sample_matches_brute_force():
     assert set(allout["id"]) == set(pos["id"])
     with pytest.raises(ValueError, match="positive"):
         weighted_sample(ray.data.from_pandas(df), "w", "id", 0)
+
+
+def test_weighted_sample_per_key_matches_brute_force():
+    """weighted_sample_per_key == per-key brute-force A-ES top-k;
+    weight<=0 rows excluded; groups smaller than k keep everything."""
+    import hashlib
+
+    from engine.topk import weighted_sample_per_key
+
+    rng = np.random.default_rng(59)
+    n = 400
+    df = pd.DataFrame(
+        {
+            "k": rng.choice(["a", "b", "c", "d"], n),
+            "id": np.arange(n, dtype=np.int64) * 3 + 1,
+            "w": rng.integers(-2, 60, n).astype(np.int64),
+        }
+    )
+    df = pd.concat(
+        [df, pd.DataFrame({"k": ["solo"], "id": [9999], "w": [5]})],
+        ignore_index=True,
+    )
+
+    def key(i, w):
+        h = int.from_bytes(hashlib.md5(str(i).encode()).digest()[8:],
+                           "little") >> 11
+        return np.log((float(h) + 1.0) / 9007199254740992.0) / w
+
+    pos = df[df["w"] > 0].copy()
+    pos["key"] = [key(i, w) for i, w in zip(pos["id"], pos["w"])]
+    want = set(
+        pos.sort_values("key", ascending=False).groupby("k").head(3)["id"]
+    )
+    for parts in (1, 9):
+        out = weighted_sample_per_key(
+            ray.data.from_pandas(df).repartition(parts), "k", "w", "id", 3
+        ).to_pandas()
+        assert set(out["id"]) == want
+        assert list(out.columns) == ["k", "id", "w"]
+        assert 9999 in set(out["id"])  # sub-k group fully kept
