@@ -45,7 +45,18 @@ def _scaled_graph_edges(rounds: int | None = None):
     tag = SF_DIR.strip("/").replace("/", "_")
     cache = f"/tmp/graft_graph_cache/{tag}_r{r}"
     if os.path.isdir(cache) and os.path.exists(f"{cache}/_DONE"):
-        return ray.data.read_parquet(cache)
+        # Match the fresh-build layout EXACTLY: 32 blocks, materialized.
+        # A lazy read_parquet here re-executes per consumption and lets
+        # Ray pick its own (coarser) block split — measured ds-engine
+        # supersteps ran ~1.9× slower on that layout (5.2-5.6 s vs 2.85 s
+        # in the same clean window, bench_artifacts/r05).
+        return (
+            ray.data.read_parquet(
+                cache, override_num_blocks=max(NUM_CPUS, 8)
+            )
+            .repartition(max(NUM_CPUS, 8))
+            .materialize()
+        )
 
     li = ray.data.read_parquet(
         f"{SF_DIR}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
@@ -137,9 +148,20 @@ def _cap_active(t8: float, t32: float) -> bool:
     host's measured clean curve (t32/t8 ≈ 2.9); a host whose memory
     system legitimately saturates below 32 actors (t32 ≈ t8 even when
     idle) should lower GRAFT_CAP_RATIO toward 1.0 or the guard will
-    flag every window."""
+    flag every window.
+
+    The ratio test only diagnoses a THROTTLE when aggregate bandwidth is
+    actually low: round 5 observed a third host mode where 8 actors read
+    43-47 GB/s (ABOVE the historical clean t8 ≈ 31) while 32 actors read
+    60-92 — ratio 1.4-2.0 with clean-mode absolutes and clean-mode bench
+    numbers (bsp 793-820M eps, proportional to t32). Flagging t32 = 66
+    GB/s as 'capped' is a false positive of a check built for
+    t32 = 11.5; so the ratio arm is gated on t32 falling below the
+    ledger's documented absolute clean threshold (55 GB/s,
+    GRAFT_CAP_ABS)."""
     ratio = float(os.environ.get("GRAFT_CAP_RATIO", "1.5"))
-    return t32 < ratio * t8 or t8 < 8.0
+    abs_clean = float(os.environ.get("GRAFT_CAP_ABS", "55"))
+    return (t32 < ratio * t8 and t32 < abs_clean) or t8 < 8.0
 
 
 def run_scaling_child(op: str) -> dict:
