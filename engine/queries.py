@@ -42,7 +42,13 @@ def _li(sf_dir: str, columns):
 
 def edges_project(sf_dir: str) -> ray.data.Dataset:
     """Distinct (src, dst) edge table projected from lineitem (N1/N3 analog:
-    the relational edge-extraction step, column-pruned at the read)."""
+    the relational edge-extraction step, column-pruned at the read).
+    Distinct runs on the sort-based path (pack into one int64 key →
+    per-batch np.unique combiner → ``graph._sorted_distinct_refs``):
+    the previous ``groupby().aggregate(Count)`` paid Ray 2.49's slow hash
+    aggregate ~5 s of fixed cost at sf0.1 and sat at the root of every
+    ``_graph_arrays`` query."""
+    from .graph import _sorted_distinct_refs
 
     def proj(batch: pa.Table) -> pa.Table:
         src = batch.column("l_orderkey").to_numpy(zero_copy_only=False).astype(np.int64)
@@ -51,19 +57,25 @@ def edges_project(sf_dir: str) -> ray.data.Dataset:
             + PART_OFFSET
         )
         key = src * np.int64(1 << 32) + dst  # per-batch dedup combiner
-        uk = np.unique(key)
+        return pa.table({"key": pa.array(np.unique(key))})
+
+    packed = _li(sf_dir, ["l_orderkey", "l_partkey"]).map_batches(
+        proj, batch_format="pyarrow"
+    )
+    refs, _counts = _sorted_distinct_refs(packed, "key")
+
+    def unpack(t: pa.Table) -> pa.Table:
+        key = t.column("key").to_numpy(zero_copy_only=False)
         return pa.table(
             {
-                "src": pa.array(uk // (1 << 32), type=pa.int64()),
-                "dst": pa.array(uk % (1 << 32) + 0, type=pa.int64()),
+                "src": pa.array(key // (1 << 32), type=pa.int64()),
+                "dst": pa.array(key % (1 << 32), type=pa.int64()),
             }
         )
 
-    ds = _li(sf_dir, ["l_orderkey", "l_partkey"]).map_batches(
-        proj, batch_format="pyarrow"
+    return ray.data.from_arrow_refs(refs).map_batches(
+        unpack, batch_format="pyarrow"
     )
-    agg = ds.groupby(["src", "dst"]).aggregate(Count(alias_name="_c"))
-    return agg.select_columns(["src", "dst"])
 
 
 def out_degree(sf_dir: str) -> ray.data.Dataset:
@@ -102,15 +114,31 @@ def sinks(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+_GRAPH_ARRAYS_CACHE: dict = {}
+
+
 def _graph_arrays(sf_dir: str):
     """Driver-side dense arrays of the small lineitem graph (used by the
-    superstep queries; the full engines are exercised by pagerank10)."""
-    edges = edges_project(sf_dir)
+    superstep queries; the full engines are exercised by pagerank10).
+    Memoized per sf_dir within a Ray session — a dozen contract queries
+    derive from the same deterministic build, and re-deriving it per
+    invocation dominated their wall time (13.6 s build vs 1.7 s of HITS
+    iterations at sf0.1). The cached datasets hold object-store refs, so
+    the cache is keyed by Ray session and dies with it."""
+    sess = ray.get_runtime_context().get_job_id() if ray.is_initialized() else None
+    key = (sf_dir, sess)
+    hit = _GRAPH_ARRAYS_CACHE.get(key)
+    if hit is not None:
+        return hit
+    edges = edges_project(sf_dir).materialize()
     ids = G.vertex_ids(edges)
-    enc = G.encode_edges(edges, ids)
+    enc = G.encode_edges(edges, ids).materialize()
     n = len(ids)
     outdeg = G.dense_out_degrees(enc, n)
-    return edges, ids, enc, n, outdeg
+    out = (edges, ids, enc, n, outdeg)
+    _GRAPH_ARRAYS_CACHE.clear()  # one graph at a time: bounded memory
+    _GRAPH_ARRAYS_CACHE[key] = out
+    return out
 
 
 def pr_superstep1(sf_dir: str) -> ray.data.Dataset:
@@ -375,13 +403,15 @@ def wpr10(sf_dir: str) -> ray.data.Dataset:
             {"key": pa.array(u), "cnt": pa.array(c.astype(np.int64))}
         )
 
-    from ray.data.aggregate import Sum
+    from .ntile import grouped_sums_sorted
 
-    pairs = (
-        _li(sf_dir, ["l_orderkey", "l_partkey"])
-        .map_batches(pack, batch_format="pyarrow")
-        .groupby("key")
-        .aggregate(Sum("cnt", alias_name="w"))
+    pairs = grouped_sums_sorted(
+        _li(sf_dir, ["l_orderkey", "l_partkey"]).map_batches(
+            pack, batch_format="pyarrow"
+        ),
+        "key",
+        ["cnt"],
+        ["w"],
     )
 
     def unpack(t: pa.Table) -> pa.Table:
