@@ -3204,6 +3204,184 @@ def lang_entropy_per_source(sf_dir: str) -> ray.data.Dataset:
     return grouped_entropy(docs, "source", "lang")
 
 
+def daily_active_users(sf_dir: str) -> ray.data.Dataset:
+    """Windowed COUNT(DISTINCT): unique users per UTC day — the
+    telemetry-dashboard primitive. (day, user) packs into one int64 and
+    runs the sort-based distributed DISTINCT (never Ray's hash
+    aggregate); per-day counts settle through per-block np.unique
+    partials into the sorted grouped SUM."""
+    from .graph import _sorted_distinct_refs
+    from .ntile import grouped_sums_sorted
+
+    DAY_US = np.int64(86_400_000_000)
+    SHIFT = np.int64(33)  # user_id < 2^33; epoch-day < 2^29
+
+    def pack(t: pa.Table) -> pa.Table:
+        ts = (
+            t.column("ts")
+            .cast(pa.timestamp("us"))
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        user = t.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(user) and (user.max() >= (1 << 33) or user.min() < 0):
+            raise ValueError("user_id outside packed range [0, 2^33)")
+        day = ts // DAY_US  # floor division == SQL floor(epoch/86400)
+        return pa.table({"key": pa.array(np.unique((day << SHIFT) | user))})
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "user_id"]
+    ).map_batches(pack, batch_format="pyarrow")
+    refs, _counts = _sorted_distinct_refs(ev, "key")
+
+    def day_counts(t: pa.Table) -> pa.Table:
+        key = t.column("key").to_numpy(zero_copy_only=False)
+        d, c = np.unique(key >> SHIFT, return_counts=True)
+        return pa.table(
+            {"day": pa.array(d.astype(np.int64)),
+             "cnt": pa.array(c.astype(np.int64))}
+        )
+
+    partials = ray.data.from_arrow_refs(refs).map_batches(
+        day_counts, batch_format="pyarrow"
+    )
+    return grouped_sums_sorted(partials, "day", ["cnt"], ["dau"])
+
+
+def event_transitions_top20(sf_dir: str) -> ray.data.Dataset:
+    """Top-20 event-type transitions (Markov bigrams over per-user
+    behavioral sequences in (ts, event_id) order) — the session-flow
+    feature (engine/windows.py transition_counts: one global sort,
+    O(blocks) boundary metadata, pairs through the sorted grouped SUM).
+    Total output order (n DESC, prev, next) so the LIMIT is
+    deterministic on both sides."""
+    from .windows import transition_counts
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type"],
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "ts_us": pc.cast(
+                    t.column("ts").cast(pa.timestamp("us")), pa.int64()
+                ),
+                "event_id": t.column("event_id"),
+                "event_type": t.column("event_type"),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    counts = transition_counts(
+        ev, key_col="user_id", order_col="ts_us",
+        label_col="event_type", tie_col="event_id",
+    ).map_batches(
+        lambda t: pa.table(
+            {"prev_type": t.column("prev"),
+             "next_type": t.column("next"),
+             "n": t.column("n")}
+        ),
+        batch_format="pyarrow",
+    )
+    return counts.sort(
+        ["n", "prev_type", "next_type"], descending=[True, False, False]
+    ).limit(20)
+
+
+def top_parts_per_nation(sf_dir: str) -> ray.data.Dataset:
+    """Aggregate-then-rank report: the top-3 parts per supplier nation by
+    total discounted revenue. Exact integers end-to-end (revenue in the
+    e4 fixed-point of pricing_summary); supplier/nation dimensions ship
+    once as broadcasts; the (nation, part) revenue settles through a
+    per-batch packed-key combiner → sorted grouped SUM; the rank is the
+    grouped top-k with (revenue DESC, partkey ASC) ties packed into one
+    orderable int64 — no window shuffle anywhere."""
+    from .joins import broadcast_join
+    from .ntile import grouped_sums_sorted
+    from .topk import topk_per_group
+
+    sup = ray.data.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    ).to_pandas()
+    nat = ray.data.read_parquet(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    )
+    skey = sup["s_suppkey"].to_numpy()
+    snat = sup["s_nationkey"].to_numpy().astype(np.int64)
+    order = np.argsort(skey)
+    skey_ref = ray.put(skey[order])
+    snat_ref = ray.put(snat[order])
+
+    PART_SHIFT = np.int64(38)  # l_partkey < 2^38; nationkey < 2^25
+
+    def pack(t: pa.Table) -> pa.Table:
+        sk = ray.get(skey_ref)
+        sn = ray.get(snat_ref)
+        supp = t.column("l_suppkey").to_numpy(zero_copy_only=False)
+        part = t.column("l_partkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(part) and part.max() >= (1 << 38):
+            raise ValueError("l_partkey outside packed range [0, 2^38)")
+        nation = sn[np.searchsorted(sk, supp)]
+        price_c = np.round(
+            t.column("l_extendedprice").to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        disc_c = np.round(
+            t.column("l_discount").to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        rev = price_c * (100 - disc_c)
+        key = (nation << PART_SHIFT) | part
+        u, inv = np.unique(key, return_inverse=True)
+        return pa.table(
+            {
+                "key": pa.array(u),
+                "rev": pa.array(np.bincount(inv, weights=rev).astype(np.int64)),
+            }
+        )
+
+    li = _li(
+        sf_dir, ["l_suppkey", "l_partkey", "l_extendedprice", "l_discount"]
+    ).map_batches(pack, batch_format="pyarrow")
+    summed = grouped_sums_sorted(li, "key", ["rev"], ["sum_rev_e4"])
+
+    def unpack(t: pa.Table) -> pa.Table:
+        key = t.column("key").to_numpy(zero_copy_only=False)
+        rev = t.column("sum_rev_e4").to_numpy(zero_copy_only=False)
+        part = key & ((np.int64(1) << PART_SHIFT) - 1)
+        # (rev DESC, part ASC) as ONE descending-orderable key: zero-padded
+        # decimal strings (rev to 19 digits = full int64 range, part
+        # complemented against 2^38) — exact at any magnitude, unlike an
+        # int64 pack which overflows once rev_e4 * 2^part_bits > 2^63
+        inv_part = (np.int64(1) << PART_SHIFT) - 1 - part
+        ordkey = np.char.add(
+            np.char.zfill(rev.astype("U19"), 19),
+            np.char.zfill(inv_part.astype("U12"), 12),
+        )
+        return pa.table(
+            {
+                "nationkey": pa.array((key >> PART_SHIFT).astype(np.int64)),
+                "l_partkey": pa.array(part.astype(np.int64)),
+                "sum_rev_e4": t.column("sum_rev_e4"),
+                "ordkey": pa.array(ordkey.tolist(), pa.string()),
+            }
+        )
+
+    ranked = topk_per_group(
+        summed.map_batches(unpack, batch_format="pyarrow"),
+        key_col="nationkey", order_col="ordkey", k=3, descending=True,
+    ).select_columns(["nationkey", "l_partkey", "sum_rev_e4"])
+    return broadcast_join(
+        ranked, nat.map_batches(
+            lambda t: pa.table(
+                {"nationkey": t.column("n_nationkey").cast(pa.int64()),
+                 "n_name": t.column("n_name")}
+            ),
+            batch_format="pyarrow",
+        ),
+        on="nationkey", right_cols=["n_name"],
+    ).select_columns(["n_name", "l_partkey", "sum_rev_e4"])
+
+
 ORACLE_SQL: dict[str, str] = {
     "edges_project": f"""
         SELECT DISTINCT l_orderkey AS src,
@@ -4618,6 +4796,50 @@ ORACLE_SQL["events_user_weighted_2"] = """
     SELECT user_id, event_id, cents FROM r WHERE rn <= 2
 """
 
+ORACLE_SQL["daily_active_users"] = """
+    SELECT CAST(floor(epoch(ts) / 86400.0) AS BIGINT) AS day,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS dau
+    FROM events
+    GROUP BY 1
+"""
+
+ORACLE_SQL["event_transitions_top20"] = """
+    WITH seq AS MATERIALIZED (
+        SELECT event_type AS next_type,
+               LAG(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS prev_type
+        FROM events
+    )
+    SELECT prev_type, next_type, CAST(COUNT(*) AS BIGINT) AS n
+    FROM seq WHERE prev_type IS NOT NULL
+    GROUP BY 1, 2
+    ORDER BY n DESC, prev_type, next_type
+    LIMIT 20
+"""
+
+ORACLE_SQL["top_parts_per_nation"] = """
+    WITH rev AS MATERIALIZED (
+        SELECT s.s_nationkey, l.l_partkey,
+               CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+                        * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT)))
+                    AS BIGINT) AS sum_rev_e4
+        FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        GROUP BY 1, 2
+    ),
+    rk AS MATERIALIZED (
+        SELECT s_nationkey, l_partkey, sum_rev_e4,
+               ROW_NUMBER() OVER (
+                   PARTITION BY s_nationkey
+                   ORDER BY sum_rev_e4 DESC, l_partkey
+               ) AS rn
+        FROM rev
+    )
+    SELECT n.n_name, rk.l_partkey, rk.sum_rev_e4
+    FROM rk JOIN nation n ON n.n_nationkey = rk.s_nationkey
+    WHERE rn <= 3
+"""
+
 # Dict order IS the driver's check order, and the driver's correctness
 # harness only checks the FIRST 50 entries.  Ordering policy (round 5):
 # never-driver-checked entries first, then entries whose last green row
@@ -4757,4 +4979,7 @@ QUERIES = {
     "lang_entropy_per_source": lang_entropy_per_source,
     "ktruss_4": ktruss_4,
     "events_user_weighted_2": events_user_weighted_2,
+    "daily_active_users": daily_active_users,
+    "event_transitions_top20": event_transitions_top20,
+    "top_parts_per_nation": top_parts_per_nation,
 }

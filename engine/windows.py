@@ -641,3 +641,95 @@ def pack_sequences(
         )
 
     return rt.map_batches(chunk, batch_format="pyarrow")
+
+
+def transition_counts(
+    ds: ray.data.Dataset,
+    key_col: str,
+    order_col: str,
+    label_col: str,
+    tie_col: str | None = None,
+) -> ray.data.Dataset:
+    """Per-key adjacent-label transition counts — the Markov-bigram
+    feature over behavioral sequences (the window SQL
+    ``LAG(label) OVER (PARTITION BY key ORDER BY o)`` folded into a
+    GROUP BY (prev, next) count).
+
+    House one-sort pattern: after the global sort by (key, order[, tie])
+    every transition is a pair of ADJACENT rows, so each block counts its
+    own pairs vectorized (label[:-1] → label[1:] where the key matches)
+    and the only cross-block state is one (last_key, last_label) /
+    (first_key, first_label) pair per block edge — O(blocks) driver
+    metadata, never rows. Pairs ride as a single separator-joined string
+    key through the sorted grouped SUM (no hash aggregate).
+
+    Returns (prev, next, n) — one row per observed transition.
+    """
+    from .ntile import grouped_sums_sorted
+
+    sep = "\x1f"
+    sort_cols = [key_col, order_col] + ([tie_col] if tie_col else [])
+    arrow = ds.map_batches(lambda t: t, batch_format="pyarrow")
+    s = arrow.sort(sort_cols).materialize()
+    refs = nonempty_block_refs(s)
+    out_schema = pa.schema(
+        [("prev", pa.string()), ("next", pa.string()), ("n", pa.int64())]
+    )
+    if not refs:
+        return ray.data.from_arrow(out_schema.empty_table())
+
+    @ray.remote(num_returns=2)
+    def block_pairs(tbl: pa.Table):
+        """(partial (pair, cnt) table, (first_key, first_label,
+        last_key, last_label) edge metadata)."""
+        keys = tbl.column(key_col).to_numpy(zero_copy_only=False)
+        labels = tbl.column(label_col).to_numpy(zero_copy_only=False)
+        meta = (keys[0], str(labels[0]), keys[-1], str(labels[-1]))
+        same = keys[:-1] == keys[1:]
+        if not same.any():
+            return pa.table(
+                {"pair": pa.array([], pa.string()),
+                 "cnt": pa.array([], pa.int64())}
+            ), meta
+        prev = labels[:-1][same]
+        nxt = labels[1:][same]
+        pairs = np.char.add(
+            np.char.add(prev.astype(str), sep), nxt.astype(str)
+        )
+        u, c = np.unique(pairs, return_counts=True)
+        return pa.table(
+            {"pair": pa.array(u.tolist(), pa.string()),
+             "cnt": pa.array(c.astype(np.int64))}
+        ), meta
+
+    parts = [block_pairs.remote(r) for r in refs]
+    metas = ray.get([m for _, m in parts])
+    boundary = [
+        f"{metas[i][3]}{sep}{metas[i + 1][1]}"
+        for i in range(len(metas) - 1)
+        if metas[i][2] == metas[i + 1][0]
+    ]
+    partials = ray.data.from_arrow_refs([t for t, _ in parts])
+    if boundary:
+        u, c = np.unique(np.asarray(boundary, dtype=object), return_counts=True)
+        partials = partials.union(
+            ray.data.from_arrow(
+                pa.table(
+                    {"pair": pa.array(list(u), pa.string()),
+                     "cnt": pa.array(c.astype(np.int64))}
+                )
+            )
+        )
+    summed = grouped_sums_sorted(partials, "pair", ["cnt"], ["n"])
+
+    def split(t: pa.Table) -> pa.Table:
+        parts_ = pc.split_pattern(t.column("pair"), sep)
+        return pa.table(
+            {
+                "prev": pc.list_element(parts_, 0),
+                "next": pc.list_element(parts_, 1),
+                "n": t.column("n"),
+            }
+        )
+
+    return summed.map_batches(split, batch_format="pyarrow")
