@@ -463,3 +463,79 @@ def grouped_pdisc(
     for (kval, q), v in resolved.items():
         out.setdefault(kval, {})[q] = v
     return out
+
+
+def percent_rank_per_key(
+    ds: ray.data.Dataset,
+    key_col: str,
+    val_col: str,
+    out_col: str = "pr",
+    round_to: int = 9,
+    max_pairs: int = 5_000_000,
+) -> ray.data.Dataset:
+    """Per-key PERCENT_RANK — quantile normalization within each key
+    (the window SQL ``PERCENT_RANK() OVER (PARTITION BY key ORDER BY
+    val)``): pr = (rank − 1) / (n_key − 1) with min-rank ties, 0.0 for a
+    single-row key.
+
+    Scale design: the INPUT never shuffles. Per-batch (key, val) count
+    partials settle through the sorted grouped SUM into the distinct
+    (key, val) frequency table — bounded by value cardinality per key,
+    not rows (the vocab-broadcast tier: guarded at ``max_pairs``; beyond
+    that discretize ``val`` first). Ranks and key totals come from one
+    numpy pass over that table; the (pair → pr) map ships once via
+    ray.put and every batch resolves through a vectorized searchsorted.
+    ``val_col`` must be integer-valued.
+    """
+    sep = "\x1f"
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        k = t.column(key_col).to_numpy(zero_copy_only=False).astype(str)
+        v = t.column(val_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(v) and v.min() < 0:
+            raise ValueError("negative values break the zero-padded order")
+        pair = np.char.add(
+            np.char.add(k, sep), np.char.zfill(v.astype("U19"), 19)
+        )
+        u, c = np.unique(pair, return_counts=True)
+        return pa.table(
+            {"pair": pa.array(u.tolist(), pa.string()),
+             "cnt": pa.array(c.astype(np.int64))}
+        )
+
+    counts = grouped_sums_sorted(
+        ds.map_batches(pair_partial, batch_format="pyarrow"),
+        "pair", ["cnt"], ["cnt"],
+    )
+    tbl = counts.sort("pair").to_pandas()
+    if len(tbl) > max_pairs:
+        raise ValueError(
+            f"distinct (key, val) pairs exceed the broadcast tier "
+            f"({len(tbl)} > {max_pairs}) — discretize {val_col!r} first"
+        )
+    pairs = tbl["pair"].to_numpy()
+    cnt = tbl["cnt"].to_numpy().astype(np.int64)
+    keys = np.asarray([p.split(sep, 1)[0] for p in pairs], dtype=object)
+    new_key = np.concatenate(([True], keys[1:] != keys[:-1]))
+    grp = np.cumsum(new_key) - 1  # dense key index per pair row
+    totals = np.bincount(grp, weights=cnt).astype(np.int64)
+    cum = np.cumsum(cnt) - cnt  # rows before this (key,val) pair overall
+    key_start = cum[new_key][grp]  # rows before this pair's KEY
+    rank_minus_1 = cum - key_start  # min-rank ties: smaller values only
+    denom = np.maximum(totals[grp] - 1, 1)  # n=1 → pr 0 via rank 0
+    pr = np.round(rank_minus_1 / denom, round_to)
+    pairs_ref = ray.put(pairs.astype(str))
+    pr_ref = ray.put(pr)
+
+    def attach(t: pa.Table) -> pa.Table:
+        sp = ray.get(pairs_ref)
+        spr = ray.get(pr_ref)
+        k = t.column(key_col).to_numpy(zero_copy_only=False).astype(str)
+        v = t.column(val_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        pair = np.char.add(
+            np.char.add(k, sep), np.char.zfill(v.astype("U19"), 19)
+        )
+        idx = np.searchsorted(sp, pair)
+        return t.append_column(out_col, pa.array(spr[idx]))
+
+    return ds.map_batches(attach, batch_format="pyarrow")

@@ -3382,6 +3382,20 @@ def top_parts_per_nation(sf_dir: str) -> ray.data.Dataset:
     ).select_columns(["n_name", "l_partkey", "sum_rev_e4"])
 
 
+def doc_len_percent_rank(sf_dir: str) -> ray.data.Dataset:
+    """Within-source quantile normalization of document length — the
+    cross-source score-calibration pass (engine/ntile.py
+    percent_rank_per_key: input never shuffles; the distinct
+    (source, n_chars) frequency table settles through the sorted grouped
+    SUM and ships once as a broadcast lookup)."""
+    from .ntile import percent_rank_per_key
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "n_chars"]
+    )
+    return percent_rank_per_key(docs, "source", "n_chars", out_col="pr")
+
+
 ORACLE_SQL: dict[str, str] = {
     "edges_project": f"""
         SELECT DISTINCT l_orderkey AS src,
@@ -4818,6 +4832,14 @@ ORACLE_SQL["event_transitions_top20"] = """
     LIMIT 20
 """
 
+ORACLE_SQL["doc_len_percent_rank"] = """
+    SELECT doc_id, source, n_chars,
+           ROUND(PERCENT_RANK() OVER (
+               PARTITION BY source ORDER BY n_chars
+           ), 9) AS pr
+    FROM documents
+"""
+
 ORACLE_SQL["top_parts_per_nation"] = """
     WITH rev AS MATERIALIZED (
         SELECT s.s_nationkey, l.l_partkey,
@@ -4982,4 +5004,5 @@ QUERIES = {
     "daily_active_users": daily_active_users,
     "event_transitions_top20": event_transitions_top20,
     "top_parts_per_nation": top_parts_per_nation,
+    "doc_len_percent_rank": doc_len_percent_rank,
 }

@@ -398,3 +398,41 @@ def test_grouped_entropy_matches_manual():
         rd.from_pandas(df), "k", "v").to_pandas().itertuples()}
     assert got["d"] == 0.0
     assert got["u"] == pytest.approx(np.log(3), abs=1e-9)
+
+
+def test_percent_rank_per_key_cross_block():
+    """Random keyed ints across many blocks vs DuckDB's window — ties,
+    single-row keys, and duplicate-heavy keys all covered."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from engine.ntile import percent_rank_per_key
+
+    rng = np.random.default_rng(11)
+    n = 4000
+    df = pd.DataFrame(
+        {
+            "rid": np.arange(n),
+            "k": rng.choice(["a", "b", "c", "lonely"], n,
+                            p=[0.45, 0.45, 0.0995, 0.0005]),
+            "v": rng.integers(0, 25, n),  # heavy ties
+        }
+    )
+    df.loc[len(df)] = [n, "single", 7]  # one-row key → pr 0.0
+    ds = ray.data.from_pandas(df).repartition(13)
+    got = (
+        percent_rank_per_key(ds, "k", "v", out_col="pr")
+        .to_pandas()
+        .sort_values("rid")
+        .reset_index(drop=True)
+    )
+    want = duckdb.connect().execute(
+        """SELECT rid, ROUND(PERCENT_RANK() OVER (
+               PARTITION BY k ORDER BY v), 9) AS pr
+           FROM df ORDER BY rid"""
+    ).fetchdf()
+    np.testing.assert_allclose(
+        got["pr"].to_numpy(), want["pr"].to_numpy(), atol=1e-12
+    )
