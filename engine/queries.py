@@ -3396,6 +3396,41 @@ def doc_len_percent_rank(sf_dir: str) -> ray.data.Dataset:
     return percent_rank_per_key(docs, "source", "n_chars", out_col="pr")
 
 
+def events_user_sum_7d(sf_dir: str) -> ray.data.Dataset:
+    """Trailing-7-day spend per user at every event — the RANGE-frame
+    window (time horizon, peers included) vs the ROWS-frame rolling sum
+    (engine/windows.py rolling_sum_time_per_key: one sort, time-bounded
+    tail carry — O(blocks × events-per-horizon) metadata)."""
+    from .windows import rolling_sum_time_per_key
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id", "value"]
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "event_id": t.column("event_id"),
+                "user_id": t.column("user_id"),
+                "ts_us": pc.cast(
+                    t.column("ts").cast(pa.timestamp("us")), pa.int64()
+                ),
+                "cents": pc.cast(
+                    pc.round(
+                        pc.multiply(t.column("value"), 100.0),
+                        round_mode="half_towards_infinity",
+                    ),
+                    pa.int64(),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    out = rolling_sum_time_per_key(
+        ev, "user_id", "ts_us", "cents",
+        horizon=7 * 86_400_000_000, out_col="cents_7d",
+    )
+    return out.select_columns(["event_id", "user_id", "cents_7d"])
+
+
 ORACLE_SQL: dict[str, str] = {
     "edges_project": f"""
         SELECT DISTINCT l_orderkey AS src,
@@ -4832,6 +4867,15 @@ ORACLE_SQL["event_transitions_top20"] = """
     LIMIT 20
 """
 
+ORACLE_SQL["events_user_sum_7d"] = """
+    SELECT event_id, user_id,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER (
+               PARTITION BY user_id ORDER BY ts
+               RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS cents_7d
+    FROM events
+"""
+
 ORACLE_SQL["doc_len_percent_rank"] = """
     SELECT doc_id, source, n_chars,
            ROUND(PERCENT_RANK() OVER (
@@ -5005,4 +5049,5 @@ QUERIES = {
     "event_transitions_top20": event_transitions_top20,
     "top_parts_per_nation": top_parts_per_nation,
     "doc_len_percent_rank": doc_len_percent_rank,
+    "events_user_sum_7d": events_user_sum_7d,
 }

@@ -733,3 +733,130 @@ def transition_counts(
         )
 
     return summed.map_batches(split, batch_format="pyarrow")
+
+
+def rolling_sum_time_per_key(
+    ds: ray.data.Dataset,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    horizon: int,
+    out_col: str = "rolling_sum",
+) -> ray.data.Dataset:
+    """Time-horizon rolling aggregate — the RANGE-frame sibling of
+    :func:`rolling_sum_per_key`'s ROWS frame: for each row the sum of
+    ``value_col`` over all rows of the SAME key with
+    ``ts ∈ [ts_row − horizon, ts_row]`` (the window SQL ``SUM(v) OVER
+    (PARTITION BY key ORDER BY ts RANGE BETWEEN horizon PRECEDING AND
+    CURRENT ROW)``; peers — equal timestamps — are all included on both
+    sides, exactly the SQL RANGE peer rule, so no tie column is needed).
+
+    House one-sort pattern with a TIME-BOUNDED tail carry: after the
+    global sort by (key, ts) each block ships forward only its last
+    key's rows within ``horizon`` of its last timestamp — the superset
+    any successor can need — and a block whose head run spans several
+    earlier blocks concatenates their tails. Driver metadata is
+    O(blocks × events-per-horizon): bounded by the key's event RATE
+    times the horizon, not by data size; a hot key bursting inside one
+    horizon inflates it, so keep horizons modest (document the skew
+    assumption at call sites). ``ts_col`` and ``value_col`` must be
+    integer (timestamps as epoch-us int64)."""
+    if horizon < 0:
+        raise ValueError("horizon must be >= 0")
+    if out_col in ds.schema().names:
+        raise ValueError(f"out_col {out_col!r} already exists in the input")
+    arrow = ds.map_batches(lambda t: t, batch_format="pyarrow")
+    s = arrow.sort([key_col, ts_col]).materialize()
+    refs = nonempty_block_refs(s)
+    # schema from the MATERIALIZED arrow dataset: a from_pandas input's
+    # schema carries pandas types, not Arrow ones (grouped_sums_sorted's
+    # fix, engine/ntile.py)
+    sch = s.schema() if s.schema() is not None else ds.schema()
+    out_schema = pa.schema(
+        list(zip(sch.names, sch.types)) + [(out_col, pa.int64())]
+    )
+    if not refs:
+        return ray.data.from_arrow(out_schema.empty_table())
+
+    @ray.remote
+    def tail_rows(tbl: pa.Table):
+        """(key, ts, value) of the LAST key's rows within horizon of the
+        block's last timestamp — the superset any successor block's
+        lookback can reach (its windows start at ts > last_ts here)."""
+        keys = tbl.column(key_col).to_numpy(zero_copy_only=False)
+        ts = tbl.column(ts_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        vals = tbl.column(value_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        m = (keys == keys[-1]) & (ts >= ts[-1] - horizon)
+        return keys[m], ts[m], vals[m]
+
+    tails = ray.get([tail_rows.remote(r) for r in refs])
+    firsts = ray.get(
+        [
+            _first_key_ts.remote(r, key_col, ts_col)
+            for r in refs
+        ]
+    )
+    empty = (np.zeros(0, object), np.zeros(0, np.int64), np.zeros(0, np.int64))
+    carries = [empty]
+    for i in range(1, len(refs)):
+        fk, fts = firsts[i]
+        parts_k, parts_t, parts_v = [], [], []
+        # walk back while the SAME key keeps straddling block boundaries
+        for j in range(i - 1, -1, -1):
+            tk, tt, tv = tails[j]
+            if len(tk) == 0 or tk[-1] != fk:
+                break
+            keep = tt >= fts - horizon
+            parts_k.append(tk[keep]); parts_t.append(tt[keep]); parts_v.append(tv[keep])
+            if not keep.all() or firsts[j][0] != fk:
+                break  # older rows are out of every successor window
+        if parts_k:
+            carries.append(
+                (
+                    np.concatenate(parts_k[::-1]),
+                    np.concatenate(parts_t[::-1]),
+                    np.concatenate(parts_v[::-1]),
+                )
+            )
+        else:
+            carries.append(empty)
+
+    @ray.remote
+    def emit(tbl: pa.Table, ck, ct, cv) -> pa.Table:
+        keys = tbl.column(key_col).to_numpy(zero_copy_only=False)
+        ts = tbl.column(ts_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        col = tbl.column(value_col)
+        if col.null_count:
+            col = pc.fill_null(col, 0)
+        vals = col.to_numpy(zero_copy_only=False).astype(np.int64)
+        ncar = len(ck)
+        k = np.concatenate([np.asarray(ck), keys])
+        t = np.concatenate([np.asarray(ct, np.int64), ts])
+        v = np.concatenate([np.asarray(cv, np.int64), vals])
+        n = len(k)
+        new_run = np.concatenate(([True], k[1:] != k[:-1]))
+        run_starts = np.flatnonzero(new_run)
+        run_ends = np.append(run_starts[1:], n)
+        cs = np.cumsum(v)
+        out = np.empty(n, np.int64)
+        for rs, re in zip(run_starts, run_ends):
+            if re - rs == 1:
+                out[rs] = v[rs]
+                continue
+            rt = t[rs:re]
+            lo = rs + np.searchsorted(rt, rt - horizon, side="left")
+            hi = rs + np.searchsorted(rt, rt, side="right") - 1
+            out[rs:re] = cs[hi] - np.where(lo > 0, cs[lo - 1], 0)
+        res = tbl.append_column(out_col, pa.array(out[ncar:]))
+        return res.cast(out_schema)
+
+    out_refs = [emit.remote(r, *c) for r, c in zip(refs, carries)]
+    return ray.data.from_arrow_refs(out_refs)
+
+
+@ray.remote
+def _first_key_ts(tbl: pa.Table, key_col: str, ts_col: str):
+    return (
+        tbl.column(key_col)[0].as_py(),
+        int(tbl.column(ts_col)[0].as_py()),
+    )

@@ -539,3 +539,62 @@ def test_winsorize_per_key_pdisc_band():
     # the tails actually moved, the middle did not
     assert (got["clipped"] != got["v"]).any()
     assert (got["clipped"] == got["v"]).sum() > len(got) * 0.8
+
+
+def test_rolling_sum_time_cross_block():
+    """RANGE-frame rolling sum vs DuckDB's window: peers (equal ts),
+    multi-block runs, and a hot key bursting inside one horizon."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from engine.windows import rolling_sum_time_per_key
+
+    rng = np.random.default_rng(5)
+    n = 3000
+    df = pd.DataFrame(
+        {
+            "rid": np.arange(n),
+            "k": rng.choice(["u1", "u2", "hot"], n, p=[0.3, 0.3, 0.4]),
+            "ts": rng.integers(0, 500, n).astype("int64"),  # heavy peers
+            "v": rng.integers(-5, 50, n).astype("int64"),
+        }
+    )
+    ds = ray.data.from_pandas(df).repartition(19)
+    got = (
+        rolling_sum_time_per_key(ds, "k", "ts", "v", horizon=40, out_col="rs")
+        .to_pandas()
+    )
+    want = duckdb.connect().execute(
+        """SELECT rid, SUM(v) OVER (
+               PARTITION BY k ORDER BY ts
+               RANGE BETWEEN 40 PRECEDING AND CURRENT ROW) AS rs
+           FROM df"""
+    ).fetchdf()
+    merged = got.merge(want, on="rid", suffixes=("_got", "_want"))
+    assert (merged["rs_got"].to_numpy().astype(np.int64)
+            == merged["rs_want"].to_numpy().astype(np.int64)).all()
+
+
+def test_rolling_sum_time_run_spans_many_blocks():
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from engine.windows import rolling_sum_time_per_key
+
+    n = 200
+    df = pd.DataFrame(
+        {
+            "k": ["only"] * n,
+            "ts": np.arange(n, dtype="int64") * 10,
+            "v": np.ones(n, dtype="int64"),
+        }
+    )
+    ds = ray.data.from_pandas(df).repartition(29)
+    got = rolling_sum_time_per_key(
+        ds, "k", "ts", "v", horizon=95, out_col="rs"
+    ).to_pandas().sort_values("ts")
+    # horizon 95 at spacing 10 → current + 9 predecessors once warm
+    assert got["rs"].tolist() == [min(i + 1, 10) for i in range(n)]
