@@ -3431,6 +3431,43 @@ def events_user_sum_7d(sf_dir: str) -> ray.data.Dataset:
     return out.select_columns(["event_id", "user_id", "cents_7d"])
 
 
+def cc_size_histogram(sf_dir: str) -> ray.data.Dataset:
+    """Component-size distribution of the bipartite graph — the
+    cluster-size report a CC-based dedup pass reads (how many duplicate
+    clusters of each size): CC labels (distributed min-label
+    propagation) → per-block label-count partials → sorted grouped SUM
+    (component sizes) → per-block size-count partials → second tiny
+    grouped SUM. Output is O(distinct sizes) rows."""
+    from .ntile import grouped_sums_sorted
+
+    labels = cc_labels(sf_dir)
+
+    def label_partial(t: pa.Table) -> pa.Table:
+        lab = t.column("label").to_numpy(zero_copy_only=False)
+        u, c = np.unique(lab, return_counts=True)
+        return pa.table(
+            {"label": pa.array(u), "cnt": pa.array(c.astype(np.int64))}
+        )
+
+    sizes = grouped_sums_sorted(
+        labels.map_batches(label_partial, batch_format="pyarrow"),
+        "label", ["cnt"], ["sz"],
+    )
+
+    def size_partial(t: pa.Table) -> pa.Table:
+        sz = t.column("sz").to_numpy(zero_copy_only=False)
+        u, c = np.unique(sz, return_counts=True)
+        return pa.table(
+            {"component_size": pa.array(u.astype(np.int64)),
+             "c": pa.array(c.astype(np.int64))}
+        )
+
+    return grouped_sums_sorted(
+        sizes.map_batches(size_partial, batch_format="pyarrow"),
+        "component_size", ["c"], ["n_components"],
+    )
+
+
 ORACLE_SQL: dict[str, str] = {
     "edges_project": f"""
         SELECT DISTINCT l_orderkey AS src,
@@ -4867,6 +4904,17 @@ ORACLE_SQL["event_transitions_top20"] = """
     LIMIT 20
 """
 
+ORACLE_SQL["cc_size_histogram"] = f"""
+    SELECT CAST(sz AS BIGINT) AS component_size,
+           CAST(COUNT(*) AS BIGINT) AS n_components
+    FROM (
+        SELECT label, COUNT(*) AS sz
+        FROM ({_cc_unrolled_sql(_CC_ORACLE_ROUNDS)})
+        GROUP BY label
+    )
+    GROUP BY sz
+"""
+
 ORACLE_SQL["events_user_sum_7d"] = """
     SELECT event_id, user_id,
            CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER (
@@ -5050,4 +5098,5 @@ QUERIES = {
     "top_parts_per_nation": top_parts_per_nation,
     "doc_len_percent_rank": doc_len_percent_rank,
     "events_user_sum_7d": events_user_sum_7d,
+    "cc_size_histogram": cc_size_histogram,
 }

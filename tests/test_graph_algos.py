@@ -880,3 +880,47 @@ def test_k_truss_matches_brute_force_peel():
     assert out.count() == 0
     with pytest.raises(ValueError, match="k >= 3"):
         k_truss(_ds(k5), 2)
+
+
+def test_cc_size_histogram_multi_component(tmp_path):
+    """The sf graphs are one giant component, so the driver row only sees
+    a 1-row histogram — plant a multi-component lineitem parquet (disjoint
+    order/part ranges) and check sizes against union-find."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from engine.queries import ORACLE_SQL, QUERIES
+
+    # component A: orders 1-3 all share part 1 (size 3 + 1 = 4 vertices)
+    # component B: order 10 with parts 50, 51 (3 vertices)
+    # component C: order 20 with part 60 (2 vertices) — sizes {4:1, 3:1, 2:1}
+    li = pd.DataFrame(
+        {
+            "l_orderkey": [1, 2, 3, 10, 10, 20],
+            "l_partkey": [1, 1, 1, 50, 51, 60],
+        }
+    )
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(pa.Table.from_pandas(li), d / "lineitem.parquet")
+    got = (
+        QUERIES["cc_size_histogram"](str(d))
+        .to_pandas()
+        .sort_values("component_size")
+        .reset_index(drop=True)
+    )
+    assert got.values.tolist() == [[2, 1], [3, 1], [4, 1]]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW lineitem AS SELECT * FROM read_parquet('{d}/lineitem.parquet')"
+    )
+    want = (
+        con.execute(ORACLE_SQL["cc_size_histogram"])
+        .fetchdf()
+        .sort_values("component_size")
+        .reset_index(drop=True)
+    )
+    assert got.values.tolist() == want.values.tolist()
