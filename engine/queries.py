@@ -3468,6 +3468,58 @@ def cc_size_histogram(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def part_customer_breadth_top25(sf_dir: str) -> ray.data.Dataset:
+    """Demand breadth: the 25 parts bought by the most DISTINCT
+    customers — the popularity-dedup composition (COUNT(DISTINCT) per
+    key over a large-large join): lineitem acquires o_custkey through
+    the sorted lookup join (both sides big, neither broadcast), the
+    (part, customer) pair dedups through the packed sort-based DISTINCT,
+    per-block part counts settle through the sorted grouped SUM, and the
+    total (n DESC, partkey) order makes the LIMIT deterministic."""
+    from .graph import _sorted_distinct_refs
+    from .joins import lookup_join_sorted
+    from .ntile import grouped_sums_sorted
+
+    li = _li(sf_dir, ["l_orderkey", "l_partkey"])
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    )
+    joined = lookup_join_sorted(li, orders, on="l_orderkey", dim_on="o_orderkey")
+
+    CUST_BITS = np.int64(26)
+
+    def pack(t: pa.Table) -> pa.Table:
+        part = t.column("l_partkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        cust = t.column("o_custkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(cust) and (cust.max() >= (1 << 26) or part.max() >= (1 << 37)):
+            raise ValueError("key outside packed range — widen CUST_BITS")
+        return pa.table(
+            {"key": pa.array(np.unique((part << CUST_BITS) | cust))}
+        )
+
+    refs, _counts = _sorted_distinct_refs(
+        joined.map_batches(pack, batch_format="pyarrow"), "key"
+    )
+
+    def part_counts(t: pa.Table) -> pa.Table:
+        key = t.column("key").to_numpy(zero_copy_only=False)
+        p, c = np.unique(key >> CUST_BITS, return_counts=True)
+        return pa.table(
+            {"l_partkey": pa.array(p.astype(np.int64)),
+             "cnt": pa.array(c.astype(np.int64))}
+        )
+
+    summed = grouped_sums_sorted(
+        ray.data.from_arrow_refs(refs).map_batches(
+            part_counts, batch_format="pyarrow"
+        ),
+        "l_partkey", ["cnt"], ["n_customers"],
+    )
+    return summed.sort(
+        ["n_customers", "l_partkey"], descending=[True, False]
+    ).limit(25)
+
+
 ORACLE_SQL: dict[str, str] = {
     "edges_project": f"""
         SELECT DISTINCT l_orderkey AS src,
@@ -4904,6 +4956,15 @@ ORACLE_SQL["event_transitions_top20"] = """
     LIMIT 20
 """
 
+ORACLE_SQL["part_customer_breadth_top25"] = """
+    SELECT l_partkey,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY 1
+    ORDER BY n_customers DESC, l_partkey
+    LIMIT 25
+"""
+
 ORACLE_SQL["cc_size_histogram"] = f"""
     SELECT CAST(sz AS BIGINT) AS component_size,
            CAST(COUNT(*) AS BIGINT) AS n_components
@@ -5099,4 +5160,5 @@ QUERIES = {
     "doc_len_percent_rank": doc_len_percent_rank,
     "events_user_sum_7d": events_user_sum_7d,
     "cc_size_histogram": cc_size_histogram,
+    "part_customer_breadth_top25": part_customer_breadth_top25,
 }

@@ -170,3 +170,42 @@ def test_top_parts_tie_broken_by_partkey(micro_sf):
     # kept both with identical sums
     tied = alpha[alpha["sum_rev_e4"] == alpha["sum_rev_e4"].max()]
     assert sorted(tied["l_partkey"].tolist()) == [3, 5]
+
+
+def test_part_customer_breadth_tie_and_dup(tmp_path):
+    """Planted duplicates (same customer buying a part twice counts once)
+    and a tie at the cutoff (partkey ASC decides) vs the DuckDB oracle."""
+    import duckdb
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from engine.queries import ORACLE_SQL, QUERIES
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    orders = pd.DataFrame(
+        {"o_orderkey": [1, 2, 3, 4], "o_custkey": [10, 10, 20, 30]}
+    )
+    # part 7: custs {10,20,30} = 3 (cust 10 twice via orders 1+2 → once)
+    # part 5 and part 9: custs {10,20} = 2 each (tie — part 5 first)
+    li = pd.DataFrame(
+        {
+            "l_orderkey": [1, 2, 3, 4, 1, 3, 2, 3],
+            "l_partkey": [7, 7, 7, 7, 5, 5, 9, 9],
+        }
+    )
+    pq.write_table(pa.Table.from_pandas(orders), d / "orders.parquet")
+    pq.write_table(pa.Table.from_pandas(li), d / "lineitem.parquet")
+    got = QUERIES["part_customer_breadth_top25"](str(d)).to_pandas()
+    assert got[["l_partkey", "n_customers"]].values.tolist() == [
+        [7, 3], [5, 2], [9, 2]
+    ]
+    con = duckdb.connect()
+    for t in ("lineitem", "orders"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{d}/{t}.parquet')"
+        )
+    want = con.execute(ORACLE_SQL["part_customer_breadth_top25"]).fetchdf()
+    assert got[["l_partkey", "n_customers"]].values.tolist() == \
+        want[["l_partkey", "n_customers"]].values.tolist()
