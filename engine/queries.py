@@ -3520,7 +3520,77 @@ def part_customer_breadth_top25(sf_dir: str) -> ray.data.Dataset:
     ).limit(25)
 
 
+_HARMONIC_LCM = 720720  # LCM(1..16): 720720//d is EXACT for d ≤ 16
+
+
+def harmonic_centrality_3(sf_dir: str) -> ray.data.Dataset:
+    """Harmonic (closeness-family) centrality from the 3 smallest-id
+    landmark sources: h(v) = Σ_s 1/d(s,v) over reached pairs with
+    d > 0 — three BSP BFS waves over the shard actors, combined on the
+    contract-graph dense tier. Exactness trick: distances are ≤ the
+    16-round oracle unroll, so h is reported ×LCM(1..16) = 720720 as an
+    exact BIGINT — no float summation order to disagree with SQL."""
+    from .bsp import BSPGraph
+
+    edges, ids, enc, n, _ = _graph_arrays(sf_dir)
+    total = np.zeros(n, np.int64)
+    reached_any = np.zeros(n, bool)
+    g = BSPGraph(enc, n=n, num_shards=4, symmetric_copy=True)
+    try:
+        for src in (0, 1, 2):  # dense vids 0..2 == 3 smallest original ids
+            ds, rounds = g.bfs(source_vid=src)
+            if rounds - 1 > _BFS_ORACLE_ROUNDS:
+                raise RuntimeError(
+                    f"harmonic_centrality_3 needed {rounds - 1} rounds; "
+                    f"oracle unrolls {_BFS_ORACLE_ROUNDS}"
+                )
+            dist = np.full(n, n, np.int64)
+            for b in ds.iter_batches(batch_format="pyarrow", batch_size=1 << 20):
+                vid = b.column("vid").to_numpy(zero_copy_only=False).astype(np.int64)
+                dist[vid] = b.column("label").to_numpy(zero_copy_only=False)
+            reached = dist < n
+            reached_any |= reached
+            pos = reached & (dist > 0)
+            if pos.any() and int(dist[pos].max()) > 16:
+                raise RuntimeError("distance > 16 breaks the exact LCM encoding")
+            total[pos] += _HARMONIC_LCM // dist[pos]
+    finally:
+        g.shutdown()
+    ids_int = ids.astype(np.int64)
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "vid": pa.array(ids_int[reached_any]),
+                "h_x720720": pa.array(total[reached_any]),
+            }
+        )
+    )
+
+
+def _harmonic_oracle_sql(rounds: int) -> str:
+    """Three single-source unrolled BFS blocks (each subquery carries its
+    own WITH, so CTE names never collide) unioned into the exact-integer
+    harmonic sum."""
+    blocks = []
+    for k in range(3):
+        pred = f"vid = (SELECT vid FROM v ORDER BY vid LIMIT 1 OFFSET {k})"
+        blocks.append(f"b{k} AS MATERIALIZED ({_bfs_unrolled_sql(rounds, source_pred=pred)})")
+    return (
+        "WITH "
+        + ",\n    ".join(blocks)
+        + """,
+    u AS (SELECT vid, dist FROM b0
+          UNION ALL SELECT vid, dist FROM b1
+          UNION ALL SELECT vid, dist FROM b2)
+    SELECT vid,
+           CAST(SUM(CASE WHEN dist > 0 THEN 720720 // dist ELSE 0 END)
+                AS BIGINT) AS h_x720720
+    FROM u GROUP BY vid"""
+    )
+
+
 ORACLE_SQL: dict[str, str] = {
+
     "edges_project": f"""
         SELECT DISTINCT l_orderkey AS src,
                l_partkey + {PART_OFFSET} AS dst
@@ -4956,6 +5026,8 @@ ORACLE_SQL["event_transitions_top20"] = """
     LIMIT 20
 """
 
+ORACLE_SQL["harmonic_centrality_3"] = _harmonic_oracle_sql(_BFS_ORACLE_ROUNDS)
+
 ORACLE_SQL["part_customer_breadth_top25"] = """
     SELECT l_partkey,
            CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers
@@ -5161,4 +5233,5 @@ QUERIES = {
     "events_user_sum_7d": events_user_sum_7d,
     "cc_size_histogram": cc_size_histogram,
     "part_customer_breadth_top25": part_customer_breadth_top25,
+    "harmonic_centrality_3": harmonic_centrality_3,
 }

@@ -924,3 +924,33 @@ def test_cc_size_histogram_multi_component(tmp_path):
         .reset_index(drop=True)
     )
     assert got.values.tolist() == want.values.tolist()
+
+
+def test_harmonic_centrality_3_path_graph(tmp_path):
+    """Hand-computed harmonic centralities on a 4-vertex path graph
+    (1 — p100 — 2 — p101); sources are the 3 smallest ids (1, 2, p100)."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from engine.queries import QUERIES, PART_OFFSET
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    li = pd.DataFrame(
+        {"l_orderkey": [1, 2, 2], "l_partkey": [100, 100, 101]}
+    )
+    pq.write_table(pa.Table.from_pandas(li), d / "lineitem.parquet")
+    got = (
+        QUERIES["harmonic_centrality_3"](str(d))
+        .to_pandas()
+        .set_index("vid")["h_x720720"]
+        .to_dict()
+    )
+    L = 720720
+    assert got == {
+        1: L // 2 + L,            # from 2 (d=2) and p100 (d=1)
+        2: L // 2 + L,            # from 1 (d=2) and p100 (d=1)
+        100 + PART_OFFSET: L + L,  # d=1 from both order sources
+        101 + PART_OFFSET: L // 3 + L + L // 2,
+    }
