@@ -3520,6 +3520,33 @@ def part_customer_breadth_top25(sf_dir: str) -> ray.data.Dataset:
     ).limit(25)
 
 
+def docs_above_source_p75(sf_dir: str) -> ray.data.Dataset:
+    """Percentile-threshold curation filter: keep documents STRICTLY
+    longer than their own source's 75th-percentile length — the
+    per-domain tail-keep rule (contrast T-length-band's global band and
+    T-winsorize's clip): per-key percentile_disc via the sorted
+    single-row picks (engine/ntile.py grouped_pdisc, O(keys) driver
+    state), thresholds broadcast once via ray.put, stateless streamed
+    filter — the corpus itself never shuffles."""
+    from .ntile import grouped_pdisc
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "n_chars"]
+    )
+    p75 = grouped_pdisc(docs, "source", "n_chars", qs=(0.75,))
+    thr = {k: v[0.75] for k, v in p75.items()}
+    thr_ref = ray.put(thr)
+
+    def keep(t: pa.Table) -> pa.Table:
+        th = ray.get(thr_ref)
+        src = t.column("source").to_numpy(zero_copy_only=False)
+        nch = t.column("n_chars").to_numpy(zero_copy_only=False)
+        cut = np.asarray([th[s] for s in src], dtype=np.int64)
+        return t.filter(pa.array(nch > cut))
+
+    return docs.map_batches(keep, batch_format="pyarrow")
+
+
 _HARMONIC_LCM = 720720  # LCM(1..16): 720720//d is EXACT for d ≤ 16
 
 
@@ -5026,6 +5053,17 @@ ORACLE_SQL["event_transitions_top20"] = """
     LIMIT 20
 """
 
+ORACLE_SQL["docs_above_source_p75"] = """
+    WITH thr AS MATERIALIZED (
+        SELECT source,
+               percentile_disc(0.75) WITHIN GROUP (ORDER BY n_chars) AS p75
+        FROM documents GROUP BY source
+    )
+    SELECT d.doc_id, d.source, d.n_chars
+    FROM documents d JOIN thr ON d.source = thr.source
+    WHERE d.n_chars > thr.p75
+"""
+
 ORACLE_SQL["harmonic_centrality_3"] = _harmonic_oracle_sql(_BFS_ORACLE_ROUNDS)
 
 ORACLE_SQL["part_customer_breadth_top25"] = """
@@ -5234,4 +5272,5 @@ QUERIES = {
     "cc_size_histogram": cc_size_histogram,
     "part_customer_breadth_top25": part_customer_breadth_top25,
     "harmonic_centrality_3": harmonic_centrality_3,
+    "docs_above_source_p75": docs_above_source_p75,
 }

@@ -209,3 +209,39 @@ def test_part_customer_breadth_tie_and_dup(tmp_path):
     want = con.execute(ORACLE_SQL["part_customer_breadth_top25"]).fetchdf()
     assert got[["l_partkey", "n_customers"]].values.tolist() == \
         want[["l_partkey", "n_customers"]].values.tolist()
+
+
+def test_docs_above_source_p75_disc_semantics(tmp_path):
+    """percentile_disc picks an ACTUAL value (not interpolated); strict >
+    keeps exactly the tail above it — checked on a hand-sized corpus."""
+    import duckdb
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from engine.queries import ORACLE_SQL, QUERIES
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    docs = pd.DataFrame(
+        {
+            "doc_id": range(10),
+            "source": ["s1"] * 4 + ["s2"] * 5 + ["s3"],
+            "text": ["x"] * 10,
+            "lang": ["en"] * 10,
+            # s1: [10,20,30,40] — cum fractions .25/.5/.75/1.0, disc p75 =
+            #     first value with cum ≥ .75 = 30 → keeps 40
+            # s2: [1,2,3,4,5] p75=4 → keeps 5
+            # s3: [7] p75=7 → none
+            "n_chars": [10, 20, 30, 40, 1, 2, 3, 4, 5, 7],
+        }
+    )
+    pq.write_table(pa.Table.from_pandas(docs), d / "documents.parquet")
+    got = QUERIES["docs_above_source_p75"](str(d)).to_pandas()
+    assert sorted(got["doc_id"].tolist()) == [3, 8]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{d}/documents.parquet')"
+    )
+    want = con.execute(ORACLE_SQL["docs_above_source_p75"]).fetchdf()
+    assert sorted(got["doc_id"]) == sorted(want["doc_id"])
