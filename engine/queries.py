@@ -3547,6 +3547,41 @@ def docs_above_source_p75(sf_dir: str) -> ray.data.Dataset:
     return docs.map_batches(keep, batch_format="pyarrow")
 
 
+def wmedian_price_by_flag(sf_dir: str) -> ray.data.Dataset:
+    """Quantity-weighted median line price per return flag — the
+    importance-weighted center where the plain median over-counts
+    low-volume lines (engine/summarize.py weighted_median_per_key:
+    input never shuffles, distinct (flag, cents) weight sums through
+    the sorted grouped SUM, exact-integer 2·cumw ≥ total crossing)."""
+    from .summarize import weighted_median_per_key
+
+    li = _li(sf_dir, ["l_returnflag", "l_extendedprice", "l_quantity"]).map_batches(
+        lambda t: pa.table(
+            {
+                "l_returnflag": t.column("l_returnflag"),
+                "cents": pc.cast(
+                    pc.round(
+                        pc.multiply(t.column("l_extendedprice"), 100.0),
+                        round_mode="half_towards_infinity",
+                    ),
+                    pa.int64(),
+                ),
+                "qty": pc.cast(
+                    pc.round(
+                        t.column("l_quantity"),
+                        round_mode="half_towards_infinity",
+                    ),
+                    pa.int64(),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return weighted_median_per_key(
+        li, "l_returnflag", "cents", "qty", out_col="wmedian_cents"
+    )
+
+
 _HARMONIC_LCM = 720720  # LCM(1..16): 720720//d is EXACT for d ≤ 16
 
 
@@ -5053,6 +5088,23 @@ ORACLE_SQL["event_transitions_top20"] = """
     LIMIT 20
 """
 
+ORACLE_SQL["wmedian_price_by_flag"] = """
+    WITH agg AS MATERIALIZED (
+        SELECT l_returnflag,
+               CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents,
+               SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS w
+        FROM lineitem GROUP BY 1, 2
+    ),
+    c AS MATERIALIZED (
+        SELECT l_returnflag, cents,
+               SUM(w) OVER (PARTITION BY l_returnflag ORDER BY cents) AS cw,
+               SUM(w) OVER (PARTITION BY l_returnflag) AS tw
+        FROM agg
+    )
+    SELECT l_returnflag, CAST(MIN(cents) AS BIGINT) AS wmedian_cents
+    FROM c WHERE cw * 2 >= tw GROUP BY l_returnflag
+"""
+
 ORACLE_SQL["docs_above_source_p75"] = """
     WITH thr AS MATERIALIZED (
         SELECT source,
@@ -5273,4 +5325,5 @@ QUERIES = {
     "part_customer_breadth_top25": part_customer_breadth_top25,
     "harmonic_centrality_3": harmonic_centrality_3,
     "docs_above_source_p75": docs_above_source_p75,
+    "wmedian_price_by_flag": wmedian_price_by_flag,
 }

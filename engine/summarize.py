@@ -772,3 +772,81 @@ def grouped_entropy(
         ).cast(out_schema)
 
     return counts.repartition(1).map_batches(finish, batch_format="pyarrow")
+
+
+def weighted_median_per_key(
+    ds: ray.data.Dataset,
+    key_col: str,
+    val_col: str,
+    weight_col: str,
+    out_col: str = "wmedian",
+    max_pairs: int = 5_000_000,
+) -> ray.data.Dataset:
+    """Per-key lower weighted median — the smallest value v with
+    cumulative weight ≥ half the key's total (exact integers: the
+    threshold compares 2·cumw ≥ total, never a float). The
+    importance-weighted center of a score distribution (weights =
+    trustworthiness / token counts / exposure), where the plain median
+    over-counts low-weight rows.
+
+    Scale design (the percent-rank tier): the input never shuffles —
+    per-batch (key, val) weight-sum partials settle through the sorted
+    grouped SUM into the distinct-pair table (bounded by value
+    cardinality per key, guarded at ``max_pairs``; discretize ``val``
+    beyond), and one numpy pass picks each key's crossing point.
+    ``val_col`` and ``weight_col`` must be non-negative integers."""
+    from .ntile import grouped_sums_sorted
+
+    sep = "\x1f"
+
+    def partial(t: pa.Table) -> pa.Table:
+        k = t.column(key_col).to_numpy(zero_copy_only=False).astype(str)
+        v = t.column(val_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        w = t.column(weight_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(v) and (v.min() < 0 or w.min() < 0):
+            raise ValueError("val/weight must be non-negative integers")
+        pair = np.char.add(
+            np.char.add(k, sep), np.char.zfill(v.astype("U19"), 19)
+        )
+        u, inv = np.unique(pair, return_inverse=True)
+        return pa.table(
+            {
+                "pair": pa.array(u.tolist(), pa.string()),
+                "w": pa.array(np.bincount(inv, weights=w).astype(np.int64)),
+            }
+        )
+
+    counts = grouped_sums_sorted(
+        ds.map_batches(partial, batch_format="pyarrow"), "pair", ["w"], ["w"]
+    )
+    tbl = counts.sort("pair").to_pandas()
+    if len(tbl) > max_pairs:
+        raise ValueError(
+            f"distinct (key, val) pairs exceed the pull tier "
+            f"({len(tbl)} > {max_pairs}) — discretize {val_col!r} first"
+        )
+    pairs = tbl["pair"].to_numpy()
+    w = tbl["w"].to_numpy().astype(np.int64)
+    keys = np.asarray([p.split(sep, 1)[0] for p in pairs], dtype=object)
+    vals = np.asarray([int(p.split(sep, 1)[1]) for p in pairs], dtype=np.int64)
+    new_key = np.concatenate(([True], keys[1:] != keys[:-1]))
+    grp = (np.cumsum(new_key) - 1).astype(np.int64)
+    totals = np.bincount(grp, weights=w).astype(np.int64)
+    cum = np.cumsum(w)
+    key_start_cum = np.where(new_key, cum - w, 0)
+    key_start_cum = np.maximum.accumulate(key_start_cum)
+    cumw = cum - key_start_cum  # cumulative weight within key
+    crossed = 2 * cumw >= totals[grp]
+    # first crossing per key: mark positions where crossed and (new key
+    # or previous not crossed-in-same-key)
+    first = crossed & (new_key | ~np.concatenate(([False], crossed[:-1])))
+    out_keys = keys[first]
+    out_vals = vals[first]
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                key_col: pa.array(out_keys.tolist(), pa.string()),
+                out_col: pa.array(out_vals),
+            }
+        )
+    )

@@ -245,3 +245,33 @@ def test_docs_above_source_p75_disc_semantics(tmp_path):
     )
     want = con.execute(ORACLE_SQL["docs_above_source_p75"]).fetchdf()
     assert sorted(got["doc_id"]) == sorted(want["doc_id"])
+
+
+def test_weighted_median_crossing_semantics():
+    """Lower weighted median = smallest v with 2·cumw ≥ total — planted
+    distributions incl. exact-half crossings and zero-weight rows."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from engine.summarize import weighted_median_per_key
+
+    df = pd.DataFrame(
+        {
+            "k": ["a"] * 3 + ["b"] * 3 + ["c"] * 2 + ["z"],
+            # a: w(1)=1, w(2)=1 → total 2, cum at v=1 is 1, 2*1>=2 → 1
+            # b: w(1)=1, w(5)=3 → total 4, v=1 cum1 (2<4), v=5 → 5
+            # c: zero weights only → total 0 → smallest value (3)
+            # z: single row → its value
+            "v": [1, 2, 2, 1, 5, 5, 3, 9, 7],
+            "w": [1, 1, 0, 1, 2, 1, 0, 0, 4],
+        }
+    )
+    ds = ray.data.from_pandas(df).repartition(5)
+    got = (
+        weighted_median_per_key(ds, "k", "v", "w", out_col="m")
+        .to_pandas()
+        .set_index("k")["m"]
+        .to_dict()
+    )
+    assert got == {"a": 1, "b": 5, "c": 3, "z": 7}
