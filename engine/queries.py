@@ -3582,6 +3582,58 @@ def wmedian_price_by_flag(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def user_diversity_histogram(sf_dir: str) -> ray.data.Dataset:
+    """Behavioral-diversity profile: how many users touch exactly k
+    distinct event types — the engagement-mix report (the T97/T101
+    composition over a DISTINCT base: separator-joined (user, type)
+    string pairs through the sort-based DISTINCT, then per-user counts
+    and the count histogram through two tiny sorted grouped SUMs)."""
+    from .graph import _sorted_distinct_refs
+    from .ntile import grouped_sums_sorted
+
+    sep = "\x1f"
+
+    def pack(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy(zero_copy_only=False).astype(str)
+        ty = t.column("event_type").to_numpy(zero_copy_only=False).astype(str)
+        pair = np.char.add(np.char.add(u, sep), ty)
+        return pa.table({"key": pa.array(np.unique(pair).tolist(), pa.string())})
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+    ).map_batches(pack, batch_format="pyarrow")
+    refs, _counts = _sorted_distinct_refs(ev, "key")
+
+    def user_counts(t: pa.Table) -> pa.Table:
+        key = t.column("key").to_numpy(zero_copy_only=False)
+        users = np.asarray([k.split(sep, 1)[0] for k in key], dtype=object)
+        u, c = np.unique(users, return_counts=True)
+        return pa.table(
+            {"user": pa.array(u.tolist(), pa.string()),
+             "cnt": pa.array(c.astype(np.int64))}
+        )
+
+    per_user = grouped_sums_sorted(
+        ray.data.from_arrow_refs(refs).map_batches(
+            user_counts, batch_format="pyarrow"
+        ),
+        "user", ["cnt"], ["k"],
+    )
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        k = t.column("k").to_numpy(zero_copy_only=False)
+        u, c = np.unique(k, return_counts=True)
+        return pa.table(
+            {"n_types": pa.array(u.astype(np.int64)),
+             "c": pa.array(c.astype(np.int64))}
+        )
+
+    return grouped_sums_sorted(
+        per_user.map_batches(hist_partial, batch_format="pyarrow"),
+        "n_types", ["c"], ["n_users"],
+    )
+
+
 _HARMONIC_LCM = 720720  # LCM(1..16): 720720//d is EXACT for d ≤ 16
 
 
@@ -5088,6 +5140,16 @@ ORACLE_SQL["event_transitions_top20"] = """
     LIMIT 20
 """
 
+ORACLE_SQL["user_diversity_histogram"] = """
+    SELECT CAST(k AS BIGINT) AS n_types,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM (
+        SELECT user_id, COUNT(DISTINCT event_type) AS k
+        FROM events GROUP BY user_id
+    )
+    GROUP BY k
+"""
+
 ORACLE_SQL["wmedian_price_by_flag"] = """
     WITH agg AS MATERIALIZED (
         SELECT l_returnflag,
@@ -5326,4 +5388,5 @@ QUERIES = {
     "harmonic_centrality_3": harmonic_centrality_3,
     "docs_above_source_p75": docs_above_source_p75,
     "wmedian_price_by_flag": wmedian_price_by_flag,
+    "user_diversity_histogram": user_diversity_histogram,
 }

@@ -275,3 +275,44 @@ def test_weighted_median_crossing_semantics():
         .to_dict()
     )
     assert got == {"a": 1, "b": 5, "c": 3, "z": 7}
+
+
+def test_user_diversity_histogram_planted(tmp_path):
+    """The sf events have every user on all 5 types (1-row histogram) —
+    plant a spread (1/2/3 distinct types, duplicates, cross-block runs)."""
+    import duckdb
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from engine.queries import ORACLE_SQL, QUERIES
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    ev = pd.DataFrame(
+        {
+            "event_id": range(12),
+            "user_id": [1, 1, 1, 1, 2, 2, 2, 3, 3, 4, 4, 4],
+            # u1: {a} (4 dups) → 1; u2: {a,b} → 2; u3: {a,b} → 2;
+            # u4: {a,b,c} → 3  ⇒ histogram {1:1, 2:2, 3:1}
+            "event_type": ["a", "a", "a", "a", "a", "b", "b",
+                           "a", "b", "a", "b", "c"],
+        }
+    )
+    pq.write_table(pa.Table.from_pandas(ev), d / "events.parquet")
+    got = (
+        QUERIES["user_diversity_histogram"](str(d))
+        .to_pandas()
+        .sort_values("n_types")
+        .reset_index(drop=True)
+    )
+    assert got.values.tolist() == [[1, 1], [2, 2], [3, 1]]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{d}/events.parquet')"
+    )
+    want = (
+        con.execute(ORACLE_SQL["user_diversity_histogram"])
+        .fetchdf().sort_values("n_types").reset_index(drop=True)
+    )
+    assert got.values.tolist() == want.values.tolist()
